@@ -1,0 +1,141 @@
+"""Engine ↔ oracle equality gate (ENGINE_SPEC.md).
+
+Compares the Ray Data crawl engine against the single-process oracle under
+identical (seed list, corpus, politeness budget): fetched set, (depth, ord)
+total order, per-doc span sequences, final seen set.
+"""
+
+import glob
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from thecrowler_ray.oracle import CrawlParams, crawl_oracle
+from thecrowler_ray.pipelines.crawl import CrawlRun, EngineConfig
+from thecrowler_ray.sources.synthweb import CorpusConfig, seed_urls
+from thecrowler_ray.stages.seen import key_u64
+
+CFG = CorpusConfig(seed=42, n_hosts=5, base_pages=25)
+SEEDS = seed_urls(CFG, 3)
+
+
+def _engine_pages(out_dir: str) -> pd.DataFrame:
+    files = glob.glob(f"{out_dir}/wave=*/pages/*.parquet")
+    if not files:
+        return pd.DataFrame(columns=["doc_id", "url", "depth", "ord", "spans"])
+    return (
+        pd.concat([pq.read_table(f).to_pandas() for f in files])
+        .sort_values(["depth", "ord"])
+        .reset_index(drop=True)
+    )
+
+
+def _assert_match(run: CrawlRun, out_dir: str, oracle) -> None:
+    eng = _engine_pages(out_dir)
+    orc = sorted(
+        ((p["depth"], p["ord"], p["doc_id"], p["url"], p["spans"]) for p in oracle.pages)
+    )
+    assert len(eng) == len(orc), f"fetched count {len(eng)} != {len(orc)}"
+    for i, (d, od, doc, url, ospans) in enumerate(orc):
+        r = eng.iloc[i]
+        assert (r.depth, r.ord, r.doc_id) == (d, od, doc), (
+            f"row {i}: engine ({r.depth},{r.ord},{r.url}) != oracle ({d},{od},{url})"
+        )
+        espans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r.spans]
+        xspans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ospans]
+        assert espans == xspans, f"span mismatch for {url}"
+    # seen-set equality: same cardinality and every oracle key present
+    # (probe with host routing — shards are host-hash partitioned)
+    assert run.seen.total_count() == len(oracle.seen)
+    keys_hosts = sorted(oracle.seen_hosts.items())
+    okeys = np.array([int(k[:16], 16) for k, _ in keys_hosts], dtype=np.uint64)
+    ohosts = [h for _, h in keys_hosts]
+    assert run.seen.contains_batch(okeys, ohosts).all()
+
+
+def _run_both(tmpdir: str, *, engine_kw: dict, oracle_kw: dict):
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    ecfg = EngineConfig(
+        out_dir=tmpdir,
+        n_seen_shards=3,
+        n_pol_shards=3,
+        fetch_concurrency=2,
+        seen_log2_buckets=10,
+        **engine_kw,
+    )
+    run = CrawlRun(CFG, SEEDS, ecfg)
+    summary = run.run()
+    oracle = crawl_oracle(CFG, SEEDS, CrawlParams(**oracle_kw))
+    return run, summary, oracle
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_basic_bfs_equality():
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_basic",
+        engine_kw=dict(max_links=150, max_waves=8),
+        oracle_kw=dict(max_links=150, max_waves=8),
+    )
+    assert summary["total_fetched"] == len(oracle.pages)
+    _assert_match(run, "/tmp/crowler_t_basic", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_links_truncation():
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_trunc",
+        engine_kw=dict(max_links=23, max_waves=8),
+        oracle_kw=dict(max_links=23, max_waves=8),
+    )
+    assert summary["total_fetched"] == len(oracle.pages) <= 23
+    _assert_match(run, "/tmp/crowler_t_trunc", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_politeness_deferral():
+    kw = dict(
+        max_links=60,
+        max_waves=12,
+        politeness_rate=2,
+        politeness_capacity=3,
+    )
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_pol", engine_kw=kw, oracle_kw=kw
+    )
+    assert any(m.get("deferred", 0) > 0 for m in oracle.metrics), "fixture too small"
+    assert summary["total_fetched"] == len(oracle.pages)
+    _assert_match(run, "/tmp/crowler_t_pol", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_drop():
+    kw = dict(max_links=150, max_waves=8, check_robots=True)
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_rob", engine_kw=kw, oracle_kw=kw
+    )
+    assert summary["total_fetched"] == len(oracle.pages)
+    assert sum(m.get("robots_dropped", 0) for m in summary["metrics"]) == sum(
+        m.get("robots_dropped", 0) for m in oracle.metrics
+    )
+    _assert_match(run, "/tmp/crowler_t_rob", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_resume():
+    out = "/tmp/crowler_t_resume"
+    shutil.rmtree(out, ignore_errors=True)
+    base = dict(max_links=150, n_seen_shards=3, n_pol_shards=3,
+                fetch_concurrency=2, seen_log2_buckets=10, out_dir=out)
+    # phase 1: stop after 3 waves (simulated crash after checkpoint)
+    run1 = CrawlRun(CFG, SEEDS, EngineConfig(max_waves=3, **base))
+    run1.run()
+    # phase 2: resume from checkpoint and finish
+    run2 = CrawlRun.resume(CFG, SEEDS, EngineConfig(max_waves=8, **base))
+    assert run2 is not None
+    assert run2.wave == 3
+    run2.run_resumed()
+    oracle = crawl_oracle(CFG, SEEDS, CrawlParams(max_links=150, max_waves=8))
+    _assert_match(run2, out, oracle)

@@ -1,0 +1,116 @@
+"""Fetch + parse actor-pool stage.
+
+Replaces the reference's browser fetch (``pkg/crawler/web.go:1097-1453``
+getURLContent) + ``collectLoadedWebPage`` → ``extractPageInfo`` /
+``extractLinks`` / ``extractKeywords`` chain (``web.go:995-1093``) with one
+``map_batches`` actor-pool stage: the actor is the "browser session" (state
+set up once in ``__init__`` — reference ST3/ST5), each ``__call__`` fetches
+and parses a batch of frontier rows and emits one page row per success.
+
+In the sandbox the fetch is the deterministic synthweb generator (a pure
+function of the URL — no corpus broadcast needed; see
+``sources/synthweb.py``). Swap ``_fetch`` for a real HTTP client on a live
+cluster; everything downstream is unchanged.
+
+Output row: doc_id (url_key hex), url, host, depth, ord, src_url,
+restricted, title, summary, lang, detected_type, content_hash (SHA-256 of
+body text — reference WebObjects hash ``pkg/crawler/crawler.go:1504-1520``),
+spans (list<struct<kind,text,media_ref,offset>>), links
+(list<struct<href,element_id,link_idx>>), fetch_ok.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from ..content_type import infer_document_type
+from ..htmlx import extract_page_info, page_spans
+from ..sources.synthweb import CorpusConfig, page_html, parse_page_url
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+LINK_TYPE = pa.list_(
+    pa.struct(
+        [("href", pa.string()), ("element_id", pa.string()), ("link_idx", pa.int32())]
+    )
+)
+
+PAGE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("ord", pa.int64()),
+        ("src_url", pa.string()),
+        ("restricted", pa.int32()),
+        ("title", pa.string()),
+        ("summary", pa.string()),
+        ("lang", pa.string()),
+        ("detected_type", pa.string()),
+        ("content_hash", pa.string()),
+        ("spans", SPAN_TYPE),
+        ("links", LINK_TYPE),
+    ]
+)
+
+
+class FetchParse:
+    """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
+
+    def __init__(self, corpus_cfg: CorpusConfig):
+        self.cfg = corpus_cfg
+
+    def _fetch(self, url: str) -> str | None:
+        hp = parse_page_url(self.cfg, url)
+        if hp is None:
+            return None
+        return page_html(self.cfg, *hp)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name in PAGE_SCHEMA.names}
+        urls = batch["url"].to_pylist()
+        keys = batch["key"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        ords = batch["ord"].to_pylist()
+        srcs = batch["src_url"].to_pylist()
+        restr = batch["restricted"].to_pylist()
+        for i, url in enumerate(urls):
+            html = self._fetch(url)
+            if html is None:
+                continue  # fetch error: no page row (counted by the driver)
+            info = extract_page_info(url, html)
+            spans = page_spans(info)
+            cols["doc_id"].append(keys[i])
+            cols["url"].append(url)
+            cols["host"].append(hosts[i])
+            cols["depth"].append(depths[i])
+            cols["ord"].append(ords[i])
+            cols["src_url"].append(srcs[i])
+            cols["restricted"].append(restr[i])
+            cols["title"].append(info["title"])
+            cols["summary"].append(info["summary"])
+            cols["lang"].append(info["lang"])
+            cols["detected_type"].append(infer_document_type(url, html))
+            cols["content_hash"].append(
+                hashlib.sha256(info["body_text"].encode("utf-8")).hexdigest()
+            )
+            cols["spans"].append(spans)
+            cols["links"].append(
+                [
+                    {"href": ln["href"], "element_id": ln["element_id"], "link_idx": j}
+                    for j, ln in enumerate(info["links"])
+                ]
+            )
+        return pa.Table.from_pydict(cols, schema=PAGE_SCHEMA)

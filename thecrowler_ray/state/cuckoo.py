@@ -1,0 +1,170 @@
+"""Bucketed cuckoo filter (numpy), with an optional exact-key sidecar.
+
+The reference keeps the URL-seen set as an in-memory Go map per source
+(``pkg/crawler/process.go:60``) plus a SQL existence probe for the global set
+(``pkg/database/queries.go:73-88``). At 10^10-URL-frontier scale neither
+works; BASELINE.json's north star mandates sharded cuckoo/bloom membership
+over SHA-1 URL keys instead.
+
+Design (standard cuckoo-filter construction, Fan et al., CoNEXT'14 —
+public-knowledge algorithm):
+
+- ``2^log2_buckets`` buckets × 4 slots of uint16 fingerprints (0 ⇒ empty)
+- key = low 64 bits of the SHA-1 URL key; fingerprint from the high bits so
+  fp and bucket index are independent
+- partner bucket ``i2 = i1 XOR h(fp)`` (partial-key cuckoo hashing)
+- vectorized batch ``contains`` / fast-path batch insert; per-key kick loop
+  only on bucket overflow
+
+Exact-parity mode: the north rule requires matching the reference's exact
+URL-seen set. A cuckoo filter alone has a bounded false-positive rate, which
+would *drop* URLs that were never actually seen. With ``exact=True`` each
+shard also keeps the exact uint64 key set and uses it to veto filter false
+positives, so membership is exact while the filter still serves the fast
+path. At 10^10 scale the exact sidecar is the (documented) memory tradeoff:
+8 B/key/shard, or disable it and accept ~b/2^f fp-rate URL loss.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+_FP_MIX = np.uint64(0x5BD1E995)
+
+
+class CuckooFilter:
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, log2_buckets: int = 16, exact: bool = True, seed: int = 0):
+        self.log2_buckets = log2_buckets
+        self.n_buckets = 1 << log2_buckets
+        self.mask = np.uint64(self.n_buckets - 1)
+        self.table = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
+        self.exact = exact
+        self.exact_keys: set[int] = set() if exact else None
+        self.count = 0
+        self._rng = np.random.default_rng(seed)
+
+    # -- key derivation ----------------------------------------------------
+    @staticmethod
+    def keys_from_digests(digests: np.ndarray) -> np.ndarray:
+        """(N, 20) uint8 SHA-1 digests → uint64 keys (first 8 bytes, BE)."""
+        return digests[:, :8].astype(np.uint64).reshape(-1, 8) @ (
+            np.uint64(256) ** np.arange(7, -1, -1, dtype=np.uint64)
+        )
+
+    def _fp(self, keys: np.ndarray) -> np.ndarray:
+        fp = ((keys >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1  # 0 is the empty marker
+        return fp
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        return (keys & self.mask).astype(np.uint64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        return (i1 ^ (fp.astype(np.uint64) * _FP_MIX & self.mask)) & self.mask
+
+    # -- queries -----------------------------------------------------------
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership for uint64 keys → bool array."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fp = self._fp(keys)
+        i1 = self._i1(keys)
+        i2 = self._i2(i1, fp)
+        b1 = self.table[i1.astype(np.int64)]  # (N, SLOTS)
+        b2 = self.table[i2.astype(np.int64)]
+        hit = (b1 == fp[:, None]).any(axis=1) | (b2 == fp[:, None]).any(axis=1)
+        if self.exact:
+            # veto false positives so membership is exact
+            idx = np.nonzero(hit)[0]
+            if len(idx):
+                ek = self.exact_keys
+                veto = np.fromiter(
+                    (int(keys[i]) in ek for i in idx), dtype=bool, count=len(idx)
+                )
+                hit[idx] = veto
+        return hit
+
+    def insert_many(self, keys: np.ndarray) -> None:
+        """Insert uint64 keys (caller already deduped / filtered misses)."""
+        if len(keys) == 0:
+            return
+        fp = self._fp(keys)
+        i1 = self._i1(keys)
+        i2 = self._i2(i1, fp)
+        for k in range(len(keys)):
+            self._insert_one(int(i1[k]), int(i2[k]), np.uint16(fp[k]))
+        if self.exact:
+            self.exact_keys.update(int(x) for x in keys)
+        self.count += len(keys)
+
+    def _insert_one(self, i1: int, i2: int, fp: np.uint16) -> None:
+        for b in (i1, i2):
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        # kick loop
+        b = i1 if self._rng.integers(2) else i2
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(self.SLOTS))
+            fp, self.table[b, slot] = self.table[b, slot], fp
+            b = int(
+                np.uint64(b)
+                ^ (np.uint64(fp) * _FP_MIX & self.mask)
+            ) & int(self.mask)
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        # table overfull → grow (double buckets, re-insert everything)
+        self._grow_and_reinsert(fp)
+
+    def _grow_and_reinsert(self, pending_fp: np.uint16) -> None:
+        if not self.exact:
+            raise RuntimeError(
+                "cuckoo filter overfull and no exact sidecar to rebuild from; "
+                "size log2_buckets for the expected shard cardinality"
+            )
+        keys = np.fromiter(self.exact_keys, dtype=np.uint64, count=len(self.exact_keys))
+        self.log2_buckets += 1
+        self.n_buckets <<= 1
+        self.mask = np.uint64(self.n_buckets - 1)
+        self.table = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
+        saved_exact, saved_count = self.exact_keys, self.count
+        self.exact_keys, self.count = set(), 0
+        self.insert_many(keys)
+        self.exact_keys, self.count = saved_exact, saved_count
+
+    # -- persistence (checkpointing) --------------------------------------
+    def dumps(self) -> bytes:
+        buf = io.BytesIO()
+        exact_arr = (
+            np.fromiter(self.exact_keys, dtype=np.uint64, count=len(self.exact_keys))
+            if self.exact
+            else np.zeros(0, dtype=np.uint64)
+        )
+        np.savez_compressed(
+            buf,
+            table=self.table,
+            exact=exact_arr,
+            meta=np.array([self.log2_buckets, int(self.exact), self.count], dtype=np.int64),
+        )
+        return buf.getvalue()
+
+    @classmethod
+    def loads(cls, data: bytes) -> "CuckooFilter":
+        with np.load(io.BytesIO(data)) as z:
+            log2b, exact, count = (int(x) for x in z["meta"])
+            f = cls(log2_buckets=log2b, exact=bool(exact))
+            f.table = z["table"].copy()
+            if exact:
+                f.exact_keys = set(int(x) for x in z["exact"])
+            f.count = count
+        return f
