@@ -1,0 +1,42 @@
+import numpy as np
+
+from thecrowler_ray.state.cuckoo import CuckooFilter
+
+
+def test_insert_contains_exact():
+    f = CuckooFilter(log2_buckets=10, exact=True, seed=1)
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**63, size=2000, dtype=np.uint64)
+    keys = np.unique(keys)
+    half = keys[: len(keys) // 2]
+    other = keys[len(keys) // 2:]
+    f.insert_many(half)
+    assert f.contains_many(half).all()
+    # exact mode: zero false positives
+    assert not f.contains_many(other).any()
+
+
+def test_grow_on_overfull():
+    f = CuckooFilter(log2_buckets=4, exact=True, seed=1)  # 16 buckets × 4 slots
+    keys = np.arange(1, 500, dtype=np.uint64) * np.uint64(2654435761)
+    f.insert_many(keys)  # forces grow
+    assert f.contains_many(keys).all()
+    assert f.n_buckets > 16
+
+
+def test_serialize_roundtrip():
+    f = CuckooFilter(log2_buckets=8, exact=True, seed=2)
+    keys = np.arange(100, 400, dtype=np.uint64) * np.uint64(11400714819323198485)
+    f.insert_many(keys)
+    g = CuckooFilter.loads(f.dumps())
+    assert g.contains_many(keys).all()
+    assert g.count == f.count
+    probe = np.arange(1, 50, dtype=np.uint64) * np.uint64(2654435761)
+    assert (g.contains_many(probe) == f.contains_many(probe)).all()
+
+
+def test_approximate_mode_no_false_negatives():
+    f = CuckooFilter(log2_buckets=12, exact=False, seed=3)
+    keys = np.arange(1, 3000, dtype=np.uint64) * np.uint64(2654435761)
+    f.insert_many(keys)
+    assert f.contains_many(keys).all()  # cuckoo filters never false-negative

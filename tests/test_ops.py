@@ -1,0 +1,167 @@
+"""Training-data operator tests (dedup, similarity, text analysis, media)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from thecrowler_ray.ops.agg import pre_aggregated_count, pre_aggregated_sum
+from thecrowler_ray.stages.dedup import (
+    MinHashSignatures,
+    embedding_neardup_pairs,
+    estimate_jaccard,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+)
+from thecrowler_ray.stages.multimodal import (
+    DecodeStage,
+    frame_sample_plan,
+    resize_plan_stage,
+    synth_media_table,
+)
+from thecrowler_ray.stages.similarity import lsh_topk_cosine, topk_cosine
+from thecrowler_ray.stages.text_analysis import (
+    fingerprint_stage,
+    quality_stage,
+    simhash64,
+    simhash_stage,
+    token_count_stage,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup():
+    docs = pa.table(
+        {
+            "doc_id": [3, 1, 2, 4, 5],
+            "text": ["same text", "same text", "unique a", "unique b", "same text"],
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    assert sorted(out.doc_id) == [1, 2, 4]  # min id wins per hash
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_similarity_detects_near_dups():
+    words = [f"tok{i}" for i in range(200)]
+    base = " ".join(words)
+    w2 = list(words)
+    w2[100] = "changed"
+    near = " ".join(w2)
+    other = " ".join(f"other{i}" for i in range(200))
+    docs = pa.table({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    pairs = minhash_candidate_pairs(ray.data.from_arrow(docs)).to_pandas()
+    assert (1, 2) in set(zip(pairs.doc_a, pairs.doc_b))
+    assert (1, 3) not in set(zip(pairs.doc_a, pairs.doc_b))
+    m = MinHashSignatures()
+    est = estimate_jaccard(m.signature(base), m.signature(near))
+    exact = ngram_jaccard(base, near)
+    assert abs(est - exact) < 0.2
+    assert ngram_jaccard(base, base) == 1.0
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox".split())
+    b = simhash64("the quick brown fox".split())
+    c = simhash64("totally different words here".split())
+    assert a == b
+    ham = bin(a ^ c).count("1")
+    assert ham > 4
+    assert simhash64([]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_cosine_matches_numpy():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    emb = np.stack(ds.to_pandas()["embedding"].to_numpy())
+    ids = ds.to_pandas()["vec_id"].to_numpy()
+    q = emb[0]
+    got = topk_cosine(ds, q, k=5)
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = unit @ (q / np.linalg.norm(q))
+    expect = ids[np.argsort(-sims)[:5]]
+    assert list(got[got.query_id == 0].vec_id) == list(expect)
+    assert got.cosine.iloc[0] == pytest.approx(1.0, abs=1e-5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_topk_recalls_top1():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    emb = np.stack(ds.to_pandas()["embedding"].to_numpy())
+    q = emb[7]
+    approx = lsh_topk_cosine(ds, q, k=5, dim=emb.shape[1])
+    assert 7 in set(approx.vec_id)  # the vector itself must be found
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_pairs():
+    emb = np.random.default_rng(3).normal(size=(20, 16)).astype(np.float32)
+    emb[5] = emb[4] * 1.001  # a near-duplicate pair
+    t = pa.table({"vec_id": list(range(20)),
+                  "embedding": [e.tolist() for e in emb]})
+    pairs = embedding_neardup_pairs(
+        ray.data.from_arrow(t), threshold=0.99
+    ).to_pandas()
+    assert (4, 5) in set(zip(pairs.vec_a, pairs.vec_b))
+
+
+def test_text_analysis_stages():
+    df = pd.DataFrame({"text": ["The quick brown fox, jumps!", "", "word " * 50]})
+    out = token_count_stage(df.copy())
+    assert out.ws_tokens.tolist() == [5, 0, 50]
+    q = quality_stage(df.copy())
+    assert q.n_words.tolist()[0] == 5
+    assert 0 <= q.quality_score.iloc[0] <= 1
+    f = fingerprint_stage(df.copy())
+    assert f.fingerprint_md5.iloc[0] != f.fingerprint_md5.iloc[1]
+    # fingerprint is whitespace-insensitive
+    g = fingerprint_stage(pd.DataFrame({"text": ["the  quick\tbrown Fox"]}))
+    h = fingerprint_stage(pd.DataFrame({"text": ["the quick brown fox"]}))
+    assert g.fingerprint_md5.iloc[0] == h.fingerprint_md5.iloc[0]
+    s = simhash_stage(df.copy())
+    assert s.simhash.dtype == np.int64
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_agg_helpers_match_pandas():
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+    got = pre_aggregated_count(ds, ["l_returnflag"], "cnt").to_pandas()
+    pdf = ds.to_pandas()
+    expect = pdf.groupby("l_returnflag").size()
+    for _, r in got.iterrows():
+        assert r.cnt == expect[r.l_returnflag]
+    got2 = pre_aggregated_sum(ds, ["l_returnflag"], "l_quantity", "sq").to_pandas()
+    expect2 = pdf.groupby("l_returnflag").l_quantity.sum()
+    for _, r in got2.iterrows():
+        assert r.sq == pytest.approx(expect2[r.l_returnflag])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_decode_pipeline():
+    media = synth_media_table(40)
+    ds = ray.data.from_arrow(media)
+    decoded = ds.map_batches(
+        DecodeStage, batch_format="pyarrow", batch_size=8, concurrency=2
+    )
+    planned = decoded.map_batches(
+        resize_plan_stage, batch_format="pyarrow"
+    ).map_batches(frame_sample_plan, batch_format="pyarrow")
+    out = planned.to_pandas()
+    assert len(out) == 40
+    img = out[out.kind == "image"]
+    assert (img.target_width <= 512).all() and (img.target_width > 0).all()
+    vid = out[out.kind == "video"]
+    assert all(len(f) > 0 for f in vid[vid.duration_ms > 1000].frame_ts_ms)
+    assert (out[out.kind == "audio"].width == 0).all()
+    # feature vectors are unit-norm 16-dim
+    feats = np.stack(out.feature.to_numpy())
+    assert feats.shape[1] == 16
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
+    # stub gate for real codecs
+    with pytest.raises(NotImplementedError):
+        DecodeStage(real_codec=True)

@@ -1,0 +1,140 @@
+"""Multimodal column stages (image / audio / video as opaque binary).
+
+The reference stores media as screenshots / downloaded web objects
+(``pkg/crawler/web.go:163-517``, ``types.go:295-307``) with typed metadata.
+Here media are ``binary`` columns + a MIME column; decode / feature-extract /
+resize / frame-sample are actor-pool ``map_batches`` stages.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode kernel is STUBBED: ``DecodeStage(real_codec=True)`` raises
+``NotImplementedError`` at construction, and the default deterministic fake
+derives "decoded" metadata from the payload bytes. Everything Ray-side —
+schema, batch sizing for large payloads, actor signature, output layout — is
+real and tested; swapping ``_decode_fake`` for a real codec is a one-method
+change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..content_type import media_kind
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("doc_id", pa.string()),
+        ("mime", pa.string()),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+DECODED_FIELDS = [
+    ("media_id", pa.string()),
+    ("doc_id", pa.string()),
+    ("mime", pa.string()),
+    ("kind", pa.string()),
+    ("byte_len", pa.int64()),
+    ("sha256", pa.string()),
+    ("width", pa.int32()),        # images/video (fake-decoded)
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),  # audio/video
+    ("feature", pa.list_(pa.float32(), 16)),  # unit-norm feature vector
+]
+
+
+class DecodeStage:
+    """Actor-pool media decode / feature-extract.
+
+    Use small ``batch_size`` (payloads are large) and
+    ``batch_format='pyarrow'`` (binary columns stay zero-copy;
+    pandas would box them into Python objects).
+    """
+
+    def __init__(self, real_codec: bool = False):
+        if real_codec:
+            raise NotImplementedError(
+                "image/audio codecs are not available in this container; "
+                "wire PIL/ffmpeg here on a real cluster"
+            )
+
+    @staticmethod
+    def _decode_fake(payload: bytes, mime: str) -> dict:
+        """Deterministic fake decode: metadata derived from payload bytes."""
+        digest = hashlib.sha256(payload).digest()
+        h64 = int.from_bytes(digest[:8], "big")
+        kind = media_kind(mime)
+        feat = (
+            np.frombuffer(digest[:16] + digest[16:32], dtype=np.uint8)
+            .astype(np.float32)
+            .reshape(2, 16)
+            .mean(axis=0)
+        )
+        norm = float(np.linalg.norm(feat)) or 1.0
+        return {
+            "kind": kind,
+            "byte_len": len(payload),
+            "sha256": digest.hex(),
+            "width": 160 + h64 % 1920 if kind in ("image", "video") else 0,
+            "height": 120 + (h64 >> 16) % 1080 if kind in ("image", "video") else 0,
+            "duration_ms": (h64 >> 32) % 600_000 if kind in ("audio", "video") else 0,
+            "feature": (feat / norm).tolist(),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name, _ in DECODED_FIELDS}
+        payloads = batch["payload"].to_pylist()
+        mimes = batch["mime"].to_pylist()
+        for i in range(len(batch)):
+            d = self._decode_fake(payloads[i] or b"", mimes[i])
+            cols["media_id"].append(batch["media_id"][i].as_py())
+            cols["doc_id"].append(batch["doc_id"][i].as_py())
+            cols["mime"].append(mimes[i])
+            for k in ("kind", "byte_len", "sha256", "width", "height",
+                      "duration_ms", "feature"):
+                cols[k].append(d[k])
+        return pa.Table.from_pydict(cols, schema=pa.schema(DECODED_FIELDS))
+
+
+def resize_plan_stage(batch: pa.Table, max_side: int = 512) -> pa.Table:
+    """Pure-metadata resize planning (the real resample happens in the
+    decode actor on a real cluster): target dims preserving aspect ratio."""
+    import pyarrow.compute as pc
+
+    w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+    h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+    scale = np.minimum(1.0, max_side / np.maximum(np.maximum(w, h), 1.0))
+    return batch.append_column(
+        "target_width", pa.array((w * scale).astype(np.int32))
+    ).append_column("target_height", pa.array((h * scale).astype(np.int32)))
+
+
+def frame_sample_plan(batch: pa.Table, fps: float = 1.0) -> pa.Table:
+    """Frame-sampling plan for video rows: list of timestamps (ms)."""
+    durs = batch["duration_ms"].to_pylist()
+    kinds = batch["kind"].to_pylist()
+    stamps = [
+        list(range(0, d, int(1000 / fps))) if k == "video" and d > 0 else []
+        for d, k in zip(durs, kinds)
+    ]
+    return batch.append_column(
+        "frame_ts_ms", pa.array(stamps, pa.list_(pa.int64()))
+    )
+
+
+def synth_media_table(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic synthetic media rows for tests/benches."""
+    rng = np.random.default_rng(seed)
+    mimes = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+    rows = {name: [] for name, _ in zip(MEDIA_SCHEMA.names, MEDIA_SCHEMA.types)}
+    for i in range(n):
+        mime = mimes[i % len(mimes)]
+        payload = rng.integers(0, 256, size=64 + (i % 512), dtype=np.uint8).tobytes()
+        rows["media_id"].append(f"m{seed}-{i}")
+        rows["doc_id"].append(f"d{i % max(1, n // 4)}")
+        rows["mime"].append(mime)
+        rows["payload"].append(payload)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``topk_cosine``: brute-force cosine top-k against a broadcast query matrix
+  (``ray.put`` once; numpy matmul per batch; per-batch partial top-k merged
+  in a tiny final reduce — the Dataset is streamed, never materialized).
+- ``lsh_topk_cosine``: the scale path — random-hyperplane LSH buckets
+  restrict the scan to candidate buckets (probing the query's bucket and
+  its single-bit neighbors), then exact rerank.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _PartialTopK:
+    """map_batches fn: batch of embeddings → per-(query, batch) top-k rows."""
+
+    def __init__(self, query_ref, k: int, id_col: str, emb_col: str):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = _unit(np.asarray(q, dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _unit(np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float32))
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        sims = emb @ self.q.T  # (N, Q)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            idx = np.argpartition(-sims[:, qi], k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[idx].tolist())
+            out_sim.extend(sims[idx, qi].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                self.id_col: pa.array(out_id, batch[self.id_col].type),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def topk_cosine(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id",
+                emb_col: str = "embedding") -> pd.DataFrame:
+    """Exact top-k by cosine for each row of ``query`` (Q × dim).
+    → DataFrame (query_id, id_col, cosine, rank) — small, driver-side."""
+    query = np.atleast_2d(np.asarray(query, dtype=np.float32))
+    qref = ray.put(query)
+    partials = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_args=(qref, k, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    # final merge: ≤ k rows per (query, block) — tiny
+    heaps: dict[int, list] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for qi, vid, sim in zip(
+            b["query_id"].to_pylist(), b[id_col].to_pylist(), b["cosine"].to_pylist()
+        ):
+            h = heaps.setdefault(qi, [])
+            # break cosine ties by smallest id (deterministic)
+            item = (sim, -vid if isinstance(vid, (int, np.integer)) else vid, vid)
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    rows = []
+    for qi in sorted(heaps):
+        ranked = sorted(heaps[qi], key=lambda t: (-t[0], t[2]))
+        for rank, (sim, _, vid) in enumerate(ranked):
+            rows.append((qi, vid, round(sim, 6), rank + 1))
+    return pd.DataFrame(rows, columns=["query_id", id_col, "cosine", "rank"])
+
+
+def lsh_buckets_stage(dim: int, n_planes: int = 8, seed: int = 11):
+    """map_batches fn factory: append an LSH bucket id per row."""
+    planes = np.random.default_rng(seed).normal(size=(dim, n_planes)).astype(np.float32)
+
+    def fn(batch: pa.Table, emb_col: str = "embedding") -> pa.Table:
+        emb = np.asarray(batch[emb_col].to_pylist(), dtype=np.float32)
+        bits = (emb @ planes > 0).astype(np.int64)
+        bucket = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        return batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
+
+    return fn, planes
+
+
+def lsh_topk_cosine(ds, query: np.ndarray, k: int = 10, dim: int = 64,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> pd.DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket and its 1-bit
+    neighbor buckets, exact rerank within. Scale path for 10^9+ vectors
+    (bucket column doubles as a partition key for pruned reads)."""
+    stage, planes = lsh_buckets_stage(dim, n_planes)
+    query = np.atleast_2d(np.asarray(query, dtype=np.float32))
+    qbits = (query @ planes > 0).astype(np.int64)
+    qbuckets = qbits @ (1 << np.arange(n_planes, dtype=np.int64))
+    candidates: set[int] = set()
+    for qb in qbuckets:
+        candidates.add(int(qb))
+        for bit in range(n_planes):
+            candidates.add(int(qb) ^ (1 << bit))
+    bucketed = ds.map_batches(stage, batch_format="pyarrow")
+    cand_list = list(candidates)
+    filtered = bucketed.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["lsh_bucket"], value_set=pa.array(cand_list))),
+        batch_format="pyarrow",
+    )
+    return topk_cosine(filtered, query, k, id_col, emb_col)

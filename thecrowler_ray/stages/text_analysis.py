@@ -1,0 +1,123 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Vectorized ``map_batches`` transforms over a ``documents``-shaped table
+(``doc_id``, ``text``, …): language ID, quality scoring, token counting,
+document fingerprinting. These extend the reference's keyword/lang machinery
+(``pkg/crawler/keywords.go``, ``web.go:3370-3401``) to the corpus-processing
+operators a 100 TB training-data pipeline needs.
+
+All functions are pandas-vectorized (string kernels) or numpy; per-row
+Python only where an algorithm is inherently per-document (simhash over
+token sets) — and then over small token arrays, inside the batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..keywords import STOP_WORDS
+from ..langid import detect_lang
+
+_WORD_RE = re.compile(r"[A-Za-z0-9#@']+")
+# BPE-ish token estimate: words + punctuation clusters, long words count ~1
+# token per 4 chars (public rule of thumb for BPE vocabularies)
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def token_count_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate."""
+    s = batch[text_col].fillna("")
+    batch["ws_tokens"] = s.str.split().str.len().fillna(0).astype("int64")
+    words = s.str.findall(_WORD_RE)
+    batch["word_tokens"] = words.str.len().fillna(0).astype("int64")
+    batch["bpe_est_tokens"] = (
+        words.map(lambda ws: sum(max(1, (len(w) + 3) // 4) for w in ws))
+        + s.str.count(_PUNCT_RE)
+    ).astype("int64")
+    return batch
+
+
+def quality_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Length / punctuation / stop-word-ratio quality signals + a composite
+    score in [0, 1] (heuristic, deterministic)."""
+    s = batch[text_col].fillna("")
+    n_chars = s.str.len().astype("int64")
+    words = s.str.lower().str.findall(_WORD_RE)
+    n_words = words.str.len().fillna(0).astype("int64")
+    stop = STOP_WORDS["en"]
+    stop_hits = words.map(lambda ws: sum(1 for w in ws if w in stop))
+    batch["n_chars"] = n_chars
+    batch["n_words"] = n_words
+    batch["punct_ratio"] = (
+        s.str.count(_PUNCT_RE) / n_chars.clip(lower=1)
+    ).round(6)
+    batch["stopword_ratio"] = (stop_hits / n_words.clip(lower=1)).round(6)
+    batch["mean_word_len"] = (
+        words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+    ).round(6)
+    length_ok = ((n_words >= 10) & (n_words <= 100_000)).astype(float)
+    stop_ok = 1.0 - (batch["stopword_ratio"] - 0.4).abs().clip(upper=1.0)
+    punct_ok = 1.0 - batch["punct_ratio"].clip(upper=1.0)
+    batch["quality_score"] = ((length_ok + stop_ok + punct_ok) / 3.0).round(6)
+    return batch
+
+
+class LangIdStage:
+    """Actor-pool language ID (state: marker tables built once)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = [detect_lang(t or "") for t in batch[self.text_col]]
+        return batch
+
+
+def fingerprint_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized lowercase text
+    (exact identity) + a 64-bit rolling Karp-Rabin-style hash."""
+    s = batch[text_col].fillna("")
+    norm = s.str.lower().str.split().str.join(" ")
+    batch["fingerprint_md5"] = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm
+    ]
+    B, M = 1000000007, (1 << 61) - 1
+    fps = []
+    for t in norm:
+        h = 0
+        for ch in t[:4096]:  # bounded window
+            h = (h * B + ord(ch)) % M
+        fps.append(h)
+    batch["fingerprint_rolling"] = pd.Series(fps, index=batch.index, dtype="int64")
+    return batch
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token md5 hashes (Charikar 2002)."""
+    if not tokens:
+        return 0
+    v = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in tokens:
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        v += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    batch["simhash"] = [
+        np.uint64(simhash64((t or "").lower().split())).astype(np.int64)
+        for t in batch[text_col]
+    ]
+    return batch

@@ -93,22 +93,27 @@ class CuckooFilter:
         """Insert uint64 keys (caller already deduped / filtered misses)."""
         if len(keys) == 0:
             return
+        if self.exact:
+            self.exact_keys.update(int(x) for x in keys)
         fp = self._fp(keys)
         i1 = self._i1(keys)
         i2 = self._i2(i1, fp)
         for k in range(len(keys)):
-            self._insert_one(int(i1[k]), int(i2[k]), np.uint16(fp[k]))
-        if self.exact:
-            self.exact_keys.update(int(x) for x in keys)
+            if not self._insert_one(int(i1[k]), int(i2[k]), np.uint16(fp[k])):
+                # table grew and was rebuilt from exact_keys, which already
+                # contains this whole batch — nothing left to insert
+                break
         self.count += len(keys)
 
-    def _insert_one(self, i1: int, i2: int, fp: np.uint16) -> None:
+    def _insert_one(self, i1: int, i2: int, fp: np.uint16) -> bool:
+        """→ True on normal insert, False when the table had to grow (the
+        rebuild re-inserted everything from exact_keys)."""
         for b in (i1, i2):
             row = self.table[b]
             empty = np.nonzero(row == 0)[0]
             if len(empty):
                 row[empty[0]] = fp
-                return
+                return True
         # kick loop
         b = i1 if self._rng.integers(2) else i2
         for _ in range(self.MAX_KICKS):
@@ -122,25 +127,54 @@ class CuckooFilter:
             empty = np.nonzero(row == 0)[0]
             if len(empty):
                 row[empty[0]] = fp
-                return
-        # table overfull → grow (double buckets, re-insert everything)
-        self._grow_and_reinsert(fp)
+                return True
+        self._grow_and_rebuild()
+        return False
 
-    def _grow_and_reinsert(self, pending_fp: np.uint16) -> None:
+    def _grow_and_rebuild(self) -> None:
+        """Double the bucket count and rebuild the table from exact_keys
+        (retry with further doubling if the rebuild itself overflows)."""
         if not self.exact:
             raise RuntimeError(
                 "cuckoo filter overfull and no exact sidecar to rebuild from; "
                 "size log2_buckets for the expected shard cardinality"
             )
         keys = np.fromiter(self.exact_keys, dtype=np.uint64, count=len(self.exact_keys))
-        self.log2_buckets += 1
-        self.n_buckets <<= 1
-        self.mask = np.uint64(self.n_buckets - 1)
-        self.table = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
-        saved_exact, saved_count = self.exact_keys, self.count
-        self.exact_keys, self.count = set(), 0
-        self.insert_many(keys)
-        self.exact_keys, self.count = saved_exact, saved_count
+        while True:
+            self.log2_buckets += 1
+            self.n_buckets <<= 1
+            self.mask = np.uint64(self.n_buckets - 1)
+            self.table = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
+            fp = self._fp(keys)
+            i1 = self._i1(keys)
+            i2 = self._i2(i1, fp)
+            if all(
+                self._raw_insert(int(i1[k]), int(i2[k]), np.uint16(fp[k]))
+                for k in range(len(keys))
+            ):
+                return
+
+    def _raw_insert(self, i1: int, i2: int, fp: np.uint16) -> bool:
+        """Insert without growth; → False on overflow (caller re-grows)."""
+        for b in (i1, i2):
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        b = i1 if self._rng.integers(2) else i2
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(self.SLOTS))
+            fp, self.table[b, slot] = self.table[b, slot], fp
+            b = int(
+                np.uint64(b) ^ (np.uint64(fp) * _FP_MIX & self.mask)
+            ) & int(self.mask)
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False
 
     # -- persistence (checkpointing) --------------------------------------
     def dumps(self) -> bytes:
