@@ -1,0 +1,86 @@
+"""Flagship pipelines for the driver contract.
+
+- ``doc_spans_pipeline``: documents table → interleaved span table
+  (``doc_id``, ``spans list<struct<kind,text,media_ref,offset>>`` — exactly
+  the BASELINE.json input_hint shape) + text-analysis columns. This is the
+  "indexing" half of the reference (extract → keywords → index,
+  ``pkg/crawler/crawler.go:943-1063``) applied to a plain-text corpus.
+- ``q_crawl``: a deterministic end-to-end BFS crawl on the synthetic web
+  (the discovery half). Rows-only correctness check; the pytest suite pins
+  it against the Python oracle.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pyarrow as pa
+import ray.data
+
+from ..keywords import extract_keywords
+from ..pipelines.crawl import CrawlRun, EngineConfig
+from ..sources.synthweb import CorpusConfig, seed_urls
+from ..stages.fetch import SPAN_TYPE
+from ..stages.text_analysis import quality_stage, token_count_stage
+
+
+def _spanify(batch: pa.Table) -> pa.Table:
+    """text → ordered spans: body_text, then keyword spans (first-seen
+    order, reference M8 semantics)."""
+    texts = batch["text"].to_pylist()
+    langs = (
+        batch["lang"].to_pylist()
+        if "lang" in batch.column_names
+        else [""] * len(texts)
+    )
+    spans_col = []
+    for text, lang in zip(texts, langs):
+        spans = [{"kind": "body_text", "text": text or "", "media_ref": ""}]
+        for kw in extract_keywords(text or "", [], lang or ""):
+            spans.append({"kind": "keyword", "text": kw, "media_ref": ""})
+        for i, s in enumerate(spans):
+            s["offset"] = i
+        spans_col.append(spans)
+    return batch.append_column("spans", pa.array(spans_col, SPAN_TYPE))
+
+
+def doc_spans_pipeline(sf_dir: str):
+    """documents → spans + token counts + quality, streamed end-to-end."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    with_spans = ds.map_batches(_spanify, batch_format="pyarrow")
+    analyzed = with_spans.map_batches(
+        token_count_stage, batch_format="pandas"
+    ).map_batches(quality_stage, batch_format="pandas")
+    return analyzed.select_columns(
+        ["doc_id", "lang", "spans", "ws_tokens", "quality_score"]
+    )
+
+
+def q_crawl(sf_dir: str):
+    """End-to-end BFS crawl over the deterministic synthetic web.
+    ``sf_dir`` only selects the output scratch dir (input is the pure
+    function-of-seed corpus, per BASELINE.json's crawl tier)."""
+    cfg = CorpusConfig(seed=42, n_hosts=12, base_pages=40)
+    seeds = seed_urls(cfg, 8)
+    out_dir = "/tmp/crowler_ray/q_crawl"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run = CrawlRun(
+        cfg,
+        seeds,
+        EngineConfig(
+            max_links=300,
+            max_waves=8,
+            out_dir=out_dir,
+            n_seen_shards=4,
+            n_pol_shards=4,
+            fetch_concurrency=2,
+        ),
+    )
+    run.run()
+    files = sorted(glob.glob(f"{out_dir}/wave=*/pages/*.parquet"))
+    return ray.data.read_parquet(
+        files, columns=["doc_id", "url", "host", "depth", "ord", "title", "lang"]
+    )

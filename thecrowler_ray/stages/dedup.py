@@ -229,7 +229,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         bucket_col = "nd_bucket"
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        emb = np.stack(g[emb_col].to_numpy())
+        emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = emb / norms
@@ -238,8 +238,6 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
         lo = np.minimum(ids[ia], ids[ib])
         hi = np.maximum(ids[ia], ids[ib])
-        return pd.DataFrame(
-            {"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ia, ib], 6)}
-        )
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ia, ib]})
 
     return ds.groupby(bucket_col).map_groups(group_pairs, batch_format="pandas")

@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray
 
 from ..state.cuckoo import CuckooFilter
+from ..urls import host_hash
 
 
 class SeenShard:
@@ -79,8 +80,6 @@ class SeenShardPool:
         of one host live in one shard, so a host's membership state can be
         checkpointed/moved together); falls back to key bits without hosts."""
         if hosts is not None:
-            from ..urls import host_hash
-
             return np.array(
                 [host_hash(h, self.n_shards) for h in hosts], dtype=np.int64
             )

@@ -27,15 +27,17 @@ def _unit(m: np.ndarray) -> np.ndarray:
 class _PartialTopK:
     """map_batches fn: batch of embeddings → per-(query, batch) top-k rows."""
 
-    def __init__(self, query_ref, k: int, id_col: str, emb_col: str):
+    def __init__(self, query_ref, k: int, id_col: str, emb_col: str,
+                 dtype=np.float32):
         q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
-        self.q = _unit(np.asarray(q, dtype=np.float32))
+        self.q = _unit(np.asarray(q, dtype=dtype))
+        self.dtype = dtype
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _unit(np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float32))
+        emb = _unit(np.asarray(batch[self.emb_col].to_pylist(), dtype=self.dtype))
         ids = np.asarray(batch[self.id_col].to_pylist())
         sims = emb @ self.q.T  # (N, Q)
         k = min(self.k, len(ids))
@@ -55,14 +57,14 @@ class _PartialTopK:
 
 
 def topk_cosine(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id",
-                emb_col: str = "embedding") -> pd.DataFrame:
+                emb_col: str = "embedding", dtype=np.float32) -> pd.DataFrame:
     """Exact top-k by cosine for each row of ``query`` (Q × dim).
     → DataFrame (query_id, id_col, cosine, rank) — small, driver-side."""
-    query = np.atleast_2d(np.asarray(query, dtype=np.float32))
+    query = np.atleast_2d(np.asarray(query, dtype=dtype))
     qref = ray.put(query)
     partials = ds.map_batches(
         _PartialTopK,
-        fn_constructor_args=(qref, k, id_col, emb_col),
+        fn_constructor_args=(qref, k, id_col, emb_col, dtype),
         batch_format="pyarrow",
         concurrency=2,
     )
