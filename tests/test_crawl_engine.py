@@ -84,6 +84,32 @@ def test_basic_bfs_equality():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_distributed_path_equality():
+    """Force the 10^10-scale path (driver_threshold=0): groupby admission,
+    bucketed dedup, distributed sort/limit/rank — must match the oracle
+    byte-for-byte like the driver path."""
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_dist",
+        engine_kw=dict(max_links=150, max_waves=8, driver_threshold=0),
+        oracle_kw=dict(max_links=150, max_waves=8),
+    )
+    assert summary["total_fetched"] == len(oracle.pages)
+    _assert_match(run, "/tmp/crowler_t_dist", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_path_politeness_equality():
+    kw = dict(max_links=60, max_waves=12, politeness_rate=2, politeness_capacity=3)
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_dist_pol",
+        engine_kw=dict(driver_threshold=0, **kw),
+        oracle_kw=kw,
+    )
+    assert summary["total_fetched"] == len(oracle.pages)
+    _assert_match(run, "/tmp/crowler_t_dist_pol", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_max_links_truncation():
     run, summary, oracle = _run_both(
         "/tmp/crowler_t_trunc",

@@ -87,6 +87,16 @@ class EngineConfig:
     fetch_concurrency: int = 4
     fetch_batch_size: int = 256
     fetch_num_cpus: float = 1.0
+    fetch_actors: bool = False  # True: actor pool (real browser sessions);
+    # False: stateless tasks (sandbox fetch state is just the corpus seed)
+    # Waves whose frontier/candidate row count is at or below this run the
+    # frontier bookkeeping (admission split, dedup, ordering, ranking) on the
+    # driver — the rows are a few hundred bytes each, so 500k rows ≈ 100 MB.
+    # Fetch/parse (the heavy stage) is ALWAYS distributed. Above the
+    # threshold every step runs as Dataset ops (groupby/sort) — the 10^10
+    # path. Both paths implement ENGINE_SPEC.md identically and both are
+    # pinned to the oracle in tests.
+    driver_threshold: int = 500_000
     out_dir: str = "/tmp/crowler_ray/run"
     run_id: str = "run0"
 
@@ -235,6 +245,84 @@ class CrawlRun:
         return table
 
     # ---- wave loop ------------------------------------------------------
+    def _pending_to_table(self, pending) -> pa.Table:
+        refs = pending.to_arrow_refs()
+        tables = [t for t in ray.get(refs) if t.num_rows > 0]
+        if not tables:
+            return pa.Table.from_pydict(
+                {n: [] for n in FRONTIER_SCHEMA.names}, schema=FRONTIER_SCHEMA
+            )
+        return pa.concat_tables(tables).combine_chunks()
+
+    def _table_to_ds(self, tbl: pa.Table):
+        """Arrow table → Dataset split into fetch-batch-sized blocks so the
+        fetch stage parallelizes."""
+        if tbl.num_rows == 0:
+            return ray.data.from_arrow(tbl)
+        n = self.cfg.fetch_batch_size
+        chunks = [tbl.slice(i, n) for i in range(0, tbl.num_rows, n)]
+        return ray.data.from_arrow(chunks)
+
+    def _admit_driver(self, tbl: pa.Table, wave: int):
+        """Driver-path admission: split rows by politeness shard, one admit
+        RPC per shard (each actor sees its full group), reassemble."""
+        pshard = tbl["pshard"].to_numpy()
+        hosts = tbl["host"].to_pylist()
+        urls = tbl["url"].to_pylist()
+        depths = tbl["depth"].to_numpy()
+        ords = tbl["ord"].to_numpy()
+        verdict = np.zeros(tbl.num_rows, dtype=np.int8)
+        futures, idxs = [], []
+        for sh in np.unique(pshard):
+            idx = np.nonzero(pshard == sh)[0]
+            futures.append(
+                self.politeness.actors[int(sh)].admit.remote(
+                    wave,
+                    [hosts[i] for i in idx],
+                    [urls[i] for i in idx],
+                    depths[idx],
+                    ords[idx],
+                )
+            )
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futures)):
+            verdict[idx] = res
+        admitted = tbl.filter(pa.array(verdict == 1))
+        deferred = tbl.filter(pa.array(verdict == 0))
+        robots_dropped = int((verdict == -1).sum())
+        return admitted, deferred, robots_dropped
+
+    def _links_driver(self, cand: pa.Table, budget: int, wave: int) -> pa.Table:
+        """Driver-path steps 6-8: first-win dedup, seen anti-join, order,
+        truncate, dense re-rank, seen insert. Same semantics as the
+        distributed path (ENGINE_SPEC.md)."""
+        df = cand.to_pandas()
+        df = df.sort_values("packed", kind="mergesort").drop_duplicates(
+            "key", keep="first"
+        )
+        keys = key_u64(df["key"].to_numpy())
+        hosts = df["host"].tolist()
+        seen_mask = self.seen.contains_batch(keys, hosts)
+        df = df[~seen_mask].head(budget)
+        if len(df):
+            self.seen.insert_batch(key_u64(df["key"].to_numpy()), df["host"].tolist())
+        n_pol = self.cfg.n_pol_shards
+        return pa.Table.from_pydict(
+            {
+                "url": df["url"].tolist(),
+                "key": df["key"].tolist(),
+                "host": df["host"].tolist(),
+                "depth": np.full(len(df), wave + 1, dtype=np.int32),
+                "ord": np.arange(len(df), dtype=np.int64),
+                "src_url": df["src_url"].tolist(),
+                "restricted": df["restricted"].to_numpy().astype(np.int32),
+                "pshard": np.array(
+                    [host_hash(h, n_pol) for h in df["host"]], dtype=np.int32
+                ),
+            },
+            schema=FRONTIER_SCHEMA,
+        )
+
     def run(self, pending=None) -> dict:
         cfg = self.cfg
         os.makedirs(cfg.out_dir, exist_ok=True)
@@ -243,54 +331,70 @@ class CrawlRun:
         ctx.enable_progress_bars = False
 
         if pending is None:
-            pending = ray.data.from_arrow(self._seed_frontier()).materialize()
+            pending = self._table_to_ds(self._seed_frontier())
         t0 = time.perf_counter()
 
+        n_pending = pending.count()
         while (
-            pending.count() > 0
+            n_pending > 0
             and self.total_fetched < cfg.max_links
             and self.wave < cfg.max_waves
         ):
             wave = self.wave
             wave_dir = os.path.join(cfg.out_dir, f"wave={wave}")
             m = {"wave": wave}
+            tw = time.perf_counter()
+            small = n_pending <= cfg.driver_threshold
 
-            # 2. admission (host-sharded actor state)
-            admission = (
-                pending.groupby("pshard")
-                .map_groups(
-                    self.politeness.admit_group_fn(wave), batch_format="pandas"
+            # 2. admission (host-sharded politeness actor state)
+            if small:
+                ptbl = self._pending_to_table(pending)
+                adm_tbl, def_tbl, m["robots_dropped"] = self._admit_driver(ptbl, wave)
+                admitted = self._table_to_ds(adm_tbl)
+                deferred = None  # kept as def_tbl
+                n_admit, n_defer = adm_tbl.num_rows, def_tbl.num_rows
+            else:
+                admission = (
+                    pending.groupby("pshard")
+                    .map_groups(
+                        self.politeness.admit_group_fn(wave), batch_format="pandas"
+                    )
+                    .materialize()
                 )
-                .materialize()
-            )
-            admitted = admission.map_batches(
-                lambda t: t.filter(pc.equal(t["admit"], 1)),
-                batch_format="pyarrow",
-            ).materialize()
-            deferred = admission.map_batches(
-                lambda t: t.filter(pc.equal(t["admit"], 0)).drop_columns(["admit"]),
-                batch_format="pyarrow",
-            ).materialize()
-            n_admit = admitted.count()
-            n_defer = deferred.count()
-            m["robots_dropped"] = admission.count() - n_admit - n_defer
+                admitted = admission.map_batches(
+                    lambda t: t.filter(pc.equal(t["admit"], 1)).drop_columns(["admit"]),
+                    batch_format="pyarrow",
+                ).materialize()
+                deferred = admission.map_batches(
+                    lambda t: t.filter(pc.equal(t["admit"], 0)).drop_columns(["admit"]),
+                    batch_format="pyarrow",
+                ).materialize()
+                def_tbl = None
+                n_admit = admitted.count()
+                n_defer = deferred.count()
+                m["robots_dropped"] = admission.count() - n_admit - n_defer
+            m["t_admission"] = round(time.perf_counter() - tw, 3)
             m["deferred"] = n_defer
 
             if n_admit == 0:
                 m["fetched"] = 0
                 self.metrics.append(m)
-                self._checkpoint(wave_dir, deferred, m)
-                pending = deferred
+                pending = self._table_to_ds(def_tbl) if small else deferred
+                n_pending = n_defer
+                self._checkpoint(wave_dir, def_tbl if small else deferred, m)
                 self.wave += 1
                 if cfg.politeness_rate == 0:
                     break
                 continue
 
-            # 3. fetch + parse → pages parquet (single pass, streamed)
+            # 3. fetch + parse → pages parquet (always distributed; the
+            # fetch state is trivially reconstructible here, so stateless
+            # tasks beat re-spawning an actor pool every wave — set
+            # fetch_actors=True when the fetcher holds real sessions)
             pages_dir = os.path.join(wave_dir, "pages")
-            (
-                admitted.drop_columns(["admit", "pshard"])
-                .map_batches(
+            fetch_src = admitted if small else admitted.drop_columns(["pshard"])
+            if cfg.fetch_actors:
+                fetched = fetch_src.map_batches(
                     FetchParse,
                     fn_constructor_args=(self.corpus_cfg,),
                     batch_format="pyarrow",
@@ -298,8 +402,15 @@ class CrawlRun:
                     concurrency=cfg.fetch_concurrency,
                     num_cpus=cfg.fetch_num_cpus,
                 )
-                .write_parquet(pages_dir)
-            )
+            else:
+                fetched = fetch_src.map_batches(
+                    FetchParse(self.corpus_cfg),
+                    batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                    num_cpus=cfg.fetch_num_cpus,
+                )
+            fetched.write_parquet(pages_dir)
+            m["t_fetch"] = round(time.perf_counter() - tw - m["t_admission"], 3)
             pages_meta = ray.data.read_parquet(pages_dir, columns=["doc_id"])
             n_fetched = pages_meta.count()
             self.total_fetched += n_fetched
@@ -309,7 +420,8 @@ class CrawlRun:
             # 4. truncation budget
             budget = max(0, cfg.max_links - self.total_fetched - n_defer)
 
-            # 5-7. links → candidates → dedup → seen anti-join
+            # 5-8. links → candidates → dedup → seen anti-join → order/rank
+            next_tbl = None
             next_frontier = None
             if budget > 0:
                 links_ds = ray.data.read_parquet(
@@ -318,62 +430,93 @@ class CrawlRun:
                 )
                 candidates = links_ds.map_batches(
                     LinkExplodeFilter(cfg), batch_format="pyarrow"
-                )
-                deduped = candidates.groupby("kbucket").map_groups(
-                    _dedup_bucket, batch_format="pandas"
-                )
-                fresh = deduped.map_batches(
-                    self.seen.filter_new_stage("key", "host"),
-                    batch_format="pyarrow",
-                )
-                ordered = (
-                    fresh.sort("packed").limit(budget).materialize()
-                )
-                ranked = with_dense_rank(ordered, "rank")
-                n_pol = cfg.n_pol_shards
-
-                def _to_frontier(batch: pa.Table, _wave=wave, _n_pol=n_pol) -> pa.Table:
-                    hosts = batch["host"].to_pylist()
-                    return pa.table(
-                        {
-                            "url": batch["url"],
-                            "key": batch["key"],
-                            "host": batch["host"],
-                            "depth": pa.array(
-                                np.full(len(batch), _wave + 1, dtype=np.int32)
-                            ),
-                            "ord": batch["rank"],
-                            "src_url": batch["src_url"],
-                            "restricted": batch["restricted"],
-                            "pshard": pa.array(
-                                [host_hash(h, _n_pol) for h in hosts], pa.int32()
-                            ),
-                        }
+                ).materialize()
+                n_cand = candidates.count()
+                if n_cand <= cfg.driver_threshold:
+                    cand_tbl = pa.concat_tables(
+                        [t for t in ray.get(candidates.to_arrow_refs())
+                         if t.num_rows > 0]
+                        or [candidates.schema().empty_table()]
                     )
-
-                next_frontier = (
-                    ranked.map_batches(_to_frontier, batch_format="pyarrow")
-                    .map_batches(
-                        self.seen.insert_stage("key", "host"),
+                    next_tbl = self._links_driver(cand_tbl, budget, wave)
+                    m["new_frontier"] = next_tbl.num_rows
+                else:
+                    deduped = candidates.groupby("kbucket").map_groups(
+                        _dedup_bucket, batch_format="pandas"
+                    )
+                    fresh = deduped.map_batches(
+                        self.seen.filter_new_stage("key", "host"),
                         batch_format="pyarrow",
                     )
-                    .materialize()
-                )
-                m["new_frontier"] = next_frontier.count()
+                    ordered = fresh.sort("packed").limit(budget).materialize()
+                    ranked = with_dense_rank(ordered, "rank")
+                    n_pol = cfg.n_pol_shards
+
+                    def _to_frontier(batch: pa.Table, _wave=wave, _n_pol=n_pol) -> pa.Table:
+                        hosts = batch["host"].to_pylist()
+                        return pa.table(
+                            {
+                                "url": batch["url"],
+                                "key": batch["key"],
+                                "host": batch["host"],
+                                "depth": pa.array(
+                                    np.full(len(batch), _wave + 1, dtype=np.int32)
+                                ),
+                                "ord": batch["rank"],
+                                "src_url": batch["src_url"],
+                                "restricted": batch["restricted"],
+                                "pshard": pa.array(
+                                    [host_hash(h, _n_pol) for h in hosts], pa.int32()
+                                ),
+                            }
+                        )
+
+                    next_frontier = (
+                        ranked.map_batches(_to_frontier, batch_format="pyarrow")
+                        .map_batches(
+                            self.seen.insert_stage("key", "host"),
+                            batch_format="pyarrow",
+                        )
+                        .materialize()
+                    )
+                    m["new_frontier"] = next_frontier.count()
             else:
                 m["new_frontier"] = 0
 
-            # 8. next pending = deferred ∪ new frontier
-            if next_frontier is not None and m["new_frontier"] > 0:
-                if n_defer > 0:
-                    pending = deferred.union(next_frontier).materialize()
-                else:
-                    pending = next_frontier
-            else:
-                pending = deferred
+            m["t_links"] = round(
+                time.perf_counter() - tw - m["t_admission"] - m["t_fetch"], 3
+            )
 
+            # 8. next pending = deferred ∪ new frontier
+            if small:
+                parts = [t for t in (def_tbl, next_tbl) if t is not None and t.num_rows]
+                pending_tbl = (
+                    pa.concat_tables(parts).combine_chunks()
+                    if parts
+                    else pa.Table.from_pydict(
+                        {n: [] for n in FRONTIER_SCHEMA.names}, schema=FRONTIER_SCHEMA
+                    )
+                )
+                pending = self._table_to_ds(pending_tbl)
+                n_pending = pending_tbl.num_rows
+                ckpt_obj = pending_tbl
+            else:
+                if next_frontier is not None and m["new_frontier"] > 0:
+                    pending = (
+                        deferred.union(next_frontier).materialize()
+                        if n_defer > 0
+                        else next_frontier
+                    )
+                else:
+                    pending = deferred
+                n_pending = pending.count()
+                ckpt_obj = pending
+
+            tc = time.perf_counter()
             self.metrics.append(m)
-            self._checkpoint(wave_dir, pending, m)
+            self._checkpoint(wave_dir, ckpt_obj, m)
+            m["t_checkpoint"] = round(time.perf_counter() - tc, 3)
+            m["t_wave"] = round(time.perf_counter() - tw, 3)
             self.wave += 1
 
         elapsed = time.perf_counter() - t0
@@ -395,10 +538,16 @@ class CrawlRun:
     def _checkpoint(self, wave_dir: str, pending, wave_metrics: dict) -> None:
         os.makedirs(wave_dir, exist_ok=True)
         frontier_dir = os.path.join(wave_dir, "frontier")
-        if pending.count() > 0:
+        os.makedirs(frontier_dir, exist_ok=True)
+        if isinstance(pending, pa.Table):
+            if pending.num_rows > 0:
+                import pyarrow.parquet as pq
+
+                pq.write_table(
+                    pending, os.path.join(frontier_dir, "frontier-0.parquet")
+                )
+        elif pending.count() > 0:
             pending.write_parquet(frontier_dir)
-        else:
-            os.makedirs(frontier_dir, exist_ok=True)
         seen_dir = os.path.join(wave_dir, "seen")
         os.makedirs(seen_dir, exist_ok=True)
         for i, blob in enumerate(self.seen.snapshot_all()):
