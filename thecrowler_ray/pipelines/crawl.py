@@ -56,6 +56,18 @@ from ..urls import (
 
 _PACK_SHIFT = 20  # packed = parent_rank << 20 | link_idx  (out-degree < 2^20)
 
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("key", pa.string()),
+        ("host", pa.string()),
+        ("packed", pa.int64()),
+        ("src_url", pa.string()),
+        ("restricted", pa.int32()),
+        ("kbucket", pa.int32()),
+    ]
+)
+
 FRONTIER_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -126,16 +138,8 @@ class LinkExplodeFilter:
             "src_url": [], "restricted": [], "kbucket": [],
         }
         if len(flat) == 0:
-            return pa.table(
-                {
-                    "url": pa.array([], pa.string()),
-                    "key": pa.array([], pa.string()),
-                    "host": pa.array([], pa.string()),
-                    "packed": pa.array([], pa.int64()),
-                    "src_url": pa.array([], pa.string()),
-                    "restricted": pa.array([], pa.int32()),
-                    "kbucket": pa.array([], pa.int32()),
-                }
+            return pa.Table.from_pydict(
+                {n: [] for n in CANDIDATE_SCHEMA.names}, schema=CANDIDATE_SCHEMA
             )
         page_urls = batch["url"].to_pylist()
         ords = batch["ord"].to_pylist()
@@ -214,6 +218,9 @@ class CrawlRun:
         self.total_fetched = 0
         self.wave = 0
         self.metrics: list[dict] = []
+        # readiness barrier: actor spawn is cluster spin-up, not crawl time
+        ray.get([a.stats.remote() for a in self.seen.actors])
+        ray.get([a.state.remote() for a in self.politeness.actors])
 
     # ---- seeds ----------------------------------------------------------
     def _seed_frontier(self) -> pa.Table:
@@ -259,7 +266,8 @@ class CrawlRun:
         fetch stage parallelizes."""
         if tbl.num_rows == 0:
             return ray.data.from_arrow(tbl)
-        n = self.cfg.fetch_batch_size
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n = max(32, min(1024, tbl.num_rows // max(1, ncpu * 6) or 32))
         chunks = [tbl.slice(i, n) for i in range(0, tbl.num_rows, n)]
         return ray.data.from_arrow(chunks)
 
@@ -392,13 +400,18 @@ class CrawlRun:
             # tasks beat re-spawning an actor pool every wave — set
             # fetch_actors=True when the fetcher holds real sessions)
             pages_dir = os.path.join(wave_dir, "pages")
+            # adaptive batch size: ~6 batches per CPU per wave bounds both
+            # driver task-submission overhead (few, bigger tasks) and the
+            # straggler tail (still several rounds per worker)
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            batch = max(32, min(1024, n_admit // max(1, ncpu * 6) or 32))
             fetch_src = admitted if small else admitted.drop_columns(["pshard"])
             if cfg.fetch_actors:
                 fetched = fetch_src.map_batches(
                     FetchParse,
                     fn_constructor_args=(self.corpus_cfg,),
                     batch_format="pyarrow",
-                    batch_size=cfg.fetch_batch_size,
+                    batch_size=batch,
                     concurrency=cfg.fetch_concurrency,
                     num_cpus=cfg.fetch_num_cpus,
                 )
@@ -406,13 +419,22 @@ class CrawlRun:
                 fetched = fetch_src.map_batches(
                     FetchParse(self.corpus_cfg),
                     batch_format="pyarrow",
-                    batch_size=cfg.fetch_batch_size,
+                    batch_size=batch,
                     num_cpus=cfg.fetch_num_cpus,
                 )
-            fetched.write_parquet(pages_dir)
+            # materialize the wave once: write_parquet and the link explode
+            # both consume the SAME blocks (no recompute, no parquet
+            # read-back of the heavy span columns); the write overlaps the
+            # links phase and is joined before the wave manifest commits
+            fetched = fetched.materialize()
+            import threading
+
+            wt = threading.Thread(
+                target=fetched.write_parquet, args=(pages_dir,), daemon=True
+            )
+            wt.start()
+            n_fetched = fetched.count()
             m["t_fetch"] = round(time.perf_counter() - tw - m["t_admission"], 3)
-            pages_meta = ray.data.read_parquet(pages_dir, columns=["doc_id"])
-            n_fetched = pages_meta.count()
             self.total_fetched += n_fetched
             m["fetched"] = n_fetched
             m["errors"] = n_admit - n_fetched
@@ -424,19 +446,28 @@ class CrawlRun:
             next_tbl = None
             next_frontier = None
             if budget > 0:
-                links_ds = ray.data.read_parquet(
-                    pages_dir,
-                    columns=["url", "ord", "src_url", "restricted", "links"],
+                links_ds = fetched.select_columns(
+                    ["url", "ord", "src_url", "restricted", "links"]
                 )
+                tl0 = time.perf_counter()
                 candidates = links_ds.map_batches(
                     LinkExplodeFilter(cfg), batch_format="pyarrow"
                 ).materialize()
                 n_cand = candidates.count()
+                m["t_explode"] = round(time.perf_counter() - tl0, 3)
+                m["n_candidates"] = n_cand
                 if n_cand <= cfg.driver_threshold:
-                    cand_tbl = pa.concat_tables(
-                        [t for t in ray.get(candidates.to_arrow_refs())
-                         if t.num_rows > 0]
-                        or [candidates.schema().empty_table()]
+                    parts = [
+                        t for t in ray.get(candidates.to_arrow_refs())
+                        if t.num_rows > 0
+                    ]
+                    cand_tbl = (
+                        pa.concat_tables(parts).combine_chunks()
+                        if parts
+                        else pa.Table.from_pydict(
+                            {n: [] for n in CANDIDATE_SCHEMA.names},
+                            schema=CANDIDATE_SCHEMA,
+                        )
                     )
                     next_tbl = self._links_driver(cand_tbl, budget, wave)
                     m["new_frontier"] = next_tbl.num_rows
@@ -513,6 +544,7 @@ class CrawlRun:
                 ckpt_obj = pending
 
             tc = time.perf_counter()
+            wt.join()  # pages durable before the manifest marks the wave complete
             self.metrics.append(m)
             self._checkpoint(wave_dir, ckpt_obj, m)
             m["t_checkpoint"] = round(time.perf_counter() - tc, 3)

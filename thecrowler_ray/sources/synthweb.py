@@ -55,6 +55,8 @@ class CorpusConfig:
     private_frac: float = 0.1      # pages under /private/ (robots-disallowed)
     missing_title_frac: float = 0.1
     missing_desc_frac: float = 0.3
+    filler_words: int = 0  # extra deterministic body words per page — sizes
+    # bench pages like real web pages (30-60 KB) so parse cost is honest
 
     def host_pages(self, h: int) -> int:
         return max(1, int(self.base_pages / (h + 1) ** self.zipf_a))
@@ -165,6 +167,12 @@ def page_html(cfg: CorpusConfig, h: int, p: int) -> str:
         parts.append(f"<h1>Heading {p} of host{h}</h1>")
     parts.append("<script>var ignored = 'not text';</script>")
     parts.append(f"<p>{' '.join(body_words)}</p>")
+    if cfg.filler_words > 0:
+        # cheap deterministic filler: rotate the word pool, vary by page hash
+        k = r % len(_WORDS)
+        pool = _WORDS[k:] + _WORDS[:k]
+        filler = " ".join(pool[i % len(pool)] + str(i % 23) for i in range(cfg.filler_words))
+        parts.append(f"<p>{filler}</p>")
     for i, ln in enumerate(out_links(cfg, h, p)):
         parts.append(f'<a id="l{i}" href="{ln}">link {i}</a>')
     if has_media:

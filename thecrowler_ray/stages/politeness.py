@@ -123,7 +123,7 @@ class PolitenessPool:
         robots_rules_fn=None,
     ):
         self.n_shards = n_shards
-        cls = ray.remote(num_cpus=0.25)(PolitenessShard)
+        cls = ray.remote(num_cpus=0.05)(PolitenessShard)
         self.actors = [
             cls.remote(i, rate, capacity, check_robots, robots_rules_fn)
             for i in range(n_shards)

@@ -69,7 +69,7 @@ class SeenShardPool:
 
     def __init__(self, n_shards: int = 8, log2_buckets: int = 14, exact: bool = True):
         self.n_shards = n_shards
-        cls = ray.remote(num_cpus=0.25)(SeenShard)
+        cls = ray.remote(num_cpus=0.05)(SeenShard)
         self.actors = [
             cls.remote(i, log2_buckets=log2_buckets, exact=exact)
             for i in range(n_shards)
