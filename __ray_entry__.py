@@ -80,6 +80,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings
         "q_ann_topk": q.q_ann_topk,
         "q_embedding_neardup": q.q_embedding_neardup,
+        # time-series, search, attribute extraction, scrape rules, detection
+        "q_timeseries": q.q_timeseries,
+        "q_search": q.q_search,
+        "q_attr_extract": q.q_attr_extract,
+        "q_scrape_rules": q.q_scrape_rules,
+        "q_tech_detect": q.q_tech_detect,
         # the crawl engine itself (rows-only; pytest gates it vs the oracle)
         "q_crawl": q_crawl,
         "q_doc_spans": doc_spans_pipeline,
@@ -209,6 +215,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35
         """,
+        "q_timeseries": """
+            SELECT event_type AS metric, date_trunc('hour', ts) AS bucket,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   ROUND(MIN(value), 4) AS min_value,
+                   ROUND(MAX(value), 4) AS max_value,
+                   ROUND(quantile_cont(value, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.75), 4) AS p75,
+                   ROUND(quantile_cont(value, 0.90), 4) AS p90,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95,
+                   ROUND(quantile_cont(value, 0.99), 4) AS p99,
+                   COUNT(DISTINCT user_id) AS distinct_entities
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "q_search": """
+            SELECT doc_id, lang FROM documents
+            WHERE (CAST(lang AS VARCHAR) = 'en'
+                   AND lower(text) LIKE '%' || lower('batch') || '%')
+               OR (CAST(lang AS VARCHAR) = 'de'
+                   AND lower(text) LIKE '%' || lower('merge') || '%')
+            ORDER BY doc_id
+            LIMIT 50
+        """,
+        "q_attr_extract": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+                   COUNT(*) AS occurrences
+            FROM events GROUP BY 1
+        """,
+        # q_scrape_rules / q_tech_detect: synthetic-page inputs, not
+        # SQL-expressible (selector engine / signature matching) → rows-only.
         # q_langid / q_simhash / q_minhash_pairs / q_crawl / q_doc_spans:
         # intentionally omitted — not ANSI-SQL-expressible (heuristic model,
         # md5-based bit signatures, LSH, stateful BFS). Driver applies the

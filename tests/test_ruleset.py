@@ -1,0 +1,164 @@
+import datetime as dt
+
+import pytest
+
+from thecrowler_ray.htmldom import css_select, parse_dom, select, xpath_select
+from thecrowler_ray.ruleset import (
+    apply_rule,
+    load_rulesets,
+    rule_applies,
+    scrape_page,
+)
+
+HTML = """<html><body>
+<div id="main" class="content box">
+  <h1 class="article-title"> The Title </h1>
+  <div class="article-content"><p>First para</p><p>Second para</p></div>
+  <span class="date">2024-05-01 extra</span>
+  <a href="/next" id="n1">Next page</a>
+  <a href="/other">Other link</a>
+  <input name="q" value="searchbox">
+  <div class="ads">BUY NOW</div>
+</div>
+</body></html>"""
+
+RULESET_YAML = """
+ruleset_name: "Test"
+format_version: "1.0"
+rule_groups:
+  - group_name: "G1"
+    valid_from: "2020-01-01T00:00:00Z"
+    valid_to: "2099-12-31T00:00:00Z"
+    is_enabled: true
+    scraping_rules:
+      - rule_name: "Articles"
+        pre_conditions:
+          - path: "/articles"
+        elements:
+          - key: "title"
+            selectors:
+              - selector_type: "css"
+                selector: "h2.missing"
+              - selector_type: "xpath"
+                selector: "//h1[@class='article-title']"
+          - key: "content"
+            selectors:
+              - selector_type: "css"
+                selector: "div.article-content p"
+                extract_all_occurrences: true
+          - key: "date"
+            selectors:
+              - selector_type: "css"
+                selector: "span.date"
+                pattern: "\\\\d{4}-\\\\d{2}-\\\\d{2}"
+          - key: "next_href"
+            selectors:
+              - selector_type: "link_text"
+                selector: "Next page"
+                attribute: "href"
+  - group_name: "Expired"
+    valid_from: "2000-01-01T00:00:00Z"
+    valid_to: "2001-01-01T00:00:00Z"
+    is_enabled: true
+    scraping_rules:
+      - rule_name: "Old"
+        elements:
+          - key: "title"
+            selectors:
+              - selector_type: "css"
+                selector: "div.ads"
+"""
+
+
+def test_dom_and_css():
+    root = parse_dom(HTML)
+    assert [e.tag for e in css_select(root, "h1")] == ["h1"]
+    assert css_select(root, "#main")[0].get("class") == "content box"
+    assert len(css_select(root, "div.article-content p")) == 2
+    assert css_select(root, ".content.box")[0].tag == "div"
+    assert css_select(root, "a[href=/next]")[0].get("id") == "n1"
+    assert len(css_select(root, "h1, span.date")) == 2
+    assert css_select(root, "div.article-content > p")[0].text() == "First para"
+
+
+def test_xpath_subset():
+    root = parse_dom(HTML)
+    assert xpath_select(root, "//h1[@class='article-title']")[0].text().strip() == "The Title"
+    assert len(xpath_select(root, "//a")) == 2
+    assert xpath_select(root, "//a[2]")[0].get("href") == "/other"
+    assert xpath_select(root, "//div[@id='main']/h1")[0].tag == "h1"
+
+
+def test_selector_dispatch():
+    root = parse_dom(HTML)
+    assert select(root, "id", "main")[0].tag == "div"
+    assert select(root, "name", "q")[0].get("value") == "searchbox"
+    assert select(root, "link_text", "Next page")[0].get("href") == "/next"
+    assert select(root, "partial_link_text", "Other")[0].get("href") == "/other"
+    assert select(root, "regex", r"BUY \w+", HTML) == ["BUY NOW"]
+
+
+def test_ruleset_execution():
+    rulesets = load_rulesets(RULESET_YAML)
+    assert len(rulesets) == 1
+    now = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    data = scrape_page(rulesets, HTML, "http://x.test/articles/1", now)
+    assert data["title"] == "The Title"          # xpath fallback after css miss
+    assert data["content"] == ["First para", "Second para"]
+    assert data["date"] == "2024-05-01"          # regex pattern filter
+    assert data["next_href"] == "/next"          # attribute extraction
+    # expired group contributes nothing
+    assert data["title"] != "BUY NOW"
+    # pre-condition: wrong path ⇒ no match
+    assert scrape_page(rulesets, HTML, "http://x.test/news/1", now) == {}
+
+
+def test_rule_applies_conditions():
+    rs = load_rulesets(RULESET_YAML)[0]
+    rule = rs.rule_groups[0].scraping_rules[0]
+    assert rule_applies(rule, "http://a.test/articles/x")
+    assert not rule_applies(rule, "http://a.test/other")
+
+
+def test_post_processing():
+    y = """
+ruleset_name: "PP"
+rule_groups:
+  - group_name: "G"
+    is_enabled: true
+    scraping_rules:
+      - rule_name: "R"
+        elements:
+          - key: "raw"
+            selectors:
+              - selector_type: "css"
+                selector: "div.article-content"
+        post_processing:
+          - step_type: "remove"
+            key: "raw"
+            pattern: "Second.*"
+          - step_type: "clean"
+            key: "raw"
+"""
+    rs = load_rulesets(y)
+    data = scrape_page(rs, HTML, "http://x.test/")
+    assert data["raw"] == "First para"
+
+
+def test_plugin_selector_raises():
+    y = """
+ruleset_name: "P"
+rule_groups:
+  - group_name: "G"
+    is_enabled: true
+    scraping_rules:
+      - rule_name: "R"
+        elements:
+          - key: "x"
+            selectors:
+              - selector_type: "plugin_call"
+                selector: "MyPlugin"
+"""
+    rs = load_rulesets(y)
+    with pytest.raises(NotImplementedError):
+        apply_rule(rs[0].rule_groups[0].scraping_rules[0], HTML)

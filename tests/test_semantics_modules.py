@@ -1,0 +1,188 @@
+"""Tests for detection, page validation, exprterpreter, config, search,
+JSON repair — the SURVEY §2 long-tail operators."""
+
+import random
+
+import pandas as pd
+import pytest
+
+from thecrowler_ray.config import combine_config, deep_merge, load_config
+from thecrowler_ray.detection import (
+    DEFAULT_SIGNATURES,
+    TechDetector,
+    calculate_confidence,
+)
+from thecrowler_ray.exprterpreter import get_float, get_int, parse_duration
+from thecrowler_ray.page_validation import (
+    VA_FAIL,
+    VA_RETRY,
+    VA_SKIP,
+    apply_load_validation,
+)
+from thecrowler_ray.search import compile_predicate, parse, to_sql_where, tokenize
+from thecrowler_ray.textnorm import remove_impurities, sanitize_json
+
+
+def test_confidence_curve():
+    assert calculate_confidence(0) == 0
+    assert calculate_confidence(5) == 5.0          # [0,noise)→[0,10)
+    assert calculate_confidence(10) == 10.0
+    assert calculate_confidence(30) == 40.0
+    assert calculate_confidence(59.999) == pytest.approx(100.0, abs=0.01)
+    # reference quirk: exactly x == detected falls into the [detected, ∞)
+    # branch which restarts at 40 (faithfully reproduced)
+    assert calculate_confidence(60) == 40.0
+    assert calculate_confidence(1000) == 100.0     # capped
+    assert calculate_confidence(-30) == 70.0       # absence evidence
+
+
+def test_tech_detection():
+    det = TechDetector()
+    found = det.detect(
+        url="http://x.test/index.php?id=1",
+        headers={"Server": "nginx/1.18", "X-Powered-By": "PHP/8.1"},
+        meta_tags=[{"name": "generator", "content": "WordPress 6.2"}],
+        content='<script src="/wp-content/themes/x/jquery.min.js"></script>',
+    )
+    assert found["nginx"] >= 40
+    assert "php" in found and "wordpress" in found and "jquery" in found
+    # implied closure: wordpress implies php (already present), php implies apache
+    assert "apache" in found
+    assert det.detect(url="http://plain.test/") == {}
+
+
+def test_page_validation():
+    html = "<html><body><div id='app'>loaded</div><p class='err'>404</p></body></html>"
+    ok_cfg = {"load_validation": {"groups": [{
+        "url_pattern": ".*",
+        "on_fail": "skip",
+        "validations": [{"dom_checks": [{"selector": "#app"}]}],
+    }]}}
+    assert apply_load_validation(ok_cfg, html, "http://x.test/").valid
+
+    missing_cfg = {"load_validation": {"groups": [{
+        "on_fail": "skip",
+        "validations": [{"dom_checks": [{"selector": "#missing"}]}],
+    }]}}
+    st = apply_load_validation(missing_cfg, html, "http://x.test/")
+    assert not st.valid and st.action == VA_SKIP
+
+    retry_cfg = {"load_validation": {"groups": [{
+        "on_fail": "mark_invalid",
+        "validations": [{
+            "on_fail": "retry", "max_retries": 2,
+            "dom_checks": [{"selector": "#missing"}],
+        }],
+    }]}}
+    st = apply_load_validation(retry_cfg, html, "http://x.test/")
+    assert st.action == VA_RETRY and st.max_retries == 2
+
+    fail_cfg = {"load_validation": {"groups": [{
+        "on_fail": "mark_invalid",
+        "validations": [{"dom_checks": [
+            {"selector": "p.err", "conditions": [{"type": "not_exists"}]}
+        ]}],
+    }]}}
+    assert apply_load_validation(fail_cfg, html, "http://x.test/").action == VA_FAIL
+
+    # conditions: text / attribute / count
+    cond_cfg = {"load_validation": {"groups": [{
+        "validations": [{"all_checks_must_pass": True, "dom_checks": [
+            {"selector": "#app", "conditions": [{"type": "text", "pattern": "load"}]},
+            {"selector": "div", "conditions": [{"type": "count", "min_count": 1, "max_count": 3}]},
+        ]}],
+    }]}}
+    assert apply_load_validation(cond_cfg, html, "http://x.test/").valid
+    # no groups / unmatched url_pattern → neutral pass
+    assert apply_load_validation({}, html, "u").valid
+    nm = {"load_validation": {"groups": [{"url_pattern": "^ftp://", "on_fail": "skip",
+                                          "validations": [{"dom_checks": [{"selector": "#x"}]}]}]}}
+    assert apply_load_validation(nm, html, "http://x.test/").valid
+
+
+def test_exprterpreter():
+    assert get_float("42.5") == 42.5
+    assert get_int("7") == 7
+    rng = random.Random(1)
+    v = get_float("random(1, 3)", rng=rng)
+    assert 1 <= v <= 3
+    assert get_float("random(1, 3)", rng=random.Random(1)) == get_float(
+        "random(1, 3)", rng=random.Random(1)
+    )
+    assert get_float("random(2, random(2, 2))", rng=rng) == 2.0
+    assert get_float("time(unix)", now=1700000000) == 1700000000.0
+    assert get_float("time(ms)", now=2) == 2000.0
+    assert get_float("not_a_number") == 0.0
+
+
+def test_parse_duration():
+    assert parse_duration("3 days") == 259200
+    assert parse_duration("15 minutes") == 900
+    assert parse_duration("1h") == 3600
+    assert parse_duration("90") == 90
+    assert parse_duration("1 minute 30 seconds") == 90
+    assert parse_duration("", default=5) == 5
+    assert parse_duration("10", min_seconds=60) == 60
+    assert parse_duration("2 weeks", max_seconds=86400) == 86400
+
+
+def test_config_loader():
+    cfg = load_config("""
+crawler:
+  max_links: ${MAXL:-500}
+  workers: 8
+database:
+  host: ${DBHOST:-localhost}
+""", env={})
+    assert cfg["crawler"]["max_links"] == 500
+    assert cfg["crawler"]["workers"] == 8
+    assert cfg["crawler"]["interval"] == "random(1,3)"  # default preserved
+    assert cfg["database"]["host"] == "localhost"
+    cfg2 = load_config("crawler: {max_links: ${MAXL:-500}}", env={"MAXL": "9"})
+    assert cfg2["crawler"]["max_links"] == 9
+
+    merged = combine_config(cfg, {
+        "restricted": 2,
+        "crawling_config": {"max_links": 10, "unwanted_urls": ["\\.pdf$"]},
+    })
+    assert merged["crawler"]["max_links"] == 10
+    assert merged["crawler"]["workers"] == 8
+    assert merged["restricted"] == 2
+    assert deep_merge({"a": {"b": 1, "c": 2}}, {"a": {"b": 9}}) == {"a": {"b": 9, "c": 2}}
+
+
+def test_search_tokenizer_and_predicate():
+    toks = tokenize('lang:en "big data" spark || source:src3 &limit:5')
+    kinds = [k for k, _ in toks]
+    assert kinds == ["field", "phrase", "term", "or", "field", "modifier"]
+    q = parse('lang:en spark || source:src3 &limit:5')
+    assert q.limit == 5
+    assert len(q.groups) == 2
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["spark rules", "no match", "whatever", "SPARK upper"],
+        "lang": ["en", "en", "fr", "en"],
+        "source": ["src1", "src2", "src3", "src4"],
+    })
+    fn, _ = compile_predicate("lang:en spark || source:src3")
+    mask = fn(df)
+    assert mask.tolist() == [True, False, True, True]  # case-insensitive contains
+
+    where, limit = to_sql_where("lang:en spark || source:src3 &limit:5")
+    assert limit == 5
+    assert "lang" in where and "OR" in where and "LIKE" in where
+
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT doc_id FROM df WHERE {where} ORDER BY doc_id"
+    ).fetchall()
+    assert [r[0] for r in got] == [1, 3, 4]
+
+
+def test_json_repair():
+    assert remove_impurities('{"a": 1,, "b": 2}#@!$%^') == '{"a": 1, "b": 2}'
+    assert sanitize_json('{"a": "b\x00c\x01"}') == '{"a": "bc"}'
+    # string contents untouched (incl. escapes and commas)
+    assert remove_impurities('{"k": "x, y \\" z"}') == '{"k": "x, y \\" z"}'

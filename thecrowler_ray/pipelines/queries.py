@@ -346,3 +346,140 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.35):
     return pairs.map_batches(
         lambda df: df.assign(cosine=df["cosine"].round(4)), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series aggregates (A4), dorking search (§2.8), attribute extraction
+# (M13), scrape rules (M15) and tech detection (M19) over synthetic pages
+# ---------------------------------------------------------------------------
+
+
+def q_timeseries(sf_dir: str):
+    """Per-(event_type, hour) bucket stats incl. linear-interp percentiles
+    (reference time_series_aggregation.go semantics)."""
+    from ..stages.timeseries import timeseries_aggregate
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value", "user_id"])
+    out = timeseries_aggregate(ds, "event_type", "ts", "value", "user_id", "h")
+    # first/last/changes are within-bucket-order-dependent (pinned in unit
+    # tests); the oracle-checked projection is the order-insensitive subset
+    # avg is sum/n: a last-ulp sum difference can round apart at a 4-decimal
+    # boundary (observed at sf0.01) — the checked projection keeps sum and n
+    return out.select_columns(
+        ["metric", "bucket", "n", "sum_value", "min_value", "max_value",
+         "p50", "p75", "p90", "p95", "p99", "distinct_entities"]
+    )
+
+
+SEARCH_DORK = 'lang:en batch || lang:de merge &limit:50'
+
+
+def q_search(sf_dir: str):
+    """Dorking-language search over documents, deterministic order+limit."""
+    from ..search import compile_predicate, parse
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    fn, query = compile_predicate(SEARCH_DORK)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        return df[fn(df)][["doc_id", "lang"]]
+
+    out = ds.map_batches(apply, batch_format="pandas").sort("doc_id")
+    if query.limit:
+        out = out.limit(query.limit)
+    return out
+
+
+def q_attr_extract(sf_dir: str):
+    """JSON-path attribute extraction over events.props (reference
+    attribute-indexing M13) + grouped occurrence counts."""
+    from ..jsonpath import extract
+
+    ds = _rp(sf_dir, "events", ["props"])
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        vals = []
+        for p in batch["props"].to_pylist():
+            try:
+                obj = _json.loads(p or "{}")
+            except ValueError:
+                obj = {}
+            got = extract(obj, "k")
+            vals.extend(int(v) for v in got)
+        return pa.table({"k_value": pa.array(vals, pa.int64())})
+
+    from ..ops.agg import pre_aggregated_count
+
+    return pre_aggregated_count(
+        ds.map_batches(extract_k, batch_format="pyarrow"), ["k_value"], "occurrences"
+    )
+
+
+_SCRAPE_RULESET = """
+ruleset_name: "synthweb"
+rule_groups:
+  - group_name: "pages"
+    is_enabled: true
+    scraping_rules:
+      - rule_name: "page"
+        elements:
+          - key: "title"
+            selectors:
+              - selector_type: "css"
+                selector: "title"
+              - selector_type: "css"
+                selector: "h1"
+          - key: "first_link"
+            selectors:
+              - selector_type: "css"
+                selector: "a"
+                attribute: "href"
+          - key: "generator"
+            selectors:
+              - selector_type: "xpath"
+                selector: "//meta[@name='generator']"
+                attribute: "content"
+"""
+
+
+def q_scrape_rules(sf_dir: str):
+    """YAML scrape rules executed over deterministic synthetic pages
+    (rows-only; selector semantics pinned by unit tests)."""
+    from ..ruleset import ScrapeStage
+    from ..sources.synthweb import CorpusConfig, page_html, page_url
+
+    cfg = CorpusConfig(seed=42, n_hosts=10, base_pages=60)
+    rows = {"url": [], "html": []}
+    for h in range(cfg.n_hosts):
+        for p in range(cfg.host_pages(h)):
+            rows["url"].append(page_url(cfg, h, p))
+            rows["html"].append(page_html(cfg, h, p))
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = ds.map_batches(
+        ScrapeStage,
+        fn_constructor_args=(_SCRAPE_RULESET,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.select_columns(["url", "scraped_data"])
+
+
+def q_tech_detect(sf_dir: str):
+    """Tech-detection stage over synthetic pages (rows-only)."""
+    from ..detection import DetectStage
+    from ..sources.synthweb import CorpusConfig, page_html, page_url
+
+    cfg = CorpusConfig(seed=42, n_hosts=10, base_pages=60)
+    rows = {"url": [], "html": []}
+    for h in range(cfg.n_hosts):
+        for p in range(cfg.host_pages(h)):
+            rows["url"].append(page_url(cfg, h, p))
+            rows["html"].append(page_html(cfg, h, p))
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = ds.map_batches(
+        DetectStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return out.select_columns(["url", "detected_tech"])

@@ -1,0 +1,68 @@
+"""Time-series bucket aggregation (A4).
+
+Reimplements (semantics only) the reference's time-series subsystem
+(``pkg/database/time_series_aggregation.go:101-330``): observations grouped
+by (metric, time bucket) with count / sum / min / max / avg, exact
+distinct-entity count, change count (value transitions within the bucket in
+time order), first/last edge values, and p50/p75/p90/p95/p99 percentiles
+with linear interpolation (``time_series_aggregation.go:334-349`` — numpy's
+default 'linear' method and DuckDB's ``quantile_cont`` match it).
+
+Shape: ``groupby(metric, bucket).map_groups`` over pandas — the documented
+partition-by-key + in-group ordering pattern for stream-shaped data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _bucket(ts: pd.Series, bucket: str) -> pd.Series:
+    return ts.dt.floor(bucket)
+
+
+def timeseries_aggregate(
+    ds,
+    metric_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    entity_col: str | None = "user_id",
+    bucket: str = "h",
+):
+    """events-shaped Dataset → per-(metric, bucket) aggregate rows."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = _bucket(df[ts_col], bucket)
+        return df
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col], kind="mergesort")
+        v = g[value_col].to_numpy(dtype=np.float64)
+        row = {
+            "metric": [g[metric_col].iloc[0]],
+            "bucket": [g["bucket"].iloc[0]],
+            "n": [len(g)],
+            "sum_value": [round(float(v.sum()), 4)],
+            "min_value": [round(float(v.min()), 4)],
+            "max_value": [round(float(v.max()), 4)],
+            "avg_value": [round(float(v.mean()), 4)],
+            "first_value": [round(float(v[0]), 4)],
+            "last_value": [round(float(v[-1]), 4)],
+            "changes": [int((np.diff(v) != 0).sum())],
+            "p50": [round(float(np.percentile(v, 50)), 4)],
+            "p75": [round(float(np.percentile(v, 75)), 4)],
+            "p90": [round(float(np.percentile(v, 90)), 4)],
+            "p95": [round(float(np.percentile(v, 95)), 4)],
+            "p99": [round(float(np.percentile(v, 99)), 4)],
+        }
+        if entity_col and entity_col in g.columns:
+            row["distinct_entities"] = [int(g[entity_col].nunique())]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby([metric_col, "bucket"])
+        .map_groups(agg, batch_format="pandas")
+    )

@@ -111,3 +111,49 @@ def str_left(s: str, n: int) -> str:
 def stable_json(obj) -> str:
     """Deterministic JSON (sorted keys, no NaN) for content hashing."""
     return json.dumps(obj, sort_keys=True, ensure_ascii=False, separators=(",", ":"))
+
+
+def sanitize_json(s: str) -> str:
+    """Strip NUL and control characters that JSONB rejects (reference
+    SanitizeJSON, ``pkg/common/json.go``)."""
+    return _CTRL_RE.sub("", s.replace("\x00", ""))
+
+
+def remove_impurities(s: str) -> str:
+    """Repair near-JSON text (reference ``removeImpurities``,
+    ``pkg/crawler/web.go:3327-3368``): outside strings keep only JSON
+    structural characters / literals / digits / whitespace, collapse
+    duplicate commas; string contents (with escapes) pass through."""
+    out: list[str] = []
+    quotes = False
+    escape = False
+    prev_comma = False
+    allowed = set("[]{}:truefalsenull0123456789.+-eE")
+    for ch in s:
+        if escape:
+            out.append(ch)
+            escape = False
+            continue
+        if ch == "\\":
+            escape = True
+            out.append(ch)
+            continue
+        if ch == '"':
+            quotes = not quotes
+            out.append(ch)
+            prev_comma = False
+            continue
+        if quotes:
+            out.append(ch)
+            continue
+        if ch == ",":
+            if prev_comma:
+                continue
+            out.append(ch)
+            prev_comma = True
+            continue
+        if ch in allowed or ch.isspace():
+            out.append(ch)
+            if not ch.isspace():
+                prev_comma = False
+    return "".join(out)
