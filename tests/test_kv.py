@@ -1,0 +1,53 @@
+import pytest
+import ray
+
+from thecrowler_ray.state.kv import KVStore, kv_actor
+
+
+def test_kv_values_and_sessions():
+    kv = KVStore()
+    assert kv.set("a", 1, session="s1")
+    assert kv.get("a") == 1
+    assert kv.set("cfg", "locked", static=True)
+    assert not kv.set("cfg", "overwrite")  # static wins
+    assert kv.get("cfg") == "locked"
+    kv.set("b", 2, session="s1", persistent=True)
+    kv.set("c", 3, session="s2")
+    assert kv.clean_session("s1") == 1    # only the non-persistent one
+    assert kv.get("a") is None and kv.get("b") == 2 and kv.get("c") == 3
+    assert kv.keys("s2") == ["c"]
+    assert kv.delete("c") and not kv.delete("c")
+
+
+def test_counters_with_windows():
+    kv = KVStore()
+    assert kv.incr("hits", now=100.0) == 1
+    assert kv.incr("hits", by=4, now=101.0) == 5
+    assert kv.counter("hits") == 5
+    assert kv.incr("rate", window_seconds=10, now=100.0) == 1
+    assert kv.incr("rate", now=105.0) == 2
+    assert kv.incr("rate", now=111.0) == 1  # window rolled
+    kv.reset_counter("hits")
+    assert kv.counter("hits") == 0
+
+
+def test_leases():
+    kv = KVStore()
+    assert kv.try_acquire("job", "w1", ttl_seconds=10, now=100.0)
+    assert not kv.try_acquire("job", "w2", ttl_seconds=10, now=105.0)
+    assert kv.try_acquire("job", "w1", ttl_seconds=10, now=105.0)  # re-entrant
+    assert kv.lease_owner("job", now=105.0) == "w1"
+    assert kv.try_acquire("job", "w2", ttl_seconds=10, now=120.0)  # expired
+    assert kv.release("job", "w2") and not kv.release("job", "w2")
+    assert kv.lease_owner("job", now=121.0) == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_named_actor_shared_across_callers():
+    a = kv_actor("t_kv")
+    b = kv_actor("t_kv")  # same actor by name
+    ray.get(a.set.remote("x", 41))
+    assert ray.get(b.get.remote("x")) == 41
+    assert ray.get(b.incr.remote("n")) == 1
+    assert ray.get(a.incr.remote("n")) == 2
+    ray.kill(ray.get_actor("t_kv"))
