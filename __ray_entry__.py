@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_timeseries": q.q_timeseries,
         "q_search": q.q_search,
         "q_attr_extract": q.q_attr_extract,
+        "q_search_ranked": q.q_search_ranked,
         "q_scrape_rules": q.q_scrape_rules,
         "q_tech_detect": q.q_tech_detect,
         # the crawl engine itself (rows-only; pytest gates it vs the oracle)
@@ -237,6 +238,18 @@ def oracle_sql() -> dict[str, str]:
                    AND lower(text) LIKE '%' || lower('merge') || '%')
             ORDER BY doc_id
             LIMIT 50
+        """,
+        "q_search_ranked": """
+            SELECT doc_id,
+                   (length(lower(text)) - length(replace(lower(text), 'batch', '')))
+                     / length('batch')
+                   + (length(lower(text)) - length(replace(lower(text), 'merge', '')))
+                     / length('merge') AS score
+            FROM documents
+            WHERE CAST(lang AS VARCHAR) = 'en'
+              AND (lower(text) LIKE '%batch%' OR lower(text) LIKE '%merge%')
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         "q_attr_extract": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,

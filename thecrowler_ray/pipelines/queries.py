@@ -483,3 +483,25 @@ def q_tech_detect(sf_dir: str):
         DetectStage, batch_format="pyarrow", batch_size=64, concurrency=2
     )
     return out.select_columns(["url", "detected_tech"])
+
+
+def q_search_ranked(sf_dir: str):
+    """Dorking search + FTS-style ranking (reference search_pages analog):
+    filter by the query, score = total term occurrences, top-20 by
+    (score DESC, doc_id)."""
+    from ..search import compile_predicate, term_frequency_score
+
+    dork = "lang:en batch || lang:en merge"
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    fn, _ = compile_predicate(dork)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[fn(df)].copy()
+        hit["score"] = term_frequency_score(hit, dork)
+        return hit[["doc_id", "score"]]
+
+    return (
+        ds.map_batches(apply, batch_format="pandas")
+        .sort([("score"), ("doc_id")], descending=[True, False])
+        .limit(20)
+    )

@@ -176,3 +176,27 @@ def to_sql_where(q: str, text_col: str = "text") -> tuple[str, int | None]:
         ands = [_sql_term(t, text_col) for t in group]
         ors.append("(" + " AND ".join(ands) + ")")
     return " OR ".join(ors), query.limit
+
+
+def term_frequency_score(df, q: str, text_col: str = "text"):
+    """FTS-style relevance: per-row sum over query terms of term-occurrence
+    counts (reference ``search_pages`` ranks by FTS score,
+    ``postgresql-setup.pgsql:2955+``; this is the deterministic
+    non-Postgres equivalent). Field-specifier terms gate rows (score only
+    from text terms)."""
+    import pandas as pd
+
+    query = parse(q)
+    text = df[text_col].astype(str).str.lower()
+    score = pd.Series(0, index=df.index, dtype="int64")
+    seen_vals: set[str] = set()
+    for group in query.groups:
+        for term in group:
+            if term.field_name in EXACT_FIELDS:
+                continue
+            v = term.value.lower()
+            if v in seen_vals:
+                continue
+            seen_vals.add(v)
+            score = score + text.str.count(re.escape(v))
+    return score
