@@ -165,3 +165,37 @@ def test_checkpoint_resume():
     run2.run_resumed()
     oracle = crawl_oracle(CFG, SEEDS, CrawlParams(max_links=150, max_waves=8))
     _assert_match(run2, out, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unwanted_patterns_equality():
+    kw = dict(max_links=150, max_waves=8,
+              unwanted=[r"/p/1\b", r"host2\.test"])
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_unw", engine_kw=kw, oracle_kw=kw
+    )
+    assert summary["total_fetched"] == len(oracle.pages) > 0
+    _assert_match(run, "/tmp/crowler_t_unw", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_restriction_level_equality():
+    # restricted=2 (SLD): cross-host links must be skipped; synthweb hosts
+    # have distinct SLDs so each seed stays on its own host
+    seeds = [dict(s, restricted=2) for s in SEEDS]
+    out = "/tmp/crowler_t_restr"
+    shutil.rmtree(out, ignore_errors=True)
+    ecfg = EngineConfig(out_dir=out, n_seen_shards=3, n_pol_shards=3,
+                        fetch_concurrency=2, seen_log2_buckets=10,
+                        max_links=150, max_waves=8)
+    run = CrawlRun(CFG, seeds, ecfg)
+    summary = run.run()
+    from thecrowler_ray.oracle import CrawlParams, crawl_oracle
+
+    oracle = crawl_oracle(CFG, seeds, CrawlParams(max_links=150, max_waves=8))
+    assert summary["total_fetched"] == len(oracle.pages) > 0
+    _assert_match(run, out, oracle)
+    # every fetched page stays on a seed host
+    eng = _engine_pages(out)
+    seed_hosts = {s["host"] for s in seeds}
+    assert set(eng.url.str.lower().str.extract(r"http://([^/]+)/")[0]) <= seed_hosts
