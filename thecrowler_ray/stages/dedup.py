@@ -114,24 +114,34 @@ class MinHashSignatures:
 
 def lsh_band_rows(batch: pa.Table, bands: int = 32, id_col: str = "doc_id") -> pa.Table:
     """Explode signatures to (band, band_hash, doc_id) rows for the bucket
-    groupby. band_hash = md5 of the band's rows."""
-    ids = batch[id_col].to_pylist()
-    sigs = batch["minhash"].to_pylist()
-    out_band, out_hash, out_id = [], [], []
-    for i, sig in enumerate(sigs):
-        sig = np.asarray(sig, dtype=np.int64)
-        rows = len(sig) // bands
-        for b in range(bands):
-            chunk = sig[b * rows : (b + 1) * rows]
-            h = int.from_bytes(hashlib.md5(chunk.tobytes()).digest()[:8], "big") >> 1
-            out_band.append(b)
-            out_hash.append(h)
-            out_id.append(ids[i])
+    groupby — fully vectorized: the (N, perms) signature matrix reshapes to
+    (N, bands, rows_per_band) and each band hashes with one polynomial
+    matmul (no per-row Python)."""
+    ids_arr = batch[id_col]
+    sig_list = batch["minhash"]
+    if isinstance(sig_list, pa.ChunkedArray):
+        sig_list = sig_list.combine_chunks()
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {"band": pa.array([], pa.int32()),
+             "band_hash": pa.array([], pa.int64()),
+             id_col: pa.array([], ids_arr.type)}
+        )
+    flat = sig_list.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    perms = len(flat) // n
+    rows = perms // bands
+    mat = flat.reshape(n, bands, rows)
+    P = np.uint64(1099511628211)
+    weights = P ** np.arange(rows - 1, -1, -1, dtype=np.uint64)
+    hashes = (mat * weights).sum(axis=2) >> np.uint64(1)  # (N, bands), wraps mod 2^64
+    band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+    id_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
     return pa.table(
         {
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            id_col: pa.array(out_id, batch[id_col].type),
+            "band": pa.array(band_idx, pa.int32()),
+            "band_hash": pa.array(hashes.reshape(-1).astype(np.int64)),
+            id_col: ids_arr.take(pa.array(id_idx)),
         }
     )
 
@@ -141,31 +151,37 @@ def minhash_candidate_pairs(ds, *, num_perm=128, bands=32, shingle_k=3,
     """documents → candidate near-dup pairs (doc_a < doc_b) from shared LSH
     buckets, deduplicated across bands."""
     sigs = ds.map_batches(
-        MinHashSignatures, fn_constructor_kwargs=dict(
-            num_perm=num_perm, shingle_k=shingle_k, text_col=text_col),
-        batch_format="pyarrow", concurrency=2,
+        MinHashSignatures(num_perm=num_perm, shingle_k=shingle_k,
+                          text_col=text_col),
+        batch_format="pyarrow",
     )
     band_rows = sigs.select_columns([id_col, "minhash"]).map_batches(
         lambda t: lsh_band_rows(t, bands, id_col), batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs of ONE band (32 groups total — per-group
+        overhead amortized; the per-bucket pairing is vectorized pandas)."""
+        out_a, out_b = [], []
+        # only buckets with ≥2 docs produce pairs
+        counts = g["band_hash"].value_counts()
+        hot = counts[counts > 1].index
+        sub = g[g["band_hash"].isin(hot)]
+        for _, bucket in sub.groupby("band_hash", sort=False):
+            ids = sorted(bucket[id_col].unique())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}).drop_duplicates()
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = band_rows.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    # cross-band dedup: aggregate (cheap count) instead of per-pair map_groups
+    from ray.data.aggregate import Count
 
-    def drop_dup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates()
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="_nbands")
+    ).drop_columns(["_nbands"])
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
