@@ -186,3 +186,51 @@ def test_json_repair():
     assert sanitize_json('{"a": "b\x00c\x01"}') == '{"a": "bc"}'
     # string contents untouched (incl. escapes and commas)
     assert remove_impurities('{"k": "x, y \\" z"}') == '{"k": "x, y \\" z"}'
+
+
+def test_detection_rules_from_yaml():
+    from thecrowler_ray.detection import TechDetector, detection_rules_from_yaml
+
+    yaml_rules = """
+rule_groups:
+  - group_name: "detect"
+    is_enabled: true
+    detection_rules:
+      - rule_name: "DetectDjango"
+        object_name: "django"
+        http_header_fields:
+          - key: "x-framework"
+            value: ["(?i)django"]
+            confidence: 45
+        url_micro_signatures:
+          - value: "/admin/login"
+            confidence: 20
+        meta_tags:
+          - name: "generator"
+            content: "(?i)django"
+            confidence: 40
+        page_content_patterns:
+          - key: "body"
+            value: ["csrfmiddlewaretoken"]
+            confidence: 35
+        implies: ["python"]
+      - rule_name: "DetectPython"
+        object_name: "python"
+        http_header_fields:
+          - key: "server"
+            value: ["(?i)gunicorn", "(?i)uwsgi"]
+            confidence: 50
+"""
+    sigs = detection_rules_from_yaml(yaml_rules)
+    assert [s.name for s in sigs] == ["django", "python"]
+    det = TechDetector(sigs)
+    found = det.detect(
+        url="http://x.test/admin/login",
+        headers={"X-Framework": "Django 4.2"},
+        content="<form><input name='csrfmiddlewaretoken'></form>",
+    )
+    assert found["django"] == 100.0  # 45+20+35 = 100 raw → capped curve
+    assert "python" in found          # implied closure
+    # per-signature weights: only the weaker url signature
+    weak = det.detect(url="http://x.test/admin/login")
+    assert 0 < weak.get("django", 0) < 40

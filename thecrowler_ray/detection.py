@@ -27,14 +27,18 @@ from dataclasses import dataclass, field
 
 @dataclass
 class TechSignature:
-    """One technology's signatures across planes."""
+    """One technology's signatures across planes.
+
+    Patterns may be plain strings (weighted by ``confidence``) or
+    ``(pattern, weight)`` pairs — the YAML detection rules carry
+    per-signature confidences (``pkg/ruleset/types.go:442-476``)."""
 
     name: str
-    headers: dict[str, list[str]] = field(default_factory=dict)  # header → patterns
-    url_patterns: list[str] = field(default_factory=list)
-    meta_tags: dict[str, list[str]] = field(default_factory=dict)  # meta name → patterns
-    content_patterns: list[str] = field(default_factory=list)
-    confidence: float = 10.0  # weight added per matching signature
+    headers: dict[str, list] = field(default_factory=dict)  # header → patterns
+    url_patterns: list = field(default_factory=list)
+    meta_tags: dict[str, list] = field(default_factory=dict)  # meta name → patterns
+    content_patterns: list = field(default_factory=list)
+    confidence: float = 10.0  # default weight for unweighted patterns
     implies: list[str] = field(default_factory=list)
 
 
@@ -118,20 +122,30 @@ class TechDetector:
         self.signatures = signatures or DEFAULT_SIGNATURES
         self.noise, self.maybe, self.detected = noise, maybe, detected
         self.implied_weight = implied_weight
-        # precompile all patterns once (per actor)
+        # precompile all patterns once (per actor); normalize to
+        # (compiled_pattern, weight) pairs
+        def _pw(pats, default):
+            out = []
+            for p in pats:
+                if isinstance(p, (tuple, list)):
+                    out.append((re.compile(p[0]), float(p[1])))
+                else:
+                    out.append((re.compile(p), float(default)))
+            return out
+
         self._compiled: dict[str, dict] = {}
         for sig in self.signatures:
             self._compiled[sig.name] = {
                 "headers": {
-                    h.lower(): [re.compile(p) for p in pats]
+                    h.lower(): _pw(pats, sig.confidence)
                     for h, pats in sig.headers.items()
                 },
-                "url": [re.compile(p) for p in sig.url_patterns],
+                "url": _pw(sig.url_patterns, sig.confidence),
                 "meta": {
-                    m.lower(): [re.compile(p) for p in pats]
+                    m.lower(): _pw(pats, sig.confidence)
                     for m, pats in sig.meta_tags.items()
                 },
-                "content": [re.compile(p) for p in sig.content_patterns],
+                "content": _pw(sig.content_patterns, sig.confidence),
                 "sig": sig,
             }
 
@@ -149,20 +163,22 @@ class TechDetector:
         }
         scores: dict[str, float] = {}
         for name, c in self._compiled.items():
-            w = c["sig"].confidence
             x = 0.0
             for h, pats in c["headers"].items():
                 val = headers.get(h)
-                if val is not None and any(p.search(val) for p in pats):
-                    x += w
-            if url and any(p.search(url) for p in c["url"]):
-                x += w
+                if val is not None:
+                    hit = max((w for p, w in pats if p.search(val)), default=0.0)
+                    x += hit
+            if url:
+                x += max((w for p, w in c["url"] if p.search(url)), default=0.0)
             for mname, pats in c["meta"].items():
                 val = metas.get(mname)
-                if val is not None and any(p.search(val) for p in pats):
-                    x += w
-            if content and any(p.search(content) for p in c["content"]):
-                x += w
+                if val is not None:
+                    x += max((w for p, w in pats if p.search(val)), default=0.0)
+            if content:
+                x += max(
+                    (w for p, w in c["content"] if p.search(content)), default=0.0
+                )
             if x:
                 scores[name] = x
         # implied-tech closure at reduced weight
@@ -173,7 +189,9 @@ class TechDetector:
                 conf = calculate_confidence(x, self.noise, self.maybe, self.detected)
                 if conf >= 40:  # "maybe" or better implies its stack
                     for implied in self._compiled[name]["sig"].implies:
-                        add = self._compiled[name]["sig"].confidence * self.implied_weight
+                        # implied tech inherits a fraction of the implying
+                        # tech's evidence
+                        add = x * self.implied_weight
                         if implied not in scores:
                             scores[implied] = add
                             changed = True
@@ -214,3 +232,54 @@ class DetectStage:
                 )
             )
         return batch.append_column("detected_tech", pa.array(out, pa.string()))
+
+
+def detection_rules_from_yaml(yaml_text: str) -> list[TechSignature]:
+    """Load DetectionRule-shaped YAML (the reference ruleset's
+    ``detection_rules`` entries, ``pkg/ruleset/types.go:299-314``) into
+    TechSignatures with per-signature confidences. Accepts either a bare
+    list of rules or a ruleset document with ``rule_groups``."""
+    import yaml as _yaml
+
+    doc = _yaml.safe_load(yaml_text) or []
+    rules: list[dict] = []
+    if isinstance(doc, dict):
+        for g in doc.get("rule_groups", []):
+            rules.extend(g.get("detection_rules", []) or [])
+    else:
+        rules = list(doc)
+
+    sigs: list[TechSignature] = []
+    for r in rules:
+        name = r.get("object_name") or r.get("rule_name", "")
+        headers: dict[str, list] = {}
+        for hf in r.get("http_header_fields", []) or []:
+            conf = float(hf.get("confidence", 10))
+            headers.setdefault(str(hf.get("key", "")).lower(), []).extend(
+                (v, conf) for v in (hf.get("value") or [])
+            )
+        urls = [
+            (u.get("value", ""), float(u.get("confidence", 10)))
+            for u in (r.get("url_micro_signatures") or [])
+        ]
+        metas: dict[str, list] = {}
+        for mt in r.get("meta_tags", []) or []:
+            metas.setdefault(str(mt.get("name", "")).lower(), []).append(
+                (mt.get("content", ""), float(mt.get("confidence", 10)))
+            )
+        content = []
+        for pc_sig in r.get("page_content_patterns", []) or []:
+            conf = float(pc_sig.get("confidence", 10))
+            for v in (pc_sig.get("value") or []) + (pc_sig.get("text") or []):
+                content.append((v, conf))
+        sigs.append(
+            TechSignature(
+                name=name,
+                headers=headers,
+                url_patterns=urls,
+                meta_tags=metas,
+                content_patterns=content,
+                implies=list(r.get("implies") or []),
+            )
+        )
+    return sigs
