@@ -63,8 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_per_region": q.q_supplier_per_region,
         "q_part_types": q.q_part_types,
         "q_lineitem_topk": q.q_lineitem_topk,
+        "q_nation_revenue": q.q_nation_revenue,
+        "q_monthly_orders": q.q_monthly_orders,
         # stream-shaped events (§2.9 analogue)
         "q_events_hourly": q.q_events_hourly,
+        "q_events_top_users": q.q_events_top_users,
         "q_user_sessions": q.q_user_sessions,
         # documents: crawl semantics mapped to the corpus (M8/M9, A1/A2, §2.7)
         "q_lang_counts": q.q_lang_counts,
@@ -144,6 +147,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             ORDER BY ROUND(l_extendedprice * (1 - l_discount), 4) DESC,
                      l_orderkey, l_linenumber
+            LIMIT 10
+        """,
+        "q_nation_revenue": """
+            SELECT n.n_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "q_monthly_orders": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY date_trunc('month', o_orderdate)
+        """,
+        "q_events_top_users": """
+            SELECT user_id, ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY SUM(value) DESC, user_id
             LIMIT 10
         """,
         "q_events_hourly": """

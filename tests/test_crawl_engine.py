@@ -199,3 +199,37 @@ def test_restriction_level_equality():
     eng = _engine_pages(out)
     seed_hosts = {s["host"] for s in seeds}
     assert set(eng.url.str.lower().str.extract(r"http://([^/]+)/")[0]) <= seed_hosts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_lineage_and_metrics():
+    """Per-wave manifests form a lineage chain with counters + politeness
+    state + config — what 'resumable with per-partition lineage + metrics'
+    means concretely."""
+    import json
+    import os
+
+    out = "/tmp/crowler_t_lineage"
+    shutil.rmtree(out, ignore_errors=True)
+    run = CrawlRun(CFG, SEEDS, EngineConfig(
+        max_links=80, max_waves=4, out_dir=out, n_seen_shards=3,
+        n_pol_shards=3, seen_log2_buckets=10))
+    summary = run.run()
+    waves = sorted(
+        int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("wave=")
+    )
+    assert waves == list(range(summary["waves"]))
+    total = 0
+    for w in waves:
+        with open(f"{out}/wave={w}/manifest.json") as f:
+            man = json.load(f)
+        assert man["wave"] == w and man["parent_wave"] == w - 1
+        assert man["complete"] is True
+        assert man["config"]["max_links"] == 80
+        assert len(man["politeness"]) == 3
+        total += man["metrics"]["fetched"]
+        assert {"wave", "fetched", "deferred"} <= set(man["metrics"])
+        # seen snapshots exist for every shard
+        for i in range(3):
+            assert os.path.exists(f"{out}/wave={w}/seen/shard-{i}.npz")
+    assert total == summary["total_fetched"]

@@ -505,3 +505,61 @@ def q_search_ranked(sf_dir: str):
         .sort([("score"), ("doc_id")], descending=[True, False])
         .limit(20)
     )
+
+
+def q_nation_revenue(sf_dir: str):
+    """Three-table broadcast-dimension chain: orders → customer → nation."""
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust.c_custkey, cust.c_nationkey))
+    n2name = dict(zip(nation.n_nationkey, nation.n_name))
+    lookup = ray.put((c2n, n2name))
+
+    def add_nation(df: pd.DataFrame) -> pd.DataFrame:
+        c2n_, n2name_ = ray.get(lookup)
+        df["n_name"] = df["o_custkey"].map(c2n_).map(n2name_)
+        return df[["n_name", "o_totalprice"]]
+
+    out = (
+        orders.map_batches(add_nation, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_revenue"))
+        .to_pandas()
+    )
+    out["total_revenue"] = out["total_revenue"].round(2)
+    return out
+
+
+def q_events_top_users(sf_dir: str, k: int = 10):
+    """Top-k users by total event value (combiner + small sort)."""
+    ds = _rp(sf_dir, "events", ["user_id", "value"])
+    agg = pre_aggregated_sum(ds, ["user_id"], "value", "total_value")
+    out = (
+        agg.to_pandas()
+        .sort_values(["total_value", "user_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["total_value"] = out["total_value"].round(4)
+    return out
+
+
+def q_monthly_orders(sf_dir: str):
+    """Monthly tumbling window over orders."""
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def add_month(df: pd.DataFrame) -> pd.DataFrame:
+        df["month"] = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        return df[["month", "o_totalprice"]]
+
+    out = (
+        ds.map_batches(add_month, batch_format="pandas")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price"))
+        .to_pandas()
+    )
+    out["total_price"] = out["total_price"].round(2)
+    return out
