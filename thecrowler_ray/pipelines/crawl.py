@@ -369,18 +369,22 @@ class CrawlRun:
                     )
                     .materialize()
                 )
+                # lazy filter views over the materialized admission blocks —
+                # each consumer re-scans cheap local blocks, no extra
+                # materializations; counts come from the politeness actors'
+                # memoized verdicts (zero dataset passes)
                 admitted = admission.map_batches(
                     lambda t: t.filter(pc.equal(t["admit"], 1)).drop_columns(["admit"]),
                     batch_format="pyarrow",
-                ).materialize()
+                )
                 deferred = admission.map_batches(
                     lambda t: t.filter(pc.equal(t["admit"], 0)).drop_columns(["admit"]),
                     batch_format="pyarrow",
-                ).materialize()
+                )
                 def_tbl = None
-                n_admit = admitted.count()
-                n_defer = deferred.count()
-                m["robots_dropped"] = admission.count() - n_admit - n_defer
+                n_admit, n_defer, m["robots_dropped"] = (
+                    self.politeness.admit_counts(wave)
+                )
             m["t_admission"] = round(time.perf_counter() - tw, 3)
             m["deferred"] = n_defer
 
@@ -406,6 +410,11 @@ class CrawlRun:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
             batch = max(32, min(1024, n_admit // max(1, ncpu * 6) or 32))
             fetch_src = admitted if small else admitted.drop_columns(["pshard"])
+            if not small:
+                # spread the lazy filtered view for fetch parallelism
+                fetch_src = fetch_src.repartition(
+                    max(1, min(n_admit // max(32, batch) + 1, ncpu * 4))
+                )
             if cfg.fetch_actors:
                 fetched = fetch_src.map_batches(
                     FetchParse,

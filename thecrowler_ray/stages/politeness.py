@@ -104,6 +104,14 @@ class PolitenessShard:
         self._memo = {wave: verdict}  # keep only the latest wave
         return verdict
 
+    def admit_counts(self, wave: int) -> tuple[int, int, int]:
+        """(admitted, deferred, robots_dropped) of this shard's memoized
+        verdict for `wave` — lets the driver skip counting dataset passes."""
+        v = self._memo.get(wave)
+        if v is None:
+            return (0, 0, 0)
+        return (int((v == 1).sum()), int((v == 0).sum()), int((v == -1).sum()))
+
     def state(self) -> dict:
         return {"tokens": dict(self.tokens), "last_tick": self.last_tick}
 
@@ -151,6 +159,10 @@ class PolitenessPool:
             return group
 
         return fn
+
+    def admit_counts(self, wave: int) -> tuple[int, int, int]:
+        parts = ray.get([a.admit_counts.remote(wave) for a in self.actors])
+        return tuple(sum(p[i] for p in parts) for i in range(3))
 
     def states(self) -> list[dict]:
         return ray.get([a.state.remote() for a in self.actors])
