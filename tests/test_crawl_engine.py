@@ -233,3 +233,30 @@ def test_checkpoint_lineage_and_metrics():
         for i in range(3):
             assert os.path.exists(f"{out}/wave={w}/seen/shard-{i}.npz")
     assert total == summary["total_fetched"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_per_source_config_overrides():
+    """Per-seed crawling_config (unwanted_urls) applies only to that seed's
+    subtree — reference CombineConfig semantics."""
+    import json
+
+    seeds = [dict(s) for s in SEEDS]
+    # seed 0: block its own /p/1 page via per-source config
+    seeds[0]["config"] = json.dumps(
+        {"crawling_config": {"unwanted_urls": [r"host0\.test.*?/p/1$"]}}
+    )
+    out = "/tmp/crowler_t_srccfg"
+    shutil.rmtree(out, ignore_errors=True)
+    run = CrawlRun(CFG, seeds, EngineConfig(
+        out_dir=out, n_seen_shards=3, n_pol_shards=3, fetch_concurrency=2,
+        seen_log2_buckets=10, max_links=150, max_waves=8))
+    summary = run.run()
+    oracle = crawl_oracle(CFG, seeds, CrawlParams(max_links=150, max_waves=8))
+    assert summary["total_fetched"] == len(oracle.pages) > 0
+    _assert_match(run, out, oracle)
+    eng = _engine_pages(out)
+    urls = set(eng.url.str.lower())
+    assert not any(u.endswith("host0.test/p/1") for u in urls)
+    # other hosts' /p/1 pages are unaffected
+    assert any("/p/1" in u and "host0" not in u for u in urls)

@@ -53,9 +53,27 @@ class OracleResult:
 def crawl_oracle(
     cfg: CorpusConfig, seeds: list[dict], params: CrawlParams
 ) -> OracleResult:
+    import json as _json
     import re
 
-    unwanted = [re.compile(p) for p in params.unwanted]
+    base_unwanted = [re.compile(p) for p in params.unwanted]
+    # per-source overrides (ENGINE_SPEC / reference CombineConfig)
+    def _seed_cfg(s):
+        raw = s.get("config")
+        if isinstance(raw, str):
+            try:
+                raw = _json.loads(raw)
+            except ValueError:
+                raw = None
+        if not isinstance(raw, dict):
+            return base_unwanted, params.user_patterns
+        cc = raw.get("crawling_config", {}) or {}
+        unw = base_unwanted + [re.compile(p) for p in cc.get("unwanted_urls", []) or []]
+        pats = (
+            ((cc.get("execution_plan") or {}).get("conditions") or {})
+            .get("url_patterns")
+        )
+        return unw, (list(pats) if pats else params.user_patterns)
     seen: set[str] = set()
     seen_hosts: dict[str, str] = {}
     tokens: dict[str, int] = {}
@@ -73,6 +91,7 @@ def crawl_oracle(
             continue
         seen.add(key)
         seen_hosts[key] = host_of(url)
+        unw, pats = _seed_cfg(s)
         pending.append(
             {
                 "url": url,
@@ -82,6 +101,8 @@ def crawl_oracle(
                 "ord": rank,
                 "src_url": url,
                 "restricted": s.get("restricted", params.restricted),
+                "unwanted": unw,
+                "patterns": pats,
             }
         )
 
@@ -174,8 +195,8 @@ def crawl_oracle(
                     link,
                     r["src_url"],
                     r["restricted"],
-                    unwanted=unwanted,
-                    user_patterns=params.user_patterns,
+                    unwanted=r.get("unwanted", base_unwanted),
+                    user_patterns=r.get("patterns", params.user_patterns),
                 ):
                     skipped += 1
                     continue
@@ -212,6 +233,8 @@ def crawl_oracle(
                     "ord": new_ord,
                     "src_url": parent["src_url"],
                     "restricted": parent["restricted"],
+                    "unwanted": parent.get("unwanted", base_unwanted),
+                    "patterns": parent.get("patterns", params.user_patterns),
                 }
             )
         metrics.append(

@@ -64,6 +64,7 @@ CANDIDATE_SCHEMA = pa.schema(
         ("packed", pa.int64()),
         ("src_url", pa.string()),
         ("restricted", pa.int32()),
+        ("cfg_idx", pa.int32()),
         ("kbucket", pa.int32()),
     ]
 )
@@ -77,6 +78,7 @@ FRONTIER_SCHEMA = pa.schema(
         ("ord", pa.int64()),
         ("src_url", pa.string()),
         ("restricted", pa.int32()),
+        ("cfg_idx", pa.int32()),
         ("pshard", pa.int32()),
     ]
 )
@@ -114,18 +116,35 @@ class EngineConfig:
 
 
 class LinkExplodeFilter:
-    """pages(url, ord, src_url, restricted, links) → candidate frontier rows.
+    """pages(url, ord, src_url, restricted, cfg_idx, links) → candidate
+    frontier rows.
 
     Explode is vectorized (pyarrow list_flatten / list_parent_indices); the
     resolve + skip chain runs per link string with regexes compiled once per
     actor (reference compiles unwanted regexes once per pipeline,
-    ``pkg/crawler/crawler.go:228-241``).
+    ``pkg/crawler/crawler.go:228-241``). Per-source configs (reference
+    CombineConfig, ``crawler.go:124-132``) contribute per-``cfg_idx``
+    unwanted regexes and user url_patterns on top of the global ones.
     """
 
-    def __init__(self, cfg: EngineConfig):
+    def __init__(self, cfg: EngineConfig, source_cfgs: list[dict] | None = None):
         self.cfg = cfg
-        self.unwanted = [re.compile(p) for p in cfg.unwanted]
         self.n_key_buckets = cfg.n_key_buckets
+        source_cfgs = source_cfgs or []
+        base_unwanted = [re.compile(p) for p in cfg.unwanted]
+        self.unwanted_by_idx = [base_unwanted]
+        self.patterns_by_idx = [list(cfg.user_patterns)]
+        for sc in source_cfgs:
+            cc = (sc or {}).get("crawling_config", {}) or {}
+            extra = [re.compile(p) for p in cc.get("unwanted_urls", []) or []]
+            self.unwanted_by_idx.append(base_unwanted + extra)
+            pats = (
+                ((cc.get("execution_plan") or {}).get("conditions") or {})
+                .get("url_patterns")
+            )
+            self.patterns_by_idx.append(
+                list(pats) if pats else list(cfg.user_patterns)
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         links = batch["links"]
@@ -135,7 +154,7 @@ class LinkExplodeFilter:
         parents = pc.list_parent_indices(links)
         out = {
             "url": [], "key": [], "host": [], "packed": [],
-            "src_url": [], "restricted": [], "kbucket": [],
+            "src_url": [], "restricted": [], "cfg_idx": [], "kbucket": [],
         }
         if len(flat) == 0:
             return pa.Table.from_pydict(
@@ -145,6 +164,11 @@ class LinkExplodeFilter:
         ords = batch["ord"].to_pylist()
         srcs = batch["src_url"].to_pylist()
         restr = batch["restricted"].to_pylist()
+        cfgi = (
+            batch["cfg_idx"].to_pylist()
+            if "cfg_idx" in batch.column_names
+            else [0] * len(page_urls)
+        )
         hrefs = flat.field("href").to_pylist()
         link_idx = flat.field("link_idx").to_pylist()
         par = parents.to_pylist()
@@ -152,12 +176,13 @@ class LinkExplodeFilter:
             link = href
             if link.startswith("/"):
                 link = combine_urls(page_urls[pi], link)
+            ci = cfgi[pi] if cfgi[pi] < len(self.unwanted_by_idx) else 0
             if skip_url(
                 link,
                 srcs[pi],
                 restr[pi],
-                unwanted=self.unwanted,
-                user_patterns=self.cfg.user_patterns,
+                unwanted=self.unwanted_by_idx[ci],
+                user_patterns=self.patterns_by_idx[ci],
             ):
                 continue
             if not is_url_valid(link if "://" in link else "http://" + link):
@@ -169,6 +194,7 @@ class LinkExplodeFilter:
             out["packed"].append((ords[pi] << _PACK_SHIFT) | min(j, (1 << _PACK_SHIFT) - 1))
             out["src_url"].append(srcs[pi])
             out["restricted"].append(restr[pi])
+            out["cfg_idx"].append(ci)
             out["kbucket"].append(int(key[:8], 16) % self.n_key_buckets)
         return pa.table(
             {
@@ -178,6 +204,7 @@ class LinkExplodeFilter:
                 "packed": pa.array(out["packed"], pa.int64()),
                 "src_url": pa.array(out["src_url"], pa.string()),
                 "restricted": pa.array(out["restricted"], pa.int32()),
+                "cfg_idx": pa.array(out["cfg_idx"], pa.int32()),
                 "kbucket": pa.array(out["kbucket"], pa.int32()),
             }
         )
@@ -200,6 +227,23 @@ class CrawlRun:
         self.corpus_cfg = corpus_cfg
         self.seeds = seeds
         self.cfg = cfg
+        # per-source config overrides (reference CombineConfig): seeds may
+        # carry a `config` JSON/dict with crawling_config.unwanted_urls and
+        # execution_plan.conditions.url_patterns. cfg_idx 0 = global only.
+        self.source_cfgs: list[dict] = []
+        self._seed_cfg_idx: dict[int, int] = {}
+        for seed in seeds:
+            raw = seed.get("config")
+            if not raw:
+                continue
+            if isinstance(raw, str):
+                try:
+                    raw = json.loads(raw)
+                except ValueError:
+                    continue
+            if isinstance(raw, dict) and raw:
+                self.source_cfgs.append(raw)
+                self._seed_cfg_idx[int(seed["source_id"])] = len(self.source_cfgs)
         self.seen = SeenShardPool(
             cfg.n_seen_shards, cfg.seen_log2_buckets, cfg.seen_exact
         )
@@ -243,6 +287,7 @@ class CrawlRun:
             rows["ord"].append(rank)
             rows["src_url"].append(url)
             rows["restricted"].append(int(s.get("restricted", 4)))
+            rows["cfg_idx"].append(self._seed_cfg_idx.get(int(s["source_id"]), 0))
             rows["pshard"].append(host_hash(host, self.cfg.n_pol_shards))
             rank += 1
         table = pa.Table.from_pydict(rows, schema=FRONTIER_SCHEMA)
@@ -324,6 +369,7 @@ class CrawlRun:
                 "ord": np.arange(len(df), dtype=np.int64),
                 "src_url": df["src_url"].tolist(),
                 "restricted": df["restricted"].to_numpy().astype(np.int32),
+                "cfg_idx": df["cfg_idx"].to_numpy().astype(np.int32),
                 "pshard": np.array(
                     [host_hash(h, n_pol) for h in df["host"]], dtype=np.int32
                 ),
@@ -456,11 +502,12 @@ class CrawlRun:
             next_frontier = None
             if budget > 0:
                 links_ds = fetched.select_columns(
-                    ["url", "ord", "src_url", "restricted", "links"]
+                    ["url", "ord", "src_url", "restricted", "cfg_idx", "links"]
                 )
                 tl0 = time.perf_counter()
                 candidates = links_ds.map_batches(
-                    LinkExplodeFilter(cfg), batch_format="pyarrow"
+                    LinkExplodeFilter(cfg, self.source_cfgs),
+                    batch_format="pyarrow",
                 ).materialize()
                 n_cand = candidates.count()
                 m["t_explode"] = round(time.perf_counter() - tl0, 3)
@@ -505,6 +552,7 @@ class CrawlRun:
                                 "ord": batch["rank"],
                                 "src_url": batch["src_url"],
                                 "restricted": batch["restricted"],
+                                "cfg_idx": batch["cfg_idx"],
                                 "pshard": pa.array(
                                     [host_hash(h, _n_pol) for h in hosts], pa.int32()
                                 ),

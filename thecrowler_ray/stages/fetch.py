@@ -54,6 +54,7 @@ PAGE_SCHEMA = pa.schema(
         ("ord", pa.int64()),
         ("src_url", pa.string()),
         ("restricted", pa.int32()),
+        ("cfg_idx", pa.int32()),
         ("title", pa.string()),
         ("summary", pa.string()),
         ("lang", pa.string()),
@@ -86,6 +87,11 @@ class FetchParse:
         ords = batch["ord"].to_pylist()
         srcs = batch["src_url"].to_pylist()
         restr = batch["restricted"].to_pylist()
+        cfgi = (
+            batch["cfg_idx"].to_pylist()
+            if "cfg_idx" in batch.column_names
+            else [0] * len(urls)
+        )
         for i, url in enumerate(urls):
             html = self._fetch(url)
             if html is None:
@@ -99,6 +105,7 @@ class FetchParse:
             cols["ord"].append(ords[i])
             cols["src_url"].append(srcs[i])
             cols["restricted"].append(restr[i])
+            cols["cfg_idx"].append(cfgi[i])
             cols["title"].append(info["title"])
             cols["summary"].append(info["summary"])
             cols["lang"].append(info["lang"])
