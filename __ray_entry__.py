@@ -53,7 +53,11 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from thecrowler_ray.pipelines import queries as q
-    from thecrowler_ray.pipelines.flagship import doc_spans_pipeline, q_crawl
+    from thecrowler_ray.pipelines.flagship import (
+        doc_spans_pipeline,
+        q_crawl,
+        q_crawl_index,
+    )
 
     return {
         # relational core (SURVEY.md §2.5/§2.6, A1-A2/O1-O6 analogues)
@@ -92,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tech_detect": q.q_tech_detect,
         # the crawl engine itself (rows-only; pytest gates it vs the oracle)
         "q_crawl": q_crawl,
+        "q_crawl_index": q_crawl_index,
         "q_doc_spans": doc_spans_pipeline,
     }
 

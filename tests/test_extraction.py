@@ -153,3 +153,22 @@ def test_transforms():
     assert transform_validate('{"a": 1}', ["a"])
     assert not transform_validate('{"a": 1}', ["b"])
     assert not transform_validate("not json")
+
+
+def test_content_type_yaml_rules():
+    from thecrowler_ray.content_type import content_type_rules_from_yaml, detect_by_rules
+
+    rules = content_type_rules_from_yaml("""
+application/rss+xml:
+  content_patterns: ["<rss", "<feed"]
+  url_patterns: ["\\\\.rss$", "/feed/?$"]
+application/json:
+  content_patterns: ["^\\\\s*[\\\\[{]"]
+  url_patterns: ["\\\\.json$"]
+""")
+    assert detect_by_rules("http://x.test/a", "<rss version='2.0'>", rules) == "application/rss+xml"
+    assert detect_by_rules("http://x.test/feed", "", rules) == "application/rss+xml"
+    assert detect_by_rules("http://x.test/d.json", "", rules) == "application/json"
+    assert detect_by_rules("http://x.test/a", '  {"k": 1}', rules) == "application/json"
+    # fallback to the extension map
+    assert detect_by_rules("http://x.test/p.pdf", "", rules) == "application/pdf"

@@ -74,3 +74,40 @@ def infer_document_type(url: str, content: str | None = None) -> str:
 def media_kind(mime: str) -> str:
     top = mime.split("/", 1)[0]
     return top if top in ("image", "audio", "video") else "binary"
+
+
+def content_type_rules_from_yaml(yaml_text: str) -> list[dict]:
+    """Load content-type detection rules shaped like the reference's
+    ``support/content_type_detection.yaml`` (consumed by
+    ``pkg/crawler/content_type.go``): per-type ``content_patterns`` and
+    ``url_patterns`` regex lists."""
+    import yaml as _yaml
+
+    doc = _yaml.safe_load(yaml_text) or {}
+    rules = []
+    for type_name, spec in doc.items():
+        spec = spec or {}
+        rules.append(
+            {
+                "type": type_name,
+                "content_patterns": [
+                    re.compile(p, re.I) for p in spec.get("content_patterns", []) or []
+                ],
+                "url_patterns": [
+                    re.compile(p, re.I) for p in spec.get("url_patterns", []) or []
+                ],
+            }
+        )
+    return rules
+
+
+def detect_by_rules(url: str, content: str, rules: list[dict]) -> str:
+    """First rule (in document order) with any matching content or URL
+    pattern wins; falls back to ``infer_document_type``."""
+    head = (content or "")[:8192]
+    for rule in rules:
+        if any(p.search(head) for p in rule["content_patterns"]):
+            return rule["type"]
+        if any(p.search(url or "") for p in rule["url_patterns"]):
+            return rule["type"]
+    return infer_document_type(url, content)

@@ -84,3 +84,29 @@ def q_crawl(sf_dir: str):
     return ray.data.read_parquet(
         files, columns=["doc_id", "url", "host", "depth", "ord", "title", "lang"]
     )
+
+
+def q_crawl_index(sf_dir: str):
+    """The full reference pipeline end-to-end: crawl the synthetic web, then
+    run the indexing fan-out (search_index, web_objects dedup, keyword and
+    meta dictionaries+indexes). Returns the keyword dictionary (rows-only;
+    table consistency is asserted in tests)."""
+    import os
+
+    from .index import build_keywords
+
+    crawl_out = "/tmp/crowler_ray/q_crawl_index"
+    shutil.rmtree(crawl_out, ignore_errors=True)
+    cfg = CorpusConfig(seed=42, n_hosts=10, base_pages=40)
+    run = CrawlRun(
+        cfg,
+        seed_urls(cfg, 6),
+        EngineConfig(
+            max_links=250, max_waves=8, out_dir=crawl_out,
+            n_seen_shards=4, n_pol_shards=4, fetch_concurrency=2,
+        ),
+    )
+    run.run()
+    pages = sorted(glob.glob(f"{crawl_out}/wave=*/pages/*.parquet"))
+    kw_dict, _ = build_keywords(pages)
+    return kw_dict

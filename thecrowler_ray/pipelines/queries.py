@@ -79,11 +79,22 @@ def q_top_customers(sf_dir: str):
     """Broadcast join: aggregate orders by custkey (combiner), then look up
     the small customer dim on the driver. No shuffle join."""
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    spent = pre_aggregated_sum(orders, ["o_custkey"], "o_totalprice", "total_spent")
-    cnt = pre_aggregated_count(orders, ["o_custkey"], "n_orders")
-    spent_df = spent.to_pandas()
-    cnt_df = cnt.to_pandas()
-    agg = spent_df.merge(cnt_df, on="o_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["o_custkey", "total_spent", "n_orders"])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("total_spent", alias_name="total_spent"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
     cust = (
         _rp(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     )  # small dim — broadcast-style lookup
