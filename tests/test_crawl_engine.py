@@ -260,3 +260,16 @@ def test_per_source_config_overrides():
     assert not any(u.endswith("host0.test/p/1") for u in urls)
     # other hosts' /p/1 pages are unaffected
     assert any("/p/1" in u and "host0" not in u for u in urls)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixed_mode_equality():
+    """Frontier below driver_threshold but candidates above it → driver
+    admission + distributed links in the SAME wave (the mode switch found by
+    the 300k-page stress run). Must still match the oracle."""
+    kw = dict(max_links=150, max_waves=8, driver_threshold=200)
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_mixed", engine_kw=kw, oracle_kw=dict(max_links=150, max_waves=8)
+    )
+    assert summary["total_fetched"] == len(oracle.pages) > 50
+    _assert_match(run, "/tmp/crowler_t_mixed", oracle)

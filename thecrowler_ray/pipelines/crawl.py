@@ -575,8 +575,13 @@ class CrawlRun:
                 time.perf_counter() - tw - m["t_admission"] - m["t_fetch"], 3
             )
 
-            # 8. next pending = deferred ∪ new frontier
-            if small:
+            # 8. next pending = deferred ∪ new frontier. Admission path
+            # (small) and links path (n_cand vs threshold) switch modes
+            # INDEPENDENTLY, so each side may be an Arrow table or a
+            # Dataset — handle all four combinations.
+            n_pending = n_defer + m["new_frontier"]
+            if small and next_frontier is None:
+                # both sides are tables (or empty)
                 parts = [t for t in (def_tbl, next_tbl) if t is not None and t.num_rows]
                 pending_tbl = (
                     pa.concat_tables(parts).combine_chunks()
@@ -586,18 +591,31 @@ class CrawlRun:
                     )
                 )
                 pending = self._table_to_ds(pending_tbl)
-                n_pending = pending_tbl.num_rows
                 ckpt_obj = pending_tbl
             else:
-                if next_frontier is not None and m["new_frontier"] > 0:
-                    pending = (
-                        deferred.union(next_frontier).materialize()
-                        if n_defer > 0
-                        else next_frontier
+                # at least one side is a Dataset → union datasets
+                def_side = (
+                    self._table_to_ds(def_tbl)
+                    if small
+                    else deferred
+                ) if n_defer > 0 else None
+                next_side = (
+                    next_frontier
+                    if next_frontier is not None
+                    else (self._table_to_ds(next_tbl) if next_tbl is not None and next_tbl.num_rows else None)
+                ) if m["new_frontier"] > 0 else None
+                sides = [d for d in (def_side, next_side) if d is not None]
+                if not sides:
+                    pending = self._table_to_ds(
+                        pa.Table.from_pydict(
+                            {n: [] for n in FRONTIER_SCHEMA.names},
+                            schema=FRONTIER_SCHEMA,
+                        )
                     )
+                elif len(sides) == 1:
+                    pending = sides[0]
                 else:
-                    pending = deferred
-                n_pending = pending.count()
+                    pending = sides[0].union(sides[1]).materialize()
                 ckpt_obj = pending
 
             tc = time.perf_counter()
