@@ -273,3 +273,17 @@ def test_mixed_mode_equality():
     )
     assert summary["total_fetched"] == len(oracle.pages) > 50
     _assert_match(run, "/tmp/crowler_t_mixed", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approximate_seen_mode():
+    """seen_exact=False (the 10^10 memory path): filters sized so the
+    fp probability at test scale is negligible → still oracle-equal."""
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_approx",
+        engine_kw=dict(max_links=150, max_waves=8, seen_exact=False),
+        oracle_kw=dict(max_links=150, max_waves=8),
+    )
+    assert summary["total_fetched"] == len(oracle.pages)
+    eng = _engine_pages("/tmp/crowler_t_approx")
+    assert set(eng.doc_id) == {p["doc_id"] for p in oracle.pages}

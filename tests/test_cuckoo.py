@@ -40,3 +40,19 @@ def test_approximate_mode_no_false_negatives():
     keys = np.arange(1, 3000, dtype=np.uint64) * np.uint64(2654435761)
     f.insert_many(keys)
     assert f.contains_many(keys).all()  # cuckoo filters never false-negative
+
+
+def test_fp_rate_close_to_theory():
+    """Non-exact mode: measured false-positive rate within ~4x of the
+    theoretical bound b*2/2^f (4 slots, 16-bit fingerprints) — the
+    documented 10^10-scale tradeoff when the exact sidecar is disabled."""
+    f = CuckooFilter(log2_buckets=12, exact=False, seed=9)
+    rng = np.random.default_rng(1)
+    present = np.unique(rng.integers(0, 2**63, size=8000, dtype=np.uint64))
+    f.insert_many(present)
+    probe = np.unique(rng.integers(0, 2**63, size=200_000, dtype=np.uint64))
+    probe = np.setdiff1d(probe, present, assume_unique=True)
+    fp = f.contains_many(probe).mean()
+    theory = 2 * 4 / 65536  # 2 buckets x 4 slots x 2^-16
+    assert fp < theory * 4
+    assert fp >= 0

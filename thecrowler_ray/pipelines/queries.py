@@ -574,3 +574,28 @@ def q_monthly_orders(sf_dir: str):
     )
     out["total_price"] = out["total_price"].round(2)
     return out
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal pipeline: synthetic binary media → decode (stubbed codec,
+    real actor-pool plumbing) → resize plan → frame-sample plan. Rows-only;
+    unit tests pin the per-kind metadata semantics."""
+    from ..stages.multimodal import (
+        DecodeStage,
+        frame_sample_plan,
+        resize_plan_stage,
+        synth_media_table,
+    )
+
+    media = synth_media_table(200, seed=5)
+    ds = ray.data.from_arrow(media)
+    out = (
+        ds.map_batches(DecodeStage, batch_format="pyarrow", batch_size=32,
+                       concurrency=2)
+        .map_batches(resize_plan_stage, batch_format="pyarrow")
+        .map_batches(frame_sample_plan, batch_format="pyarrow")
+    )
+    return out.select_columns(
+        ["media_id", "doc_id", "mime", "kind", "byte_len", "width", "height",
+         "duration_ms", "target_width", "target_height"]
+    )
