@@ -287,3 +287,18 @@ def test_approximate_seen_mode():
     assert summary["total_fetched"] == len(oracle.pages)
     eng = _engine_pages("/tmp/crowler_t_approx")
     assert set(eng.doc_id) == {p["doc_id"] for p in oracle.pages}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_path_robots_equality():
+    kw = dict(max_links=150, max_waves=8, check_robots=True)
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_dist_rob",
+        engine_kw=dict(driver_threshold=0, **kw),
+        oracle_kw=kw,
+    )
+    assert summary["total_fetched"] == len(oracle.pages)
+    assert sum(m.get("robots_dropped", 0) for m in summary["metrics"]) == sum(
+        m.get("robots_dropped", 0) for m in oracle.metrics
+    )
+    _assert_match(run, "/tmp/crowler_t_dist_rob", oracle)

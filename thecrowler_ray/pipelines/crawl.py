@@ -252,6 +252,7 @@ class CrawlRun:
             if cfg.check_robots
             else None
         )
+        self._robots_fn = robots_fn
         self.politeness = PolitenessPool(
             cfg.n_pol_shards,
             cfg.politeness_rate,
@@ -345,6 +346,154 @@ class CrawlRun:
         robots_dropped = int((verdict == -1).sum())
         return admitted, deferred, robots_dropped
 
+    def _admit_distributed(self, pending, wave: int):
+        """Shuffle-free, skew-proof admission for large frontiers
+        (the groupby-host alternative; north star's hot-host concern):
+
+        A. one pass → per-(host) robots-ok counts (tiny partials, driver
+           merge — hosts ≪ rows);
+        B. per-shard ``grant_counts`` RPC → per-host grants (token state);
+           for *constrained* hosts only, a second pure pass collects
+           per-batch top-``grant`` (depth, ord) candidates whose union
+           contains the global top-``grant`` → exact per-host admission
+           threshold;
+        C. one labeling pass compares each row against its host's
+           threshold. No all-to-all exchange at any point; a single hot
+           host costs O(grant) driver memory, not O(host rows).
+        → (materialized admission ds with admit column, n_admit, n_defer,
+           robots_dropped)
+        """
+        cfg = self.cfg
+        robots_fn = self._robots_fn if cfg.check_robots else None
+
+        def robots_blocked(host: str, url: str) -> bool:
+            if robots_fn is None:
+                return False
+            from urllib.parse import urlparse
+
+            path = urlparse(url).path
+            return any(path.startswith(p) for p in robots_fn(host))
+
+        # --- round A: per-host counts -------------------------------------
+        def count_partial(t: pa.Table) -> pa.Table:
+            hosts = t["host"].to_pylist()
+            urls = t["url"].to_pylist()
+            ok: dict[str, int] = {}
+            blocked: dict[str, int] = {}
+            for h, u in zip(hosts, urls):
+                if robots_blocked(h, u):
+                    blocked[h] = blocked.get(h, 0) + 1
+                else:
+                    ok[h] = ok.get(h, 0) + 1
+            keys = sorted(set(ok) | set(blocked))
+            return pa.table(
+                {
+                    "host": pa.array(keys, pa.string()),
+                    "ok": pa.array([ok.get(k, 0) for k in keys], pa.int64()),
+                    "blocked": pa.array([blocked.get(k, 0) for k in keys], pa.int64()),
+                }
+            )
+
+        partials = pa.concat_tables(
+            [t for t in ray.get(
+                pending.map_batches(count_partial, batch_format="pyarrow")
+                .to_arrow_refs()
+            ) if t.num_rows]
+        ).to_pandas()
+        agg = partials.groupby("host").sum()
+        ok_counts = agg["ok"].to_dict()
+        robots_dropped = int(agg["blocked"].sum())
+
+        # --- round B: grants + thresholds ---------------------------------
+        hosts_sorted = sorted(ok_counts)
+        by_shard: dict[int, list[str]] = {}
+        for h in hosts_sorted:
+            by_shard.setdefault(host_hash(h, cfg.n_pol_shards), []).append(h)
+        futures = [
+            self.politeness.actors[sh].grant_counts.remote(
+                wave, hs, [int(ok_counts[h]) for h in hs]
+            )
+            for sh, hs in by_shard.items()
+        ]
+        grants: dict[str, int] = {}
+        for hs, res in zip(by_shard.values(), ray.get(futures)):
+            grants.update(dict(zip(hs, res)))
+
+        constrained = {
+            h: g for h, g in grants.items() if 0 < g < ok_counts[h]
+        }
+        thresholds: dict[str, tuple[int, int]] = {}
+        if constrained:
+            cref = ray.put(constrained)
+
+            def top_partial(t: pa.Table, _robots=robots_blocked) -> pa.Table:
+                con = ray.get(cref)
+                hosts = t["host"].to_pylist()
+                urls = t["url"].to_pylist()
+                depths = t["depth"].to_pylist()
+                ords = t["ord"].to_pylist()
+                out_h, out_d, out_o = [], [], []
+                per_host: dict[str, list] = {}
+                for i, h in enumerate(hosts):
+                    if h in con and not _robots(h, urls[i]):
+                        per_host.setdefault(h, []).append((depths[i], ords[i]))
+                for h, rows in per_host.items():
+                    rows.sort()
+                    for d, o in rows[: con[h]]:
+                        out_h.append(h)
+                        out_d.append(d)
+                        out_o.append(o)
+                return pa.table(
+                    {
+                        "host": pa.array(out_h, pa.string()),
+                        "depth": pa.array(out_d, pa.int32()),
+                        "ord": pa.array(out_o, pa.int64()),
+                    }
+                )
+
+            tops = pa.concat_tables(
+                [t for t in ray.get(
+                    pending.map_batches(top_partial, batch_format="pyarrow")
+                    .to_arrow_refs()
+                ) if t.num_rows]
+            ).to_pandas()
+            for h, g in constrained.items():
+                rows = sorted(
+                    zip(tops.loc[tops.host == h, "depth"],
+                        tops.loc[tops.host == h, "ord"])
+                )
+                thresholds[h] = rows[g - 1]
+
+        # --- round C: label -----------------------------------------------
+        bc = ray.put((grants, {h: ok_counts[h] for h in grants}, thresholds))
+
+        def label(t: pa.Table, _robots=robots_blocked) -> pa.Table:
+            g_map, ok_map, thr_map = ray.get(bc)
+            hosts = t["host"].to_pylist()
+            urls = t["url"].to_pylist()
+            depths = t["depth"].to_pylist()
+            ords = t["ord"].to_pylist()
+            verdict = np.zeros(len(hosts), dtype=np.int8)
+            for i, h in enumerate(hosts):
+                if _robots(h, urls[i]):
+                    verdict[i] = -1
+                    continue
+                g = g_map.get(h, 0)
+                if g <= 0:
+                    verdict[i] = 0
+                elif g >= ok_map.get(h, 0):
+                    verdict[i] = 1
+                else:
+                    verdict[i] = (
+                        1 if (depths[i], ords[i]) <= thr_map[h] else 0
+                    )
+            return t.append_column("admit", pa.array(verdict, pa.int8()))
+
+        admission = pending.map_batches(label, batch_format="pyarrow").materialize()
+        n_admit = int(sum(grants.values()))
+        n_defer = int(sum(ok_counts.values()) - n_admit)
+        return admission, n_admit, n_defer, robots_dropped
+
     def _links_driver(self, cand: pa.Table, budget: int, wave: int) -> pa.Table:
         """Driver-path steps 6-8: first-win dedup, seen anti-join, order,
         truncate, dense re-rank, seen insert. Same semantics as the
@@ -408,17 +557,11 @@ class CrawlRun:
                 deferred = None  # kept as def_tbl
                 n_admit, n_defer = adm_tbl.num_rows, def_tbl.num_rows
             else:
-                admission = (
-                    pending.groupby("pshard")
-                    .map_groups(
-                        self.politeness.admit_group_fn(wave), batch_format="pandas"
-                    )
-                    .materialize()
+                admission, n_admit, n_defer, m["robots_dropped"] = (
+                    self._admit_distributed(pending, wave)
                 )
                 # lazy filter views over the materialized admission blocks —
-                # each consumer re-scans cheap local blocks, no extra
-                # materializations; counts come from the politeness actors'
-                # memoized verdicts (zero dataset passes)
+                # each consumer re-scans cheap local blocks
                 admitted = admission.map_batches(
                     lambda t: t.filter(pc.equal(t["admit"], 1)).drop_columns(["admit"]),
                     batch_format="pyarrow",
@@ -428,9 +571,6 @@ class CrawlRun:
                     batch_format="pyarrow",
                 )
                 def_tbl = None
-                n_admit, n_defer, m["robots_dropped"] = (
-                    self.politeness.admit_counts(wave)
-                )
             m["t_admission"] = round(time.perf_counter() - tw, 3)
             m["deferred"] = n_defer
 
