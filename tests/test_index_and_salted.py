@@ -94,3 +94,24 @@ def test_index_pipeline():
     assert dup == 0
     # meta tags indexed for every page that had meta spans
     assert counts["meta_tags_index"] > 0 and counts["meta_tags"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_search_api_over_index():
+    """§3.2 search service analog: dork query over the indexed crawl."""
+    from thecrowler_ray.pipelines.search_api import search_pages
+
+    out = "/tmp/crowler_t_index"  # built by test_index_pipeline
+    import os
+
+    if not os.path.isdir(f"{out}/search_index"):
+        pytest.skip("index not built (run test_index_pipeline first)")
+    got = search_pages(out, "crawler frontier", k=5)
+    assert list(got.columns) == ["doc_id", "url", "title", "score"]
+    assert len(got) > 0
+    assert (got.score > 0).all()
+    # descending score, deterministic ties
+    assert list(got.score) == sorted(got.score, reverse=True)
+    # exact-field gating works
+    none = search_pages(out, "lang:xx crawler", k=5)
+    assert len(none) == 0

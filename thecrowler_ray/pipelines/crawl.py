@@ -172,6 +172,10 @@ class LinkExplodeFilter:
         hrefs = flat.field("href").to_pylist()
         link_idx = flat.field("link_idx").to_pylist()
         par = parents.to_pylist()
+        # batch-local first-win pre-dedup (combiner): keeps only the min
+        # packed row per key within this batch, shrinking the global dedup
+        # groupby's input; min-of-mins preserves first-win semantics
+        best: dict[str, tuple[int, tuple]] = {}
         for href, j, pi in zip(hrefs, link_idx, par):
             link = href
             if link.startswith("/"):
@@ -188,12 +192,17 @@ class LinkExplodeFilter:
             if not is_url_valid(link if "://" in link else "http://" + link):
                 continue
             key = url_key_hex(link)
+            packed = (ords[pi] << _PACK_SHIFT) | min(j, (1 << _PACK_SHIFT) - 1)
+            cur = best.get(key)
+            if cur is None or packed < cur[0]:
+                best[key] = (packed, (link, srcs[pi], restr[pi], ci))
+        for key, (packed, (link, src, rs, ci)) in best.items():
             out["url"].append(link)
             out["key"].append(key)
             out["host"].append(host_of(link))
-            out["packed"].append((ords[pi] << _PACK_SHIFT) | min(j, (1 << _PACK_SHIFT) - 1))
-            out["src_url"].append(srcs[pi])
-            out["restricted"].append(restr[pi])
+            out["packed"].append(packed)
+            out["src_url"].append(src)
+            out["restricted"].append(rs)
             out["cfg_idx"].append(ci)
             out["kbucket"].append(int(key[:8], 16) % self.n_key_buckets)
         return pa.table(
