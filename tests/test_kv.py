@@ -51,3 +51,33 @@ def test_named_actor_shared_across_callers():
     assert ray.get(b.incr.remote("n")) == 1
     assert ray.get(a.incr.remote("n")) == 2
     ray.kill(ray.get_actor("t_kv"))
+
+
+def test_event_bus_local():
+    from thecrowler_ray.state.events import EventBus
+
+    bus = EventBus()
+    e1 = bus.publish("crawl_done", "engine", details={"source": 1}, now=100.0)
+    e2 = bus.publish("tmp", "engine", ttl_seconds=10, now=100.0)
+    assert [e["event_id"] for e in bus.poll("engine", now=105.0)] == [e1, e2]
+    # expiry drops e2
+    assert [e["event_id"] for e in bus.poll("engine", now=111.0)] == [e1]
+    assert bus.ack(e1) and not bus.ack(e1)
+
+    bus.add_schedule("agg", "run_timeseries", every_seconds=60, now=100.0)
+    assert bus.due_schedules(now=130.0) == []
+    assert bus.due_schedules(now=161.0) == ["agg"]
+    assert bus.due_schedules(now=165.0) == []  # just ran
+    fired = bus.poll("scheduler", now=165.0)
+    assert fired and fired[0]["details"]["schedule"] == "agg"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_bus_actor_shared():
+    from thecrowler_ray.state.events import event_bus
+
+    a = event_bus("t_events")
+    b = event_bus("t_events")
+    eid = ray.get(a.publish.remote("x", "t"))
+    assert ray.get(b.poll.remote("t"))[0]["event_id"] == eid
+    ray.kill(ray.get_actor("t_events"))
