@@ -81,3 +81,28 @@ def test_event_bus_actor_shared():
     eid = ray.get(a.publish.remote("x", "t"))
     assert ray.get(b.poll.remote("t"))[0]["event_id"] == eid
     ray.kill(ray.get_actor("t_events"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_publishes_events():
+    import shutil
+
+    from thecrowler_ray.pipelines.crawl import CrawlRun, EngineConfig
+    from thecrowler_ray.sources.synthweb import CorpusConfig, seed_urls
+    from thecrowler_ray.state.events import event_bus
+
+    bus = event_bus("t_crawl_events")
+    cfg = CorpusConfig(seed=42, n_hosts=3, base_pages=10)
+    shutil.rmtree("/tmp/crowler_t_events", ignore_errors=True)
+    run = CrawlRun(cfg, seed_urls(cfg, 2), EngineConfig(
+        max_links=30, max_waves=4, out_dir="/tmp/crowler_t_events",
+        n_seen_shards=2, n_pol_shards=2, seen_log2_buckets=10),
+        events_bus=bus)
+    summary = run.run()
+    events = ray.get(bus.poll.remote("engine"))
+    actions = [e["action"] for e in events]
+    assert "crawl_complete" in actions
+    assert actions.count("crawl_wave_complete") == summary["waves"]
+    done = [e for e in events if e["action"] == "crawl_complete"][0]
+    assert done["details"]["total_fetched"] == summary["total_fetched"]
+    ray.kill(ray.get_actor("t_crawl_events"))

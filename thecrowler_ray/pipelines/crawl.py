@@ -232,7 +232,11 @@ class CrawlRun:
         corpus_cfg: CorpusConfig,
         seeds: list[dict],
         cfg: EngineConfig,
+        events_bus=None,
     ):
+        # optional EventBus actor handle (state/events.py): wave / completion
+        # events mirror the reference's engine events (crawler.go:646-701)
+        self.events_bus = events_bus
         self.corpus_cfg = corpus_cfg
         self.seeds = seeds
         self.cfg = cfg
@@ -773,6 +777,10 @@ class CrawlRun:
             self._checkpoint(wave_dir, ckpt_obj, m)
             m["t_checkpoint"] = round(time.perf_counter() - tc, 3)
             m["t_wave"] = round(time.perf_counter() - tw, 3)
+            if self.events_bus is not None:
+                self.events_bus.publish.remote(
+                    "crawl_wave_complete", "engine", details=dict(m)
+                )
             self.wave += 1
 
         elapsed = time.perf_counter() - t0
@@ -788,6 +796,14 @@ class CrawlRun:
         }
         with open(os.path.join(cfg.out_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=1)
+        if self.events_bus is not None:
+            ray.get(
+                self.events_bus.publish.remote(
+                    "crawl_complete", "engine",
+                    details={"run_id": cfg.run_id,
+                             "total_fetched": self.total_fetched},
+                )
+            )
         return summary
 
     # ---- checkpointing --------------------------------------------------
