@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_per_region": q.q_supplier_per_region,
         "q_part_types": q.q_part_types,
         "q_lineitem_topk": q.q_lineitem_topk,
+        "q_order_lineitem_join": q.q_order_lineitem_join,
         "q_nation_revenue": q.q_nation_revenue,
         "q_monthly_orders": q.q_monthly_orders,
         # stream-shaped events (§2.9 analogue)
@@ -154,6 +155,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ROUND(l_extendedprice * (1 - l_discount), 4) DESC,
                      l_orderkey, l_linenumber
             LIMIT 10
+        """,
+        "q_order_lineitem_join": """
+            SELECT o.o_orderpriority, COUNT(*) AS n_lineitems,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "q_nation_revenue": """
             SELECT n.n_name, COUNT(*) AS n_orders,

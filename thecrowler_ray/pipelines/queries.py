@@ -599,3 +599,36 @@ def q_media_decode(sf_dir: str):
         ["media_id", "doc_id", "mime", "kind", "byte_len", "width", "height",
          "duration_ms", "target_width", "target_height"]
     )
+
+
+def q_order_lineitem_join(sf_dir: str):
+    """Large-large hash join (native Dataset.join, hash-partitioned): orders
+    ⋈ lineitem → revenue per order priority. The 'both sides large' join
+    class the reference delegates to SQL (SURVEY.md §2.4)."""
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev).drop_columns(
+            ["l_extendedprice", "l_discount"]
+        )
+
+    items = items.map_batches(add_rev, batch_format="pyarrow")
+    joined = items.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_lineitems"),
+            Sum("revenue", alias_name="total_revenue"),
+        )
+        .to_pandas()
+    )
+    out["total_revenue"] = out["total_revenue"].round(2)
+    return out
