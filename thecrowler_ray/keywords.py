@@ -79,13 +79,18 @@ def normalize_keyword(word: str) -> str:
 def is_keyword(word: str, lang: str = "") -> bool:
     lang = lang.strip() or "en"
     word = word.strip().lower()
+    return _is_keyword_norm(word, STOP_WORDS.get(lang))
+
+
+def _is_keyword_norm(word: str, lang_words) -> bool:
+    """is_keyword fast path: input already stripped+lowercased and the
+    stop-word set already resolved (identical semantics, no re-normalize)."""
     if len(word) < 3:
         return False
     if word.strip(_SYMBOL_ONLY_STRIP) == "":
         return False
     if word in ("/*", "*/", "<!--", "-->"):
         return False
-    lang_words = STOP_WORDS.get(lang)
     if lang_words is None:
         return True
     return word not in lang_words
@@ -96,14 +101,17 @@ def _split_words(content: str) -> list[str]:
 
 
 def _filter_words(words: list[str], lang: str = "") -> list[str]:
+    # normalize_keyword output is already stripped+lowercased → use the
+    # is_keyword fast path with the stop-word set resolved once
+    lang_words = STOP_WORDS.get(lang.strip() or "en")
     out = []
     for word in words:
         kw = normalize_keyword(word)
         if not kw or len(kw) > 45:
             continue
-        if kw.startswith("#") or kw.startswith("@"):
+        if kw[0] in "#@":
             out.append(kw)
-        elif is_keyword(kw, lang):
+        elif _is_keyword_norm(kw, lang_words):
             out.append(kw)
     return out
 
