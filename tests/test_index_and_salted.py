@@ -115,3 +115,35 @@ def test_search_api_over_index():
     # exact-field gating works
     none = search_pages(out, "lang:xx crawler", k=5)
     assert len(none) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_correlated_sources_and_compaction():
+    import os
+
+    import pyarrow as pa
+
+    from thecrowler_ray.pipelines.maintenance import (
+        compact_waves,
+        correlated_sources,
+    )
+    from thecrowler_ray.stages.enrich import enrich_hosts
+
+    out = "/tmp/crowler_t_index"
+    crawl_out = "/tmp/crowler_t_index_crawl"
+    if not os.path.isdir(f"{out}/search_index"):
+        pytest.skip("index not built")
+    pages = ray.data.from_arrow(pa.table({"host": ["host0.test", "host1.test"]}))
+    net, http = enrich_hosts(pages)
+    got = correlated_sources(
+        "host0", search_index_dir=f"{out}/search_index",
+        netinfo_ds=net, httpinfo_ds=http,
+    ).to_pandas()
+    assert "host0.test" in set(got.host)
+    assert "host1.test" not in set(got.host)
+
+    c = compact_waves(crawl_out)
+    assert c["files_before"] >= c["files_after"] >= 1
+    assert c["rows"] > 0
+    comp = ray.data.read_parquet(f"{crawl_out}/pages_compacted").count()
+    assert comp == c["rows"]

@@ -122,18 +122,28 @@ class HTTPInfoStage:
         )
 
 
-def enrich_hosts(pages_ds, concurrency: int = 2):
+def enrich_hosts(pages_ds, concurrency: int | None = None):
     """distinct hosts of a crawl → (netinfo_ds, httpinfo_ds), deduplicated
-    by details hash (reference upsert-by-hash)."""
-    import pandas as pd
+    by details hash (reference upsert-by-hash).
 
+    Stages run as tasks by default (the sandbox collectors are pure
+    functions); pass ``concurrency=N`` to pin an actor pool when real
+    resolvers hold sockets/caches — but size pools so they don't starve
+    downstream task stages (a pool that reserves every CPU deadlocks a
+    union over these datasets)."""
     hosts = pages_ds.select_columns(["host"]).groupby("host").map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
-    net = hosts.map_batches(
-        NetInfoStage, batch_format="pyarrow", concurrency=concurrency
-    )
-    http = hosts.map_batches(
-        HTTPInfoStage, batch_format="pyarrow", concurrency=concurrency
-    )
+    if concurrency:
+        net = hosts.map_batches(
+            NetInfoStage, batch_format="pyarrow", concurrency=concurrency,
+            num_cpus=0.5,
+        )
+        http = hosts.map_batches(
+            HTTPInfoStage, batch_format="pyarrow", concurrency=concurrency,
+            num_cpus=0.5,
+        )
+    else:
+        net = hosts.map_batches(NetInfoStage(), batch_format="pyarrow")
+        http = hosts.map_batches(HTTPInfoStage(), batch_format="pyarrow")
     return net, http
