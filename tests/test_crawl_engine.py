@@ -302,3 +302,42 @@ def test_distributed_path_robots_equality():
         m.get("robots_dropped", 0) for m in oracle.metrics
     )
     _assert_match(run, "/tmp/crowler_t_dist_rob", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_randomized_engine_oracle_equality():
+    """Property-style end-to-end: random (corpus, politeness, limits)
+    configurations — engine must equal the oracle on every one."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        corpus = CorpusConfig(
+            seed=rng.randint(1, 10_000),
+            n_hosts=rng.randint(2, 7),
+            base_pages=rng.randint(8, 30),
+            branch=rng.randint(2, 4),
+            cross_host_frac=rng.choice([0.0, 0.15, 0.4]),
+            variant_frac=rng.choice([0.0, 0.3]),
+        )
+        seeds = seed_urls(corpus, rng.randint(1, corpus.n_hosts))
+        params = dict(
+            max_links=rng.choice([20, 60, 200]),
+            max_waves=rng.randint(3, 8),
+            politeness_rate=rng.choice([2, 5, 10**9]),
+            politeness_capacity=rng.choice([3, 8, 10**9]),
+            check_robots=rng.choice([False, True]),
+        )
+        if params["politeness_capacity"] < params["politeness_rate"]:
+            params["politeness_capacity"] = params["politeness_rate"]
+        out = f"/tmp/crowler_t_rand{trial}"
+        shutil.rmtree(out, ignore_errors=True)
+        run = CrawlRun(corpus, seeds, EngineConfig(
+            out_dir=out, n_seen_shards=2, n_pol_shards=2, seen_log2_buckets=10,
+            driver_threshold=rng.choice([0, 500_000]), **params))
+        summary = run.run()
+        oracle = crawl_oracle(corpus, seeds, CrawlParams(**params))
+        assert summary["total_fetched"] == len(oracle.pages), (
+            f"trial {trial}: {params} corpus={corpus}"
+        )
+        _assert_match(run, out, oracle)
