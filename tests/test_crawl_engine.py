@@ -341,3 +341,48 @@ def test_randomized_engine_oracle_equality():
             f"trial {trial}: {params} corpus={corpus}"
         )
         _assert_match(run, out, oracle)
+
+
+def _make_scorer():
+    # defined as a closure so cloudpickle ships it by value to workers
+    import re as _re
+
+    pat = _re.compile(r"/p/(\d+)")
+
+    def score(url: str) -> int:
+        m = pat.search(url.lower())
+        return 1000 - int(m.group(1)) if m else 0
+
+    return score
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_priority_frontier_equality():
+    """Link-score ordering (north star: 'depth + link-score'): with a tight
+    max_links the scored crawl must pick different (higher-priority) pages
+    than discovery order — and still match the oracle exactly."""
+    kw = dict(max_links=40, max_waves=6)
+    scorer = _make_scorer()
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_prio",
+        engine_kw=dict(link_score_fn=scorer, **kw),
+        oracle_kw=dict(link_score_fn=scorer, **kw),
+    )
+    assert summary["total_fetched"] == len(oracle.pages) > 0
+    _assert_match(run, "/tmp/crowler_t_prio", oracle)
+    # and the scored ordering actually differs from plain discovery order
+    plain = crawl_oracle(CFG, SEEDS, CrawlParams(**kw))
+    assert {p["doc_id"] for p in oracle.pages} != {p["doc_id"] for p in plain.pages}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_priority_frontier_distributed_equality():
+    kw = dict(max_links=40, max_waves=6)
+    scorer = _make_scorer()
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_prio_dist",
+        engine_kw=dict(link_score_fn=scorer, driver_threshold=0, **kw),
+        oracle_kw=dict(link_score_fn=scorer, **kw),
+    )
+    assert summary["total_fetched"] == len(oracle.pages)
+    _assert_match(run, "/tmp/crowler_t_prio_dist", oracle)

@@ -87,3 +87,27 @@ def test_host_helpers():
     assert 0 <= h1 < 1 << 32
     assert h1 == host_hash("host1.test")  # stable across calls/processes
     assert host_hash("host1.test", 64) < 64
+
+
+def test_parse_robots_txt():
+    from thecrowler_ray.urls import parse_robots_txt
+
+    text = """
+# comments ignored
+User-agent: crowler
+Disallow: /private/
+Disallow: /tmp
+
+User-agent: *
+Disallow: /admin/
+Crawl-delay: 3
+"""
+    assert parse_robots_txt(text, "crowler") == ["/private/", "/tmp"]
+    assert parse_robots_txt(text, "other-bot") == ["/admin/"]
+    assert parse_robots_txt("", "x") == []
+    # empty Disallow means allow-all for that group
+    assert parse_robots_txt("User-agent: *\nDisallow:") == []
+    # multiple agents sharing one group
+    shared = "User-agent: a\nUser-agent: b\nDisallow: /x/"
+    assert parse_robots_txt(shared, "a") == ["/x/"]
+    assert parse_robots_txt(shared, "b") == ["/x/"]

@@ -37,6 +37,7 @@ class CrawlParams:
     politeness_rate: int = 10 ** 9  # tokens per host per wave
     politeness_capacity: int = 10 ** 9
     check_robots: bool = False
+    link_score_fn: object = None  # deterministic fn(url)->int; priority frontier
     restricted: int = 4
     unwanted: list[str] = field(default_factory=list)
     user_patterns: list[str] = field(default_factory=list)
@@ -216,8 +217,14 @@ def crawl_oracle(
                 dup += 1
                 continue
             survivors.append((pre_rank, item))
-        # 8. next frontier: sort, truncate, re-rank, insert into seen
-        survivors.sort(key=lambda t: t[0])
+        # 8. next frontier: sort (priority score desc when configured, then
+        # discovery), truncate, re-rank, insert into seen
+        if params.link_score_fn is not None:
+            survivors.sort(
+                key=lambda t: (-int(params.link_score_fn(t[1]["url"])), t[0])
+            )
+        else:
+            survivors.sort(key=lambda t: t[0])
         survivors = survivors[:budget]
         new_rows = []
         for new_ord, (_, item) in enumerate(survivors):

@@ -65,6 +65,7 @@ CANDIDATE_SCHEMA = pa.schema(
         ("src_url", pa.string()),
         ("restricted", pa.int32()),
         ("cfg_idx", pa.int32()),
+        ("score", pa.int64()),
         ("kbucket", pa.int32()),
     ]
 )
@@ -91,6 +92,12 @@ class EngineConfig:
     politeness_rate: int = 10**9
     politeness_capacity: int = 10**9
     check_robots: bool = False
+    # optional deterministic link-score fn(url)->int: the priority frontier
+    # (north star: "depth + link-score ordering"). Within a wave, candidates
+    # order by (score DESC, discovery ASC) before truncation + re-rank;
+    # depth-major BFS order is unchanged. None = pure discovery order (the
+    # reference default, O2).
+    link_score_fn: object = None
     unwanted: list[str] = field(default_factory=list)
     user_patterns: list[str] = field(default_factory=list)
     n_seen_shards: int = 8
@@ -154,7 +161,8 @@ class LinkExplodeFilter:
         parents = pc.list_parent_indices(links)
         out = {
             "url": [], "key": [], "host": [], "packed": [],
-            "src_url": [], "restricted": [], "cfg_idx": [], "kbucket": [],
+            "src_url": [], "restricted": [], "cfg_idx": [], "score": [],
+            "kbucket": [],
         }
         if len(flat) == 0:
             return pa.Table.from_pydict(
@@ -196,6 +204,7 @@ class LinkExplodeFilter:
             cur = best.get(key)
             if cur is None or packed < cur[0]:
                 best[key] = (packed, (link, srcs[pi], restr[pi], ci))
+        score_fn = self.cfg.link_score_fn
         for key, (packed, (link, src, rs, ci)) in best.items():
             out["url"].append(link)
             out["key"].append(key)
@@ -204,6 +213,7 @@ class LinkExplodeFilter:
             out["src_url"].append(src)
             out["restricted"].append(rs)
             out["cfg_idx"].append(ci)
+            out["score"].append(int(score_fn(link)) if score_fn else 0)
             out["kbucket"].append(int(key[:8], 16) % self.n_key_buckets)
         return pa.table(
             {
@@ -214,6 +224,7 @@ class LinkExplodeFilter:
                 "src_url": pa.array(out["src_url"], pa.string()),
                 "restricted": pa.array(out["restricted"], pa.int32()),
                 "cfg_idx": pa.array(out["cfg_idx"], pa.int32()),
+                "score": pa.array(out["score"], pa.int64()),
                 "kbucket": pa.array(out["kbucket"], pa.int32()),
             }
         )
@@ -518,7 +529,12 @@ class CrawlRun:
         keys = key_u64(df["key"].to_numpy())
         hosts = df["host"].tolist()
         seen_mask = self.seen.contains_batch(keys, hosts)
-        df = df[~seen_mask].head(budget)
+        df = df[~seen_mask]
+        if self.cfg.link_score_fn is not None:
+            df = df.sort_values(
+                ["score", "packed"], ascending=[False, True], kind="mergesort"
+            )
+        df = df.head(budget)
         if len(df):
             self.seen.insert_batch(key_u64(df["key"].to_numpy()), df["host"].tolist())
         n_pol = self.cfg.n_pol_shards
@@ -688,7 +704,17 @@ class CrawlRun:
                         self.seen.filter_new_stage("key", "host"),
                         batch_format="pyarrow",
                     )
-                    ordered = fresh.sort("packed").limit(budget).materialize()
+                    if cfg.link_score_fn is not None:
+                        ordered = (
+                            fresh.sort(
+                                [("score"), ("packed")],
+                                descending=[True, False],
+                            )
+                            .limit(budget)
+                            .materialize()
+                        )
+                    else:
+                        ordered = fresh.sort("packed").limit(budget).materialize()
                     ranked = with_dense_rank(ordered, "rank")
                     n_pol = cfg.n_pol_shards
 
@@ -832,7 +858,12 @@ class CrawlRun:
             "total_fetched": self.total_fetched,
             "metrics": wave_metrics,
             "politeness": self.politeness.states(),
-            "config": asdict(self.cfg),
+            # functions (link_score_fn) are not JSON-serializable — record
+            # their qualified name for lineage instead
+            "config": {
+                k: (getattr(v, "__qualname__", str(v)) if callable(v) else v)
+                for k, v in asdict(self.cfg).items()
+            },
             "complete": True,
         }
         with open(os.path.join(wave_dir, "manifest.json"), "w") as f:

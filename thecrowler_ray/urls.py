@@ -191,3 +191,40 @@ def host_hash(host: str, buckets: int = 1 << 32) -> int:
     partitioning is identical across processes and Python versions (never
     ``hash()``, which is salted per process)."""
     return int.from_bytes(hashlib.sha1(host.encode("utf-8")).digest()[:4], "big") % buckets
+
+
+def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
+    """robots.txt → list of Disallow path prefixes for the given agent
+    (the most specific matching User-agent group wins; '*' is the
+    fallback — standard robots exclusion semantics). Feed the result to the
+    politeness actors' robots cache (``stages/politeness.py``)."""
+    groups: dict[str, list[str]] = {}
+    current: list[str] | None = None
+    current_agents: list[str] = []
+    saw_rule = True
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if saw_rule:  # a new group starts
+                current_agents = []
+                saw_rule = False
+            agent = value.lower()
+            current_agents.append(agent)
+            current = groups.setdefault(agent, [])
+        elif field == "disallow":
+            saw_rule = True
+            if value:
+                for agent in current_agents:
+                    groups.setdefault(agent, []).append(value)
+        elif field in ("allow", "crawl-delay", "sitemap"):
+            saw_rule = True  # recognized but not modeled (allow-all default)
+    ua = user_agent.lower()
+    for candidate in (ua, "*"):
+        if candidate in groups:
+            return groups[candidate]
+    return []
