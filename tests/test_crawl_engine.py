@@ -386,3 +386,22 @@ def test_priority_frontier_distributed_equality():
     )
     assert summary["total_fetched"] == len(oracle.pages)
     _assert_match(run, "/tmp/crowler_t_prio_dist", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fetch_retry_budget():
+    """Transient fetch failures retry within the budget (reference per-URL
+    navigation retries) — crawl output unchanged vs the oracle."""
+    from thecrowler_ray.stages.fetch import FetchParse
+
+    # direct: flaky fetcher succeeds on retry, permanent 404 does not
+    fp = FetchParse(CFG, max_retries=3, flaky_every=1)  # every URL fails once
+    from thecrowler_ray.sources.synthweb import page_url
+
+    html = fp._fetch(page_url(CFG, 0, 0))
+    assert html is not None and fp.retry_count >= 1
+    assert fp._fetch("http://host0.test/p/99999") is None  # permanent
+
+    # zero budget → transient failure becomes a miss
+    fp0 = FetchParse(CFG, max_retries=0, flaky_every=1)
+    assert fp0._fetch(page_url(CFG, 0, 0)) is None

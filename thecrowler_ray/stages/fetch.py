@@ -67,16 +67,48 @@ PAGE_SCHEMA = pa.schema(
 
 
 class FetchParse:
-    """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
+    """Callable class for ``map_batches(..., concurrency=N)`` actor pools.
 
-    def __init__(self, corpus_cfg: CorpusConfig):
+    Retry semantics mirror the reference (per-URL navigation retries with a
+    budget, ``pkg/crawler/web.go:1131-1399``; ``max_retries: 3`` default):
+    transient failures retry up to ``max_retries`` times; permanent failures
+    (unknown URL = 404) don't. ``flaky_every`` injects deterministic
+    transient failures for tests (n-th fetch attempt of matching URLs fails
+    once) — a real HTTP fetcher raises/returns transient errors naturally.
+    """
+
+    def __init__(self, corpus_cfg: CorpusConfig, max_retries: int = 3,
+                 flaky_every: int = 0):
         self.cfg = corpus_cfg
+        self.max_retries = max_retries
+        self.flaky_every = flaky_every
+        self._attempted: set[str] = set()
+        self.retry_count = 0
 
-    def _fetch(self, url: str) -> str | None:
+    def _fetch_once(self, url: str, attempt: int) -> tuple[str | None, bool]:
+        """→ (html, transient): html None + transient=True means retryable."""
         hp = parse_page_url(self.cfg, url)
         if hp is None:
-            return None
-        return page_html(self.cfg, *hp)
+            return None, False  # permanent (404)
+        if (
+            self.flaky_every
+            and attempt == 0
+            and int.from_bytes(
+                hashlib.md5(f"{self.cfg.seed}|{url}".encode()).digest()[:4], "big"
+            ) % self.flaky_every == 0
+        ):
+            return None, True  # injected transient failure
+        return page_html(self.cfg, *hp), False
+
+    def _fetch(self, url: str) -> str | None:
+        for attempt in range(self.max_retries + 1):
+            html, transient = self._fetch_once(url, attempt)
+            if html is not None:
+                return html
+            if not transient:
+                return None
+            self.retry_count += 1
+        return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {name: [] for name in PAGE_SCHEMA.names}
