@@ -143,12 +143,41 @@ def unique(words: list[str]) -> list[str]:
 
 def extract_keywords(body_text: str, meta_tags: list[dict] | None = None, lang: str = "") -> list[str]:
     """Reference driver order: normalized body content, then meta
-    ``keywords``, then meta ``description``; dedup preserving first-seen."""
+    ``keywords``, then meta ``description``; dedup preserving first-seen.
+
+    Fused fast path: one ordered-unique pass with a per-call decision cache
+    (normalize+filter computed once per distinct raw token). Equivalent to
+    ``unique(filter(content) + filter(meta...))`` because
+    ``normalize_keyword`` output is already stripped+lowercased, so
+    ``unique``'s re-normalization is a no-op on it."""
     meta_tags = meta_tags or []
-    keywords = extract_content_keywords(normalize_text(body_text), lang)
-    keywords += extract_from_meta_tag(meta_tags, "keywords", lang)
-    keywords += extract_from_meta_tag(meta_tags, "description", lang)
-    return unique(keywords)
+    lang_words = STOP_WORDS.get(lang.strip() or "en")
+    cache: dict[str, str | None] = {}
+    seen: set[str] = set()
+    out: list[str] = []
+
+    def consume(words: list[str]) -> None:
+        for word in words:
+            kw = cache.get(word, "\x00")
+            if kw == "\x00":
+                k = normalize_keyword(word)
+                if not k or len(k) > 45:
+                    kw = None
+                elif k[0] in "#@" or _is_keyword_norm(k, lang_words):
+                    kw = k
+                else:
+                    kw = None
+                cache[word] = kw
+            if kw is not None and kw not in seen:
+                seen.add(kw)
+                out.append(kw)
+
+    consume(_split_words(normalize_text(body_text)))
+    for tag_name in ("keywords", "description"):
+        for tag in meta_tags:
+            if str(tag.get("name", "")).strip().lower() == tag_name:
+                consume(_split_words(str(tag.get("content", ""))))
+    return out
 
 
 def canonicalize_keyword_db(word: str) -> str:
