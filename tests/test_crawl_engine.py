@@ -327,9 +327,15 @@ def test_randomized_engine_oracle_equality():
             politeness_rate=rng.choice([2, 5, 10**9]),
             politeness_capacity=rng.choice([3, 8, 10**9]),
             check_robots=rng.choice([False, True]),
+            link_score_fn=rng.choice([None, _make_scorer()]),
         )
         if params["politeness_capacity"] < params["politeness_rate"]:
             params["politeness_capacity"] = params["politeness_rate"]
+        if rng.random() < 0.5:
+            import json as _json
+
+            seeds[0] = dict(seeds[0], config=_json.dumps(
+                {"crawling_config": {"unwanted_urls": [r"/p/2$"]}}))
         out = f"/tmp/crowler_t_rand{trial}"
         shutil.rmtree(out, ignore_errors=True)
         run = CrawlRun(corpus, seeds, EngineConfig(
