@@ -177,9 +177,13 @@ def main() -> None:
         lo, hi = (
             int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "4,16").split(",")
         )
-        results = {}
-        speed = {}
-        for n in (lo, hi):
+        # interleave the levels (lo,hi,lo,hi): adjacent pairs share a drift
+        # window on this noisy host, so per-pair efficiency is far more
+        # stable than two monolithic blocks; report the median pair raw +
+        # calibrated (per-CPU md5 throughput measured around each run)
+        order = [lo, hi, lo, hi]
+        runs = []
+        for n in order:
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(n),
@@ -187,7 +191,7 @@ def main() -> None:
                 GRAFT_PAGES_PER_SF=os.environ.get(
                     "GRAFT_PAGES_PER_SF", "600000"
                 ),
-                GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "2"),
+                GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "1"),
             )
             s_before = calibrate_cpu(n)
             out = subprocess.run(
@@ -198,27 +202,48 @@ def main() -> None:
                 check=True,
             ).stdout
             s_after = calibrate_cpu(n)
-            speed[n] = (s_before + s_after) / 2
-            results[n] = json.loads(out.strip().splitlines()[-1])
-        t_lo = results[lo]["value"]
-        t_hi = results[hi]["value"]
-        eff = (t_lo / t_hi) / (hi / lo)
-        # drift-normalized: scale each time by the per-CPU speed the host
-        # delivered in that window (cancels shared-host noise between the
-        # two measurements; does NOT correct intra-level parallel ceiling)
-        eff_cal = ((t_lo * speed[lo]) / (t_hi * speed[hi])) / (hi / lo)
+            runs.append(
+                {
+                    "n": n,
+                    "speed": (s_before + s_after) / 2,
+                    "res": json.loads(out.strip().splitlines()[-1]),
+                }
+            )
+        pairs = []
+        for a, b in zip(runs, runs[1:]):
+            r_lo, r_hi = (a, b) if a["n"] == lo else (b, a)
+            t_lo, t_hi = r_lo["res"]["value"], r_hi["res"]["value"]
+            pairs.append(
+                {
+                    "raw": (t_lo / t_hi) / (hi / lo),
+                    "calibrated": ((t_lo * r_lo["speed"]) / (t_hi * r_hi["speed"]))
+                    / (hi / lo),
+                }
+            )
+        pairs_raw = sorted(p["raw"] for p in pairs)
+        pairs_cal = sorted(p["calibrated"] for p in pairs)
+        best_lo = min(r["res"]["value"] for r in runs if r["n"] == lo)
+        best_hi = min(r["res"]["value"] for r in runs if r["n"] == hi)
         print(
             json.dumps(
                 {
                     "metric": "crawl_scaling",
-                    f"sec_{lo}": t_lo,
-                    f"sec_{hi}": t_hi,
-                    f"urls_per_sec_{lo}": results[lo]["crawl"]["urls_per_sec"],
-                    f"urls_per_sec_{hi}": results[hi]["crawl"]["urls_per_sec"],
-                    "scaling_efficiency": round(eff, 3),
-                    "scaling_efficiency_calibrated": round(eff_cal, 3),
-                    f"cpu_mops_per_proc_{lo}": round(speed[lo], 3),
-                    f"cpu_mops_per_proc_{hi}": round(speed[hi], 3),
+                    f"sec_{lo}": best_lo,
+                    f"sec_{hi}": best_hi,
+                    f"urls_per_sec_{lo}": max(
+                        r["res"]["crawl"]["urls_per_sec"] for r in runs if r["n"] == lo
+                    ),
+                    f"urls_per_sec_{hi}": max(
+                        r["res"]["crawl"]["urls_per_sec"] for r in runs if r["n"] == hi
+                    ),
+                    "scaling_efficiency": round(pairs_raw[len(pairs_raw) // 2], 3),
+                    "scaling_efficiency_calibrated": round(
+                        pairs_cal[len(pairs_cal) // 2], 3
+                    ),
+                    "pair_efficiencies_raw": [round(p["raw"], 3) for p in pairs],
+                    "pair_efficiencies_calibrated": [
+                        round(p["calibrated"], 3) for p in pairs
+                    ],
                     "sf": sf_of(SF_DIR),
                 }
             )
