@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": q.q_langid,
         "q_simhash": q.q_simhash,
         "q_minhash_pairs": q.q_minhash_pairs,
+        "q_simhash_pairs": q.q_simhash_pairs,
         "q_media_decode": q.q_media_decode,
         # embeddings
         "q_ann_topk": q.q_ann_topk,

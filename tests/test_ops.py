@@ -165,3 +165,22 @@ def test_multimodal_decode_pipeline():
     # stub gate for real codecs
     with pytest.raises(NotImplementedError):
         DecodeStage(real_codec=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_candidate_pairs():
+    from thecrowler_ray.stages.dedup import simhash_candidate_pairs
+
+    words = [f"tok{i}" for i in range(150)]
+    base = " ".join(words)
+    w2 = list(words)
+    w2[10] = "changed"
+    near = " ".join(w2)
+    other = " ".join(f"zzz{i}" for i in range(150))
+    docs = pa.table({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    pairs = simhash_candidate_pairs(
+        ray.data.from_arrow(docs), max_hamming=8
+    ).to_pandas()
+    assert (1, 2) in set(zip(pairs.doc_a, pairs.doc_b))
+    assert (1, 3) not in set(zip(pairs.doc_a, pairs.doc_b))
+    assert (pairs.hamming <= 8).all()

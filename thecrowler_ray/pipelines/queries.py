@@ -632,3 +632,11 @@ def q_order_lineitem_join(sf_dir: str):
     )
     out["total_revenue"] = out["total_revenue"].round(2)
     return out
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs with exact hamming verification (rows-only)."""
+    from ..stages.dedup import simhash_candidate_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_candidate_pairs(ds, max_hamming=12)

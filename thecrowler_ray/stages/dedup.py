@@ -270,3 +270,65 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ia, ib]})
 
     return ds.groupby(bucket_col).map_groups(group_pairs, batch_format="pandas")
+
+
+def simhash_candidate_pairs(ds, *, bands: int = 4, max_hamming: int | None = None,
+                            id_col: str = "doc_id", text_col: str = "text"):
+    """SimHash near-dup pairs: 64-bit simhash per doc → band segments →
+    shared-segment candidates (pigeonhole guarantees recall for hamming <
+    bands) → optional exact hamming verification. Same scalable shape as
+    the MinHash pipeline."""
+    from .text_analysis import simhash_stage
+
+    sims = ds.map_batches(simhash_stage, batch_format="pandas")
+    band_rows = sims.map_batches(
+        lambda t: simhash_band_rows(t, bands, id_col), batch_format="pyarrow"
+    )
+
+    sim_lookup_ref = None
+    if max_hamming is not None:
+        lookup = dict(
+            zip(
+                sims.select_columns([id_col, "simhash"]).to_pandas()[id_col],
+                sims.select_columns([id_col, "simhash"]).to_pandas()["simhash"],
+            )
+        )
+        import ray as _ray
+
+        sim_lookup_ref = _ray.put(lookup)
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        counts = g["segment"].value_counts()
+        hot = counts[counts > 1].index
+        for _, bucket in g[g["segment"].isin(hot)].groupby("segment", sort=False):
+            ids = sorted(bucket[id_col].unique())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+        df = pd.DataFrame({"doc_a": out_a, "doc_b": out_b}).drop_duplicates()
+        if sim_lookup_ref is not None and len(df):
+            import ray as _ray
+
+            lk = _ray.get(sim_lookup_ref)
+            ham = [
+                bin((int(lk[a]) & 0xFFFFFFFFFFFFFFFF)
+                    ^ (int(lk[b]) & 0xFFFFFFFFFFFFFFFF)).count("1")
+                for a, b in zip(df.doc_a, df.doc_b)
+            ]
+            df = df.assign(hamming=ham)
+            df = df[df.hamming <= max_hamming]
+        return df
+
+    pairs = band_rows.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Min as _Min
+
+    if max_hamming is not None:
+        return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+            _Min("hamming", alias_name="hamming")
+        )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        _Count(alias_name="_nbands")
+    ).drop_columns(["_nbands"])
