@@ -184,3 +184,28 @@ def test_simhash_candidate_pairs():
     assert (1, 2) in set(zip(pairs.doc_a, pairs.doc_b))
     assert (1, 3) not in set(zip(pairs.doc_a, pairs.doc_b))
     assert (pairs.hamming <= 8).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rows_only_queries_deterministic():
+    """Rows-only driver queries must be bit-deterministic across runs (the
+    driver may compare across rounds)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def canon(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        cols = [c for c in sorted(df.columns) if df[c].dtype != object or
+                isinstance(df[c].iloc[0] if len(df) else "", (str, int, float))]
+        df = df[cols]
+        return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    for name in ("q_crawl", "q_minhash_pairs", "q_simhash"):
+        a = canon(qs[name](sf))
+        b = canon(qs[name](sf))
+        pd.testing.assert_frame_equal(a, b)
