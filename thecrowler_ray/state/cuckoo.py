@@ -137,7 +137,44 @@ class CuckooFilter:
         fp = self._fp(keys)
         i1 = self._i1(keys)
         i2 = self._i2(i1, fp)
-        for k in range(len(keys)):
+        # vectorized fast path: place keys whose primary bucket is unique in
+        # this batch and has a free slot; the (rare) leftovers take the
+        # per-key kick path. Repeated rounds shrink the leftover set.
+        pending = np.arange(len(keys))
+        for _ in range(self.SLOTS + 2):
+            if len(pending) == 0:
+                break
+            b = i1[pending].astype(np.int64)
+            order = np.argsort(b, kind="stable")
+            b_sorted = b[order]
+            _, first_pos = np.unique(b_sorted, return_index=True)
+            chosen = order[first_pos]  # one key per distinct primary bucket
+            cb = b[chosen]
+            rows = self.table[cb]
+            empty = rows == 0
+            has_empty = empty.any(axis=1)
+            place = chosen[has_empty]
+            if len(place) == 0:
+                break
+            slots = empty[has_empty].argmax(axis=1)
+            self.table[cb[has_empty], slots] = fp[pending[place]]
+            placed_mask = np.zeros(len(pending), dtype=bool)
+            placed_mask[place] = True
+            # keys whose chosen-round bucket was FULL also leave the fast
+            # path (their i1 is full → kick path)
+            full = chosen[~has_empty]
+            stuck_mask = np.zeros(len(pending), dtype=bool)
+            stuck_mask[full] = True
+            stuck = pending[stuck_mask]
+            pending = pending[~(placed_mask | stuck_mask)]
+            if len(stuck):
+                for k in stuck:
+                    if not self._insert_one(
+                        int(i1[k]), int(i2[k]), np.uint16(fp[k])
+                    ):
+                        self.count += len(keys)
+                        return
+        for k in pending:
             if not self._insert_one(int(i1[k]), int(i2[k]), np.uint16(fp[k])):
                 # table grew and was rebuilt from exact_keys, which already
                 # contains this whole batch — nothing left to insert
