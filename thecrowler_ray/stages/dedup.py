@@ -112,11 +112,116 @@ class MinHashSignatures:
         return batch.append_column("minhash", pa.array(sigs, pa.list_(pa.int64())))
 
 
-def lsh_band_rows(batch: pa.Table, bands: int = 32, id_col: str = "doc_id") -> pa.Table:
-    """Explode signatures to (band, band_hash, doc_id) rows for the bucket
-    groupby — fully vectorized: the (N, perms) signature matrix reshapes to
-    (N, bands, rows_per_band) and each band hashes with one polynomial
-    matmul (no per-row Python)."""
+_SHARD_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _shard_of(bucket_hash: np.ndarray, band: np.ndarray, num_shards: int) -> np.ndarray:
+    """Uniform shard id from (bucket hash, band): multiply-mix then modulo.
+
+    Sharding decorrelates the shuffle key from the raw bucket hash so each
+    ``map_groups`` group holds ~``rows/num_shards`` rows regardless of bucket
+    population — the scale knob: set ``num_shards`` ≈ 4× cluster cores at
+    100 TB so no single task ever holds more than one shard of band rows.
+    """
+    mixed = (bucket_hash.astype(np.uint64) + np.uint64(0x51ED2701) * band.astype(np.uint64)) * _SHARD_MIX
+    return ((mixed >> np.uint64(33)) % np.uint64(num_shards)).astype(np.int32)
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a XOR b) over int64/uint64 arrays."""
+    x = np.ascontiguousarray(a.astype(np.uint64) ^ b.astype(np.uint64))
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1).astype(np.int64)
+
+
+def _shard_bucket_pairs(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
+                        sim_col: str | None = None,
+                        max_hamming: int | None = None) -> pd.DataFrame:
+    """All (doc_a < doc_b) pairs sharing a bucket, within ONE hash shard.
+
+    Only buckets with ≥2 rows are visited (duplicated-mask prefilter), so the
+    Python loop runs over collision buckets only — rare by construction. When
+    ``sim_col`` is given the 8-byte simhash rides along in the band rows and
+    hamming is verified in-group (no driver-side lookup table — the round-1
+    design built a doc_id→simhash dict from two full ``to_pandas()`` passes,
+    which cannot exist at 10^10 docs)."""
+    id_dtype = g[id_col].dtype
+    empty_cols = {"doc_a": pd.Series([], dtype=id_dtype),
+                  "doc_b": pd.Series([], dtype=id_dtype)}
+    if max_hamming is not None:
+        empty_cols["hamming"] = pd.Series([], dtype=np.int64)
+    dup = g[g.duplicated(subset=bucket_cols, keep=False)]
+    if not len(dup):
+        return pd.DataFrame(empty_cols)
+    a_parts, b_parts, sa_parts, sb_parts = [], [], [], []
+    for _, bucket in dup.groupby(bucket_cols, sort=False):
+        if sim_col is None:
+            ids = np.unique(bucket[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a_parts.append(ids[ia])
+            b_parts.append(ids[ib])
+        else:
+            b = bucket.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(b) < 2:
+                continue
+            ids = b[id_col].to_numpy()
+            sims = b[sim_col].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a_parts.append(ids[ia])
+            b_parts.append(ids[ib])
+            sa_parts.append(sims[ia])
+            sb_parts.append(sims[ib])
+    if not a_parts:
+        return pd.DataFrame(empty_cols)
+    out = pd.DataFrame({"doc_a": np.concatenate(a_parts),
+                        "doc_b": np.concatenate(b_parts)})
+    if sim_col is not None and max_hamming is not None:
+        out["hamming"] = _hamming64(np.concatenate(sa_parts),
+                                    np.concatenate(sb_parts))
+        out = out[out.hamming <= max_hamming]
+    # within-shard dedup (same pair can collide in several buckets of the
+    # shard) shrinks the cross-band dedup shuffle
+    return out.drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _dedup_pairs_sharded(pairs, *, num_shards: int = 64,
+                         hamming: bool = False):
+    """Cross-band pair dedup via hash-sharded vectorized pandas reduce.
+
+    A naive ``groupby(["doc_a","doc_b"]).aggregate(...)`` pays per-distinct-
+    group overhead in Ray's sort-based aggregation (~0.3 ms/group — 30 s for
+    90 k pairs measured at sf0.1); sharding by a row hash keeps the shuffle
+    (num_shards uniform partitions) but reduces each shard with ONE pandas
+    groupby/drop_duplicates call."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["doc_a", "doc_b"]], index=False)
+        df["pair_shard"] = (h % num_shards).astype(np.int32)
+        return df
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if hamming:
+            return g.groupby(["doc_a", "doc_b"], as_index=False, sort=False)[
+                "hamming"
+            ].min()
+        return g.drop_duplicates(subset=["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    return (
+        pairs.map_batches(add_shard, batch_format="pandas")
+        .groupby("pair_shard")
+        .map_groups(reduce_shard, batch_format="pandas")
+    )
+
+
+def lsh_band_rows(batch: pa.Table, bands: int = 32, id_col: str = "doc_id",
+                  num_shards: int = 64) -> pa.Table:
+    """Explode signatures to (shard, band, band_hash, doc_id) rows for the
+    sharded bucket groupby — fully vectorized: the (N, perms) signature matrix
+    reshapes to (N, bands, rows_per_band) and each band hashes with one
+    polynomial matmul (no per-row Python)."""
     ids_arr = batch[id_col]
     sig_list = batch["minhash"]
     if isinstance(sig_list, pa.ChunkedArray):
@@ -124,7 +229,8 @@ def lsh_band_rows(batch: pa.Table, bands: int = 32, id_col: str = "doc_id") -> p
     n = len(batch)
     if n == 0:
         return pa.table(
-            {"band": pa.array([], pa.int32()),
+            {"shard": pa.array([], pa.int32()),
+             "band": pa.array([], pa.int32()),
              "band_hash": pa.array([], pa.int64()),
              id_col: pa.array([], ids_arr.type)}
         )
@@ -137,51 +243,42 @@ def lsh_band_rows(batch: pa.Table, bands: int = 32, id_col: str = "doc_id") -> p
     hashes = (mat * weights).sum(axis=2) >> np.uint64(1)  # (N, bands), wraps mod 2^64
     band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
     id_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+    flat_hashes = hashes.reshape(-1)
     return pa.table(
         {
+            "shard": pa.array(_shard_of(flat_hashes, band_idx, num_shards)),
             "band": pa.array(band_idx, pa.int32()),
-            "band_hash": pa.array(hashes.reshape(-1).astype(np.int64)),
+            "band_hash": pa.array(flat_hashes.astype(np.int64)),
             id_col: ids_arr.take(pa.array(id_idx)),
         }
     )
 
 
 def minhash_candidate_pairs(ds, *, num_perm=128, bands=32, shingle_k=3,
-                            id_col="doc_id", text_col="text"):
+                            id_col="doc_id", text_col="text", num_shards=64):
     """documents → candidate near-dup pairs (doc_a < doc_b) from shared LSH
-    buckets, deduplicated across bands."""
+    buckets, deduplicated across bands.
+
+    The pair-generation groupby key is a uniform hash SHARD of
+    (band, band_hash) — never the band alone: grouping by band caps
+    parallelism at ``bands`` and puts one row per document into a single
+    group (group size O(N) — a guaranteed OOM at corpus scale). Shards are
+    uniform by construction; per-shard work is the collision buckets only."""
     sigs = ds.map_batches(
         MinHashSignatures(num_perm=num_perm, shingle_k=shingle_k,
                           text_col=text_col),
         batch_format="pyarrow",
     )
     band_rows = sigs.select_columns([id_col, "minhash"]).map_batches(
-        lambda t: lsh_band_rows(t, bands, id_col), batch_format="pyarrow"
+        lambda t: lsh_band_rows(t, bands, id_col, num_shards),
+        batch_format="pyarrow",
     )
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """All candidate pairs of ONE band (32 groups total — per-group
-        overhead amortized; the per-bucket pairing is vectorized pandas)."""
-        out_a, out_b = [], []
-        # only buckets with ≥2 docs produce pairs
-        counts = g["band_hash"].value_counts()
-        hot = counts[counts > 1].index
-        sub = g[g["band_hash"].isin(hot)]
-        for _, bucket in sub.groupby("band_hash", sort=False):
-            ids = sorted(bucket[id_col].unique())
-            for i, a in enumerate(ids):
-                for b in ids[i + 1:]:
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}).drop_duplicates()
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _shard_bucket_pairs(g, ["band", "band_hash"], id_col)
 
-    pairs = band_rows.groupby("band").map_groups(band_pairs, batch_format="pandas")
-    # cross-band dedup: aggregate (cheap count) instead of per-pair map_groups
-    from ray.data.aggregate import Count
-
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="_nbands")
-    ).drop_columns(["_nbands"])
+    pairs = band_rows.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+    return _dedup_pairs_sharded(pairs, num_shards=num_shards)
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -210,23 +307,39 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def simhash_band_rows(batch: pa.Table, bands: int = 4, id_col: str = "doc_id",
-                      sim_col: str = "simhash") -> pa.Table:
+                      sim_col: str = "simhash", num_shards: int = 64) -> pa.Table:
     """Split each 64-bit simhash into ``bands`` segments; docs within
-    hamming distance < bands share at least one exact segment (pigeonhole)."""
-    ids = batch[id_col].to_pylist()
-    sims = np.asarray(batch[sim_col].to_pylist(), dtype=np.int64).astype(np.uint64)
+    hamming distance < bands share at least one exact segment (pigeonhole).
+    The full simhash (8 bytes) rides along so hamming verification happens
+    inside the bucket group — no global lookup structure anywhere."""
+    ids_arr = batch[id_col]
+    sim_raw = batch[sim_col]
+    if isinstance(sim_raw, pa.ChunkedArray):
+        sim_raw = sim_raw.combine_chunks()
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {"shard": pa.array([], pa.int32()),
+             "band": pa.array([], pa.int32()),
+             "segment": pa.array([], pa.int64()),
+             id_col: pa.array([], ids_arr.type),
+             sim_col: pa.array([], pa.int64())}
+        )
+    sims = sim_raw.to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
     seg = 64 // bands
-    out_band, out_seg, out_id = [], [], []
-    for b in range(bands):
-        vals = (sims >> np.uint64(b * seg)) & np.uint64((1 << seg) - 1)
-        out_band.extend([b] * len(ids))
-        out_seg.extend(vals.astype(np.int64).tolist())
-        out_id.extend(ids)
+    seg_mask = np.uint64((1 << seg) - 1)
+    shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(seg))
+    segments = ((sims[:, None] >> shifts[None, :]) & seg_mask)  # (N, bands)
+    band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+    flat_seg = segments.reshape(-1)
+    id_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
     return pa.table(
         {
-            "band": pa.array(out_band, pa.int32()),
-            "segment": pa.array(out_seg, pa.int64()),
-            id_col: pa.array(out_id, batch[id_col].type),
+            "shard": pa.array(_shard_of(flat_seg, band_idx, num_shards)),
+            "band": pa.array(band_idx, pa.int32()),
+            "segment": pa.array(flat_seg.astype(np.int64)),
+            id_col: ids_arr.take(pa.array(id_idx)),
+            sim_col: pa.array(sims[id_idx].astype(np.int64)),
         }
     )
 
@@ -273,62 +386,29 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
 
 
 def simhash_candidate_pairs(ds, *, bands: int = 4, max_hamming: int | None = None,
-                            id_col: str = "doc_id", text_col: str = "text"):
+                            id_col: str = "doc_id", text_col: str = "text",
+                            num_shards: int = 64):
     """SimHash near-dup pairs: 64-bit simhash per doc → band segments →
     shared-segment candidates (pigeonhole guarantees recall for hamming <
-    bands) → optional exact hamming verification. Same scalable shape as
-    the MinHash pipeline."""
+    bands) → exact hamming verification in-group. Same scalable shape as the
+    MinHash pipeline: ONE pass over the documents, band rows carry the 8-byte
+    simhash, pair generation groups by a uniform hash shard of
+    (band, segment) — never by band (bands=4 would cap parallelism at 4 and
+    put the whole corpus in each group)."""
     from .text_analysis import simhash_stage
 
     sims = ds.map_batches(simhash_stage, batch_format="pandas")
-    band_rows = sims.map_batches(
-        lambda t: simhash_band_rows(t, bands, id_col), batch_format="pyarrow"
+    band_rows = sims.select_columns([id_col, "simhash"]).map_batches(
+        lambda t: simhash_band_rows(t, bands, id_col, num_shards=num_shards),
+        batch_format="pyarrow",
     )
 
-    sim_lookup_ref = None
-    if max_hamming is not None:
-        lookup = dict(
-            zip(
-                sims.select_columns([id_col, "simhash"]).to_pandas()[id_col],
-                sims.select_columns([id_col, "simhash"]).to_pandas()["simhash"],
-            )
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _shard_bucket_pairs(
+            g, ["band", "segment"], id_col, sim_col="simhash",
+            max_hamming=max_hamming,
         )
-        import ray as _ray
 
-        sim_lookup_ref = _ray.put(lookup)
-
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        counts = g["segment"].value_counts()
-        hot = counts[counts > 1].index
-        for _, bucket in g[g["segment"].isin(hot)].groupby("segment", sort=False):
-            ids = sorted(bucket[id_col].unique())
-            for i, a in enumerate(ids):
-                for b in ids[i + 1:]:
-                    out_a.append(a)
-                    out_b.append(b)
-        df = pd.DataFrame({"doc_a": out_a, "doc_b": out_b}).drop_duplicates()
-        if sim_lookup_ref is not None and len(df):
-            import ray as _ray
-
-            lk = _ray.get(sim_lookup_ref)
-            ham = [
-                bin((int(lk[a]) & 0xFFFFFFFFFFFFFFFF)
-                    ^ (int(lk[b]) & 0xFFFFFFFFFFFFFFFF)).count("1")
-                for a, b in zip(df.doc_a, df.doc_b)
-            ]
-            df = df.assign(hamming=ham)
-            df = df[df.hamming <= max_hamming]
-        return df
-
-    pairs = band_rows.groupby("band").map_groups(band_pairs, batch_format="pandas")
-    from ray.data.aggregate import Count as _Count
-    from ray.data.aggregate import Min as _Min
-
-    if max_hamming is not None:
-        return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-            _Min("hamming", alias_name="hamming")
-        )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        _Count(alias_name="_nbands")
-    ).drop_columns(["_nbands"])
+    pairs = band_rows.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+    return _dedup_pairs_sharded(pairs, num_shards=num_shards,
+                                hamming=max_hamming is not None)
