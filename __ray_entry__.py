@@ -190,9 +190,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,
-                   1 + SUM(CASE WHEN prev_ts IS NOT NULL
-                                 AND ts - prev_ts > INTERVAL 30 MINUTE
-                            THEN 1 ELSE 0 END) AS n_sessions
+                   CAST(1 + SUM(CASE WHEN prev_ts IS NOT NULL
+                                      AND ts - prev_ts > INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM (SELECT user_id, ts,
                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                   FROM events) t
@@ -278,10 +278,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_search_ranked": """
             SELECT doc_id,
-                   (length(lower(text)) - length(replace(lower(text), 'batch', '')))
-                     / length('batch')
-                   + (length(lower(text)) - length(replace(lower(text), 'merge', '')))
-                     / length('merge') AS score
+                   CAST((length(lower(text)) - length(replace(lower(text), 'batch', '')))
+                          / length('batch')
+                        + (length(lower(text)) - length(replace(lower(text), 'merge', '')))
+                          / length('merge') AS BIGINT) AS score
             FROM documents
             WHERE CAST(lang AS VARCHAR) = 'en'
               AND (lower(text) LIKE '%batch%' OR lower(text) LIKE '%merge%')
