@@ -110,6 +110,95 @@ def _stoplist_sql() -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in EN_STOP)
 
 
+def _sql_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+def _langid_sql() -> str:
+    """DuckDB twin of thecrowler_ray.langid.detect_lang: same marker/stop
+    tables, same (2*markers + stops)/n_words score over the first 200
+    tokens, same strict-gt argmax with alphabetical tie-break, same CJK
+    fast path and 0.02 floor."""
+    from thecrowler_ray.keywords import STOP_WORDS
+    from thecrowler_ray.langid import _MARKERS
+
+    score_cols = []
+    for lang in sorted(_MARKERS):
+        m = _sql_list(_MARKERS[lang])
+        s = _sql_list(STOP_WORDS.get(lang, ()))
+        score_cols.append(
+            f"(2.0 * len(list_filter(ws, x -> x IN ({m})))"
+            f" + len(list_filter(ws, x -> x IN ({s}))))"
+            f" / GREATEST(len(ws), 1) AS s_{lang}"
+        )
+    scores = ",\n                   ".join(score_cols)
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_slice(list_filter(string_split_regex(lower(trim(text)),
+                                                             '\\s+'),
+                                          x -> x <> ''), 1, 200) AS ws,
+                   length(regexp_replace(substr(trim(text), 1, 400),
+                                         '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                       AS cjk,
+                   length(substr(trim(text), 1, 400)) AS head_len
+            FROM documents
+        ), s AS (
+            SELECT doc_id, cjk, head_len, len(ws) AS n,
+                   {scores}
+            FROM w
+        )
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN 'unknown'
+                    WHEN cjk > head_len * 0.2 THEN 'zh'
+                    WHEN GREATEST(s_de, s_en, s_es, s_fr) < 0.02 THEN 'unknown'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+    """
+
+
+# Shared CTE: 64-bit SimHash per document, bit-identical to
+# thecrowler_ray.stages.text_analysis.simhash_batch (md5 big-endian first
+# 8 bytes per token occurrence, ±1 per bit, sign → bit).
+_SIMHASH_CTE = """
+        tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+            FROM tok
+        ), bits AS (
+            SELECT doc_id, i,
+                   SUM(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1
+                       THEN 1 ELSE -1 END) AS v
+            FROM th CROSS JOIN range(64) r(i)
+            GROUP BY doc_id, i
+        ), shu AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0
+                       THEN ((1::HUGEINT) << CAST(i AS INTEGER))
+                       ELSE 0::HUGEINT END) AS us
+            FROM bits GROUP BY doc_id
+        ), sh AS (
+            SELECT d.doc_id,
+                   COALESCE(shu.us, 0::HUGEINT) AS us,
+                   CAST(CASE WHEN COALESCE(shu.us, 0::HUGEINT)
+                                  >= 9223372036854775808::HUGEINT
+                             THEN COALESCE(shu.us, 0::HUGEINT)
+                                  - 18446744073709551616::HUGEINT
+                             ELSE COALESCE(shu.us, 0::HUGEINT)
+                        END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN shu ON d.doc_id = shu.doc_id
+        )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _stoplist_sql()
     words = "regexp_extract_all(lower(text), '[a-z0-9#@'']+')"
@@ -293,10 +382,73 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS occurrences
             FROM events GROUP BY 1
         """,
+        "q_langid": _langid_sql(),
+        "q_simhash": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM sh
+        """,
+        "q_simhash_pairs": f"""
+            WITH {_SIMHASH_CTE}, seg AS (
+                SELECT s.doc_id, s.simhash, b.b AS band,
+                       CAST((s.us >> CAST(b.b * 16 AS INTEGER))
+                            & 65535::HUGEINT AS BIGINT) AS segment
+                FROM sh s CROSS JOIN range(4) b(b)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM seg a JOIN seg b
+              ON a.band = b.band AND a.segment = b.segment
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+        """,
+        "q_media_decode": """
+            WITH m AS (
+                SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                       doc_id,
+                       CASE doc_id % 4
+                            WHEN 0 THEN 'image/png'
+                            WHEN 1 THEN 'image/jpeg'
+                            WHEN 2 THEN 'audio/wav'
+                            ELSE 'video/mp4' END AS mime,
+                       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+                           AS byte_len,
+                       ('0x' || substr(sha256(COALESCE(text, '')), 1, 16))::UBIGINT
+                           AS h64
+                FROM documents
+            ), k AS (
+                SELECT *,
+                       CASE WHEN mime LIKE 'image/%' THEN 'image'
+                            WHEN mime LIKE 'audio/%' THEN 'audio'
+                            WHEN mime LIKE 'video/%' THEN 'video'
+                            ELSE 'binary' END AS kind
+                FROM m
+            ), dims AS (
+                SELECT media_id, doc_id, mime, kind, byte_len,
+                       CAST(CASE WHEN kind IN ('image', 'video')
+                                 THEN 160 + h64 % 1920 ELSE 0 END AS BIGINT)
+                           AS width,
+                       CAST(CASE WHEN kind IN ('image', 'video')
+                                 THEN 120 + (h64 >> 16) % 1080 ELSE 0 END
+                            AS BIGINT) AS height,
+                       CAST(CASE WHEN kind IN ('audio', 'video')
+                                 THEN (h64 >> 32) % 600000 ELSE 0 END
+                            AS BIGINT) AS duration_ms
+                FROM k
+            )
+            SELECT *,
+                   CAST(trunc(width * LEAST(1.0, 512.0 /
+                        GREATEST(GREATEST(width, height), 1))) AS BIGINT)
+                       AS target_width,
+                   CAST(trunc(height * LEAST(1.0, 512.0 /
+                        GREATEST(GREATEST(width, height), 1))) AS BIGINT)
+                       AS target_height
+            FROM dims
+        """,
         # q_scrape_rules / q_tech_detect: synthetic-page inputs, not
         # SQL-expressible (selector engine / signature matching) → rows-only.
-        # q_langid / q_simhash / q_minhash_pairs / q_crawl / q_doc_spans:
-        # intentionally omitted — not ANSI-SQL-expressible (heuristic model,
-        # md5-based bit signatures, LSH, stateful BFS). Driver applies the
+        # q_minhash_pairs / q_crawl / q_doc_spans: intentionally omitted —
+        # not ANSI-SQL-expressible (FNV-shingle LSH signatures, stateful
+        # BFS, span extraction over synthetic HTML). Driver applies the
         # rows-only check; pytest pins them against the Python oracle.
     }

@@ -577,28 +577,39 @@ def q_monthly_orders(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal pipeline: synthetic binary media → decode (stubbed codec,
-    real actor-pool plumbing) → resize plan → frame-sample plan. Rows-only;
-    unit tests pin the per-kind metadata semantics."""
+    """Multimodal pipeline over documents-derived media (payload = UTF-8
+    text bytes, mime by doc_id%4): binary column → decode (stubbed codec,
+    real actor-pool plumbing) → resize plan → frame-sample plan. The
+    metadata is deterministic sha256/byte-length arithmetic, so the whole
+    pipeline is DuckDB-oracle-checked."""
     from ..stages.multimodal import (
         DecodeStage,
         frame_sample_plan,
+        media_from_documents,
         resize_plan_stage,
-        synth_media_table,
     )
 
-    media = synth_media_table(200, seed=5)
-    ds = ray.data.from_arrow(media)
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     out = (
-        ds.map_batches(DecodeStage, batch_format="pyarrow", batch_size=32,
-                       concurrency=2)
+        ds.map_batches(media_from_documents, batch_format="pyarrow")
+        .map_batches(DecodeStage, batch_format="pyarrow", batch_size=64,
+                     concurrency=2)
         .map_batches(resize_plan_stage, batch_format="pyarrow")
         .map_batches(frame_sample_plan, batch_format="pyarrow")
     )
+
+    def cast64(t: pa.Table) -> pa.Table:
+        # int32 metadata → int64 so the Ray schema matches DuckDB BIGINT
+        for col in ("width", "height", "duration_ms", "target_width",
+                    "target_height"):
+            idx = t.schema.get_field_index(col)
+            t = t.set_column(idx, col, pc.cast(t[col], pa.int64()))
+        return t
+
     return out.select_columns(
         ["media_id", "doc_id", "mime", "kind", "byte_len", "width", "height",
          "duration_ms", "target_width", "target_height"]
-    )
+    ).map_batches(cast64, batch_format="pyarrow")
 
 
 def q_order_lineitem_join(sf_dir: str):

@@ -96,7 +96,13 @@ class DecodeStage:
             for k in ("kind", "byte_len", "sha256", "width", "height",
                       "duration_ms", "feature"):
                 cols[k].append(d[k])
-        return pa.Table.from_pydict(cols, schema=pa.schema(DECODED_FIELDS))
+        # id columns keep the caller's types (synth media uses strings, the
+        # documents-derived path carries int64 doc_ids)
+        schema = pa.schema(
+            [(n, batch.schema.field(n).type) if n in ("media_id", "doc_id")
+             else (n, t) for n, t in DECODED_FIELDS]
+        )
+        return pa.Table.from_pydict(cols, schema=schema)
 
 
 def resize_plan_stage(batch: pa.Table, max_side: int = 512) -> pa.Table:
@@ -122,6 +128,28 @@ def frame_sample_plan(batch: pa.Table, fps: float = 1.0) -> pa.Table:
     ]
     return batch.append_column(
         "frame_ts_ms", pa.array(stamps, pa.list_(pa.int64()))
+    )
+
+
+_DOC_MIMES = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+
+
+def media_from_documents(batch: pa.Table) -> pa.Table:
+    """documents rows → media rows: payload = the document's UTF-8 text
+    bytes, mime round-robin by ``doc_id % 4``. Deterministic and
+    SQL-recomputable (sha256/byte-length arithmetic), which lets the
+    multimodal decode pipeline run under the DuckDB oracle gate while
+    exercising the exact binary-column plumbing a real media corpus uses."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "media_id": pa.array([f"m{d}" for d in doc_ids], pa.string()),
+            "doc_id": batch["doc_id"],
+            "mime": pa.array([_DOC_MIMES[int(d) % 4] for d in doc_ids], pa.string()),
+            "payload": pa.array([(t or "").encode("utf-8") for t in texts],
+                                pa.large_binary()),
+        }
     )
 
 
