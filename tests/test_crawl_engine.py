@@ -411,3 +411,24 @@ def test_fetch_retry_budget():
     # zero budget → transient failure becomes a miss
     fp0 = FetchParse(CFG, max_retries=0, flaky_every=1)
     assert fp0._fetch(page_url(CFG, 0, 0)) is None
+
+
+def test_politeness_pool_surface_only_working_methods():
+    """Every public method on PolitenessPool must be callable against the
+    pool's own attributes (regression: a shard method was once pasted onto
+    the pool class and referenced shard-only state)."""
+    import inspect
+
+    from thecrowler_ray.stages.politeness import PolitenessPool
+
+    pool_attrs = {"n_shards", "actors"}
+    for name, fn in inspect.getmembers(PolitenessPool, inspect.isfunction):
+        if name.startswith("_"):
+            continue
+        for node in inspect.getsource(fn).split("self."):
+            attr = node.split("(")[0].split("[")[0].split(".")[0].split(")")[0].split(",")[0].split(" ")[0].strip()
+            if attr and attr.isidentifier():
+                assert attr in pool_attrs or attr in dir(PolitenessPool), (
+                    f"PolitenessPool.{name} references self.{attr} which the "
+                    "pool does not define"
+                )

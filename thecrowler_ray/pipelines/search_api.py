@@ -65,25 +65,36 @@ def search_pages(index_dir: str, dork: str, k: int = 10) -> pd.DataFrame:
     else:
         kw_scores = pd.Series(dtype="float64")
 
-    def page_score(batch: pd.DataFrame) -> pd.DataFrame:
+    # broadcast the keyword-hit scores once (bounded by term selectivity:
+    # only docs containing a query term appear), score + per-batch partial
+    # top-k inside map_batches, tiny driver merge — the search index itself
+    # (every page ever crawled) is streamed, never materialized
+    kw_ref = ray.put(dict(kw_scores))
+    out_cols = ["doc_id", "url", "title", "score"]
+
+    def page_topk(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         score = pd.Series(0, index=batch.index, dtype="int64")
         for term in terms:
             score = score + batch["title"].str.lower().str.count(term, flags=0)
             score = score + batch["summary"].str.lower().str.count(term, flags=0)
-        batch["page_score"] = score
+        kw = ray.get(kw_ref)
+        batch["score"] = score + batch["doc_id"].map(kw).fillna(0)
         for f, v in exact.items():
             if f in batch.columns:
                 batch = batch[batch[f].astype(str) == v]
-        return batch[["doc_id", "url", "title", "page_score"]]
+        if terms:
+            batch = batch[batch["score"] > 0]
+        return (
+            batch.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)[out_cols]
+        )
 
-    pages = si.map_batches(page_score, batch_format="pandas").to_pandas()
-    if pages.empty or "doc_id" not in pages.columns:
-        return pd.DataFrame(columns=["doc_id", "url", "title", "score"])
-    pages["score"] = pages["page_score"] + pages["doc_id"].map(kw_scores).fillna(0)
-    pages = pages[pages["score"] > 0] if terms else pages
+    partials = si.map_batches(page_topk, batch_format="pandas").to_pandas()
+    if partials.empty or "doc_id" not in partials.columns:
+        return pd.DataFrame(columns=out_cols)
     return (
-        pages.sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(k)[["doc_id", "url", "title", "score"]]
+        partials.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
         .reset_index(drop=True)
     )

@@ -185,31 +185,6 @@ class PolitenessPool:
 
         return fn
 
-    def grant_counts(self, wave: int, hosts: list[str], counts: list[int]) -> list[int]:
-        """Shuffle-free admission, round A: per-host robots-ok row counts →
-        per-host grants (tick + decrement, memoized per wave). The caller
-        derives thresholds for constrained hosts in a separate pure pass."""
-        memo_key = ("grants", wave)
-        if memo_key in self._memo:
-            cached = self._memo[memo_key]
-            return [cached.get(h, 0) for h in hosts]
-        if wave != self.last_tick:
-            elapsed = wave - self.last_tick if self.last_tick >= 0 else 1
-            for h in self.tokens:
-                self.tokens[h] = min(
-                    self.tokens[h] + self.rate * elapsed, self.capacity
-                )
-            self.last_tick = wave
-        grants: dict[str, int] = {}
-        for h, n in zip(hosts, counts):
-            if h not in self.tokens:
-                self.tokens[h] = min(self.rate, self.capacity)
-            g = min(self.tokens[h], int(n))
-            grants[h] = g
-            self.tokens[h] -= g
-        self._memo = {memo_key: grants}
-        return [grants[h] for h in hosts]
-
     def admit_counts(self, wave: int) -> tuple[int, int, int]:
         parts = ray.get([a.admit_counts.remote(wave) for a in self.actors])
         return tuple(sum(p[i] for p in parts) for i in range(3))
