@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from thecrowler_ray.pipelines import queries as q
     from thecrowler_ray.pipelines.flagship import (
         doc_spans_pipeline,
+        q_action_rules,
         q_crawl,
         q_crawl_index,
     )
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the crawl engine itself (rows-only; pytest gates it vs the oracle)
         "q_crawl": q_crawl,
         "q_crawl_index": q_crawl_index,
+        "q_action_rules": q_action_rules,
         "q_doc_spans": doc_spans_pipeline,
     }
 

@@ -432,3 +432,40 @@ def test_politeness_pool_surface_only_working_methods():
                     f"PolitenessPool.{name} references self.{attr} which the "
                     "pool does not define"
                 )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_action_rules_discover_gated_pages():
+    """M17: a crawl with action rules must (a) match the oracle that uses
+    the synthweb ground-truth action links — pinning the whole DOM parse →
+    click → form-submit path — and (b) discover URLs a plain crawl cannot."""
+    from thecrowler_ray.actions import standard_action_rules
+
+    acfg = CorpusConfig(seed=7, n_hosts=5, base_pages=25, action_frac=0.4)
+    aseeds = seed_urls(acfg, 3)
+    kw = dict(
+        max_links=200, max_waves=8, n_seen_shards=3, n_pol_shards=3,
+        fetch_concurrency=2, seen_log2_buckets=10,
+    )
+    out_a = "/tmp/crowler_t_actions"
+    shutil.rmtree(out_a, ignore_errors=True)
+    run_a = CrawlRun(
+        acfg, aseeds,
+        EngineConfig(out_dir=out_a, action_rules=standard_action_rules(), **kw),
+    )
+    run_a.run()
+    oracle_a = crawl_oracle(
+        acfg, aseeds,
+        CrawlParams(max_links=200, max_waves=8, use_action_rules=True),
+    )
+    _assert_match(run_a, out_a, oracle_a)
+
+    out_p = "/tmp/crowler_t_actions_plain"
+    shutil.rmtree(out_p, ignore_errors=True)
+    run_p = CrawlRun(acfg, aseeds, EngineConfig(out_dir=out_p, **kw))
+    run_p.run()
+    acted = set(_engine_pages(out_a).url)
+    plain = set(_engine_pages(out_p).url)
+    gated = {u for u in acted - plain if "?q=crawl" in u}
+    assert gated, "action crawl must fetch form-submission URLs a plain crawl never sees"
+    assert not {u for u in plain if "?q=" in u}

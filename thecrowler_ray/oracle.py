@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 from .htmlx import extract_page_info, page_spans
 from .sources.synthweb import (
     CorpusConfig,
+    action_links,
     page_html,
     parse_page_url,
     robots_disallow,
@@ -38,6 +39,10 @@ class CrawlParams:
     politeness_capacity: int = 10 ** 9
     check_robots: bool = False
     link_score_fn: object = None  # deterministic fn(url)->int; priority frontier
+    # standard action ruleset on: pages append synthweb.action_links ground
+    # truth after static links (the engine must rediscover the same URLs via
+    # its DOM click/submit path — the M17 equality gate)
+    use_action_rules: bool = False
     restricted: int = 4
     unwanted: list[str] = field(default_factory=list)
     user_patterns: list[str] = field(default_factory=list)
@@ -163,6 +168,12 @@ def crawl_oracle(
                 continue
             html = page_html(cfg, *hp)
             info = extract_page_info(r["url"], html)
+            if params.use_action_rules:
+                info = dict(info)
+                info["links"] = list(info["links"]) + [
+                    {"href": u, "element_id": f"action:{k}"}
+                    for k, u in enumerate(action_links(cfg, *hp))
+                ]
             spans = page_spans(info)
             wave_pages.append((r, info, spans))
         total_fetched += len(wave_pages)

@@ -98,6 +98,9 @@ class EngineConfig:
     # depth-major BFS order is unchanged. None = pure discovery order (the
     # reference default, O2).
     link_score_fn: object = None
+    # browser action rules (M17) executed against each fetched page's DOM;
+    # discovered navigations join the frontier after static links
+    action_rules: list = None
     unwanted: list[str] = field(default_factory=list)
     user_patterns: list[str] = field(default_factory=list)
     n_seen_shards: int = 8
@@ -634,6 +637,7 @@ class CrawlRun:
                 fetched = fetch_src.map_batches(
                     FetchParse,
                     fn_constructor_args=(self.corpus_cfg,),
+                    fn_constructor_kwargs={"action_rules": cfg.action_rules},
                     batch_format="pyarrow",
                     batch_size=batch,
                     concurrency=cfg.fetch_concurrency,
@@ -641,7 +645,7 @@ class CrawlRun:
                 )
             else:
                 fetched = fetch_src.map_batches(
-                    FetchParse(self.corpus_cfg),
+                    FetchParse(self.corpus_cfg, action_rules=cfg.action_rules),
                     batch_format="pyarrow",
                     batch_size=batch,
                     num_cpus=cfg.fetch_num_cpus,

@@ -86,6 +86,37 @@ def q_crawl(sf_dir: str):
     )
 
 
+def q_action_rules(sf_dir: str):
+    """Crawl with the standard action ruleset over an action-gated corpus
+    (M17 as data effects: DOM click → data-href, type + submit → form
+    action + query). Rows-only; the engine-vs-oracle equality test pins the
+    full path. ``via_action`` marks URLs only reachable through a form
+    submission."""
+    from ..actions import standard_action_rules
+
+    cfg = CorpusConfig(seed=7, n_hosts=10, base_pages=40, action_frac=0.35)
+    out_dir = "/tmp/crowler_ray/q_action_rules"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run = CrawlRun(
+        cfg,
+        seed_urls(cfg, 6),
+        EngineConfig(
+            max_links=400, max_waves=8, out_dir=out_dir,
+            n_seen_shards=4, n_pol_shards=4, fetch_concurrency=2,
+            action_rules=standard_action_rules(),
+        ),
+    )
+    run.run()
+    files = sorted(glob.glob(f"{out_dir}/wave=*/pages/*.parquet"))
+    ds = ray.data.read_parquet(
+        files, columns=["doc_id", "url", "host", "depth", "ord"]
+    )
+    return ds.map_batches(
+        lambda df: df.assign(via_action=df["url"].str.contains("?q=", regex=False)),
+        batch_format="pandas",
+    )
+
+
 def q_crawl_index(sf_dir: str):
     """The full reference pipeline end-to-end: crawl the synthetic web, then
     run the indexing fan-out (search_index, web_objects dedup, keyword and

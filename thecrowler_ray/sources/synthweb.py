@@ -57,6 +57,9 @@ class CorpusConfig:
     missing_desc_frac: float = 0.3
     filler_words: int = 0  # extra deterministic body words per page — sizes
     # bench pages like real web pages (30-60 KB) so parse cost is honest
+    action_frac: float = 0.0  # fraction of pages with action-gated
+    # navigation (a data-href button + a search form) that ONLY action rules
+    # can discover — 0.0 keeps every pre-existing corpus byte-identical
 
     def host_pages(self, h: int) -> int:
         return max(1, int(self.base_pages / (h + 1) ** self.zipf_a))
@@ -75,8 +78,11 @@ def page_url(cfg: CorpusConfig, h: int, p: int) -> str:
 
 
 def parse_page_url(cfg: CorpusConfig, url: str) -> tuple[int, int] | None:
-    """Inverse of ``page_url`` after canonicalization; None if no such page."""
-    u = url.strip().rstrip("/").lower()
+    """Inverse of ``page_url`` after canonicalization; None if no such page.
+    A query string is ignored (the synthetic server, like most real ones,
+    serves the same page regardless of unknown params — form submissions
+    from action rules land here as ``…/p/N?q=…``)."""
+    u = url.strip().split("?", 1)[0].rstrip("/").lower()
     if not u.startswith("http://host"):
         return None
     rest = u[len("http://host"):]
@@ -129,6 +135,28 @@ def out_links(cfg: CorpusConfig, h: int, p: int) -> list[str]:
     return out
 
 
+def has_actions(cfg: CorpusConfig, h: int, p: int) -> bool:
+    return (
+        cfg.action_frac > 0
+        and _h(cfg.seed, h, p, "act") % 1000 < cfg.action_frac * 1000
+    )
+
+
+def action_links(cfg: CorpusConfig, h: int, p: int) -> list[str]:
+    """Ground-truth URLs reachable ONLY through the standard action ruleset
+    (click ``.loadmore`` → data-href target; type + submit the search form →
+    form action + ``?q=crawl``), in rule-execution order. Independent of the
+    DOM executor — the engine-vs-oracle equality test pins the whole
+    parse → click → submit path against this."""
+    if not has_actions(cfg, h, p):
+        return []
+    r = _h(cfg.seed, h, p, "actt")
+    u1 = page_url(cfg, h, r % cfg.host_pages(h))
+    h2 = (h + 1 + (r >> 16) % max(1, cfg.n_hosts - 1)) % cfg.n_hosts
+    u2 = page_url(cfg, h2, (r >> 32) % cfg.host_pages(h2))
+    return [u1, f"{u2}?q=crawl"]
+
+
 def _words(seed_parts, n: int) -> list[str]:
     ws = []
     for i in range(n):
@@ -179,6 +207,23 @@ def page_html(cfg: CorpusConfig, h: int, p: int) -> str:
         parts.append(f'<img src="http://{cfg.host_name(h)}/img/{p}.png">')
         if r % 3 == 0:
             parts.append(f'<video src="http://{cfg.host_name(h)}/v/{p}.mp4"></video>')
+    if has_actions(cfg, h, p):
+        # action-gated navigation: not <a href>, so the static link
+        # extractor rightly never sees these — only action rules do
+        ra = _h(cfg.seed, h, p, "actt")
+        u1 = page_url(cfg, h, ra % cfg.host_pages(h))
+        h2 = (h + 1 + (ra >> 16) % max(1, cfg.n_hosts - 1)) % cfg.n_hosts
+        u2 = page_url(cfg, h2, (ra >> 32) % cfg.host_pages(h2))
+        parts.append(
+            f'<button id="more{p}" class="loadmore" data-href="{u1}">'
+            "load more</button>"
+        )
+        parts.append(
+            f'<form id="sf{p}" action="{u2}">'
+            '<input type="text" name="q" value="">'
+            f'<button id="go{p}" type="submit" class="searchgo">go</button>'
+            "</form>"
+        )
     parts.append("</body></html>")
     return "\n".join(parts)
 

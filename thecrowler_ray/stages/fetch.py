@@ -78,10 +78,11 @@ class FetchParse:
     """
 
     def __init__(self, corpus_cfg: CorpusConfig, max_retries: int = 3,
-                 flaky_every: int = 0):
+                 flaky_every: int = 0, action_rules: list | None = None):
         self.cfg = corpus_cfg
         self.max_retries = max_retries
         self.flaky_every = flaky_every
+        self.action_rules = list(action_rules) if action_rules else None
         self._attempted: set[str] = set()
         self.retry_count = 0
 
@@ -129,7 +130,21 @@ class FetchParse:
             if html is None:
                 continue  # fetch error: no page row (counted by the driver)
             info = extract_page_info(url, html)
+            if self.action_rules:
+                # action-rule navigations join the link list after static
+                # links, in rule-execution order (reference M17: clicked /
+                # submitted targets enter the frontier like any other link);
+                # they appear in the span sequence too, as the reference
+                # records rule-produced objects on the collected page
+                from ..actions import execute_action_rules
+
+                acted = execute_action_rules(url, html, self.action_rules)
+                info["links"] = list(info["links"]) + [
+                    {"href": u, "element_id": f"action:{rn}"}
+                    for rn, u in enumerate(acted["discovered"])
+                ]
             spans = page_spans(info)
+            page_links = info["links"]
             cols["doc_id"].append(keys[i])
             cols["url"].append(url)
             cols["host"].append(hosts[i])
@@ -149,7 +164,7 @@ class FetchParse:
             cols["links"].append(
                 [
                     {"href": ln["href"], "element_id": ln["element_id"], "link_idx": j}
-                    for j, ln in enumerate(info["links"])
+                    for j, ln in enumerate(page_links)
                 ]
             )
         return pa.Table.from_pydict(cols, schema=PAGE_SCHEMA)
