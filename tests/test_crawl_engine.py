@@ -469,3 +469,22 @@ def test_action_rules_discover_gated_pages():
     gated = {u for u in acted - plain if "?q=crawl" in u}
     assert gated, "action crawl must fetch form-submission URLs a plain crawl never sees"
     assert not {u for u in plain if "?q=" in u}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_spill_engine_equality():
+    """Exact-sidecar spill enabled in the live shard actors: crawl results
+    must be identical to the oracle and spill runs must appear on disk."""
+    import glob as _glob
+
+    spill_dir = "/tmp/crowler_t_spill_seen"
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_spill",
+        engine_kw=dict(max_links=150, max_waves=8,
+                       seen_spill_dir=spill_dir, seen_spill_threshold=16),
+        oracle_kw=dict(max_links=150, max_waves=8),
+    )
+    assert summary["total_fetched"] == len(oracle.pages)
+    _assert_match(run, "/tmp/crowler_t_spill", oracle)
+    assert _glob.glob(f"{spill_dir}/shard*/run*.npy"), "no spill runs written"

@@ -106,6 +106,11 @@ class EngineConfig:
     n_seen_shards: int = 8
     seen_log2_buckets: int = 14
     seen_exact: bool = True
+    # exact-sidecar spill: directory for per-shard sorted key runs (None =
+    # all-RAM). At 10^10 keys / 256 shards each shard holds spill_threshold
+    # keys resident (8 B each) and binary-searches the mmap'd remainder.
+    seen_spill_dir: str | None = None
+    seen_spill_threshold: int = 4_000_000
     n_pol_shards: int = 8
     n_key_buckets: int = 64
     fetch_concurrency: int = 4
@@ -272,7 +277,9 @@ class CrawlRun:
                 self.source_cfgs.append(raw)
                 self._seed_cfg_idx[int(seed["source_id"])] = len(self.source_cfgs)
         self.seen = SeenShardPool(
-            cfg.n_seen_shards, cfg.seen_log2_buckets, cfg.seen_exact
+            cfg.n_seen_shards, cfg.seen_log2_buckets, cfg.seen_exact,
+            spill_dir=cfg.seen_spill_dir,
+            spill_threshold=cfg.seen_spill_threshold,
         )
         robots_fn = (
             (lambda host, _c=corpus_cfg: robots_disallow(_c, host))

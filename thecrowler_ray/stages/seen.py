@@ -28,9 +28,14 @@ from ..urls import host_hash
 class SeenShard:
     """One shard of the global URL-seen set. Runs as a Ray actor."""
 
-    def __init__(self, shard_id: int, log2_buckets: int = 14, exact: bool = True):
+    def __init__(self, shard_id: int, log2_buckets: int = 14, exact: bool = True,
+                 spill_dir: str | None = None, spill_threshold: int = 4_000_000):
         self.shard_id = shard_id
-        self.filter = CuckooFilter(log2_buckets=log2_buckets, exact=exact, seed=shard_id)
+        self.filter = CuckooFilter(
+            log2_buckets=log2_buckets, exact=exact, seed=shard_id,
+            spill_dir=(f"{spill_dir}/shard{shard_id}" if spill_dir else None),
+            spill_threshold=spill_threshold,
+        )
 
     def check_and_insert(self, keys: np.ndarray) -> np.ndarray:
         """→ bool mask: True = new (was not seen; now inserted)."""
@@ -67,11 +72,13 @@ def key_u64(key_hex_col) -> np.ndarray:
 class SeenShardPool:
     """Driver-side handle for the shard actors + the anti-join stage."""
 
-    def __init__(self, n_shards: int = 8, log2_buckets: int = 14, exact: bool = True):
+    def __init__(self, n_shards: int = 8, log2_buckets: int = 14, exact: bool = True,
+                 spill_dir: str | None = None, spill_threshold: int = 4_000_000):
         self.n_shards = n_shards
         cls = ray.remote(num_cpus=0.05)(SeenShard)
         self.actors = [
-            cls.remote(i, log2_buckets=log2_buckets, exact=exact)
+            cls.remote(i, log2_buckets=log2_buckets, exact=exact,
+                       spill_dir=spill_dir, spill_threshold=spill_threshold)
             for i in range(n_shards)
         ]
 

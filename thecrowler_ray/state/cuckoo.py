@@ -29,11 +29,23 @@ versus ~70 B/key for a Python set. Veto lookups only run for filter HITS
 (~true positives + the tiny fp rate), so the array probe is off the hot
 path for fresh URLs. Disable ``exact`` to accept ~2·SLOTS/2^16 fp-rate URL
 loss instead (measured in tests against the theoretical bound).
+
+Spill tier: with ``spill_dir`` set, whenever the in-RAM sorted array exceeds
+``spill_threshold`` keys it is written as a sorted ``.npy`` run and the RAM
+array reset; probes binary-search each run through ``np.load(mmap_mode='r')``
+(searchsorted touches O(log n) pages per key — lazy page-in, no full read).
+Runs compact 8→1 to bound probe fan-out. Memory bound per shard:
+``spill_threshold × 8 B`` resident + the filter table + a transient
+compaction buffer; disk holds the remainder. ``.npy`` rather than parquet
+because the probe needs random access into the sorted run — parquet would
+decode whole row groups per probe; the run files are still one-per-shard
+resumable artifacts alongside the parquet checkpoints.
 """
 
 from __future__ import annotations
 
 import io
+import os
 
 import numpy as np
 
@@ -44,8 +56,11 @@ class CuckooFilter:
     SLOTS = 4
     MAX_KICKS = 500
 
+    MAX_RUNS = 8
+
     def __init__(self, log2_buckets: int = 16, exact: bool = True, seed: int = 0,
-                 merge_threshold: int = 65536):
+                 merge_threshold: int = 65536, spill_dir: str | None = None,
+                 spill_threshold: int = 4_000_000):
         self.log2_buckets = log2_buckets
         self.n_buckets = 1 << log2_buckets
         self.mask = np.uint64(self.n_buckets - 1)
@@ -55,6 +70,11 @@ class CuckooFilter:
         self._exact_pending: list[np.ndarray] = [] if exact else None
         self._pending_rows = 0
         self._merge_threshold = merge_threshold
+        self._spill_dir = spill_dir
+        self._spill_threshold = spill_threshold
+        self._runs: list[str] = []        # sorted .npy run paths, disjoint
+        self._run_maps: list[np.ndarray] = []  # cached memmaps, same order
+        self._run_seq = 0
         self.count = 0
         self._rng = np.random.default_rng(seed)
 
@@ -66,6 +86,41 @@ class CuckooFilter:
             )
             self._exact_pending = []
             self._pending_rows = 0
+        if (
+            self._spill_dir is not None
+            and len(self._exact_sorted) >= self._spill_threshold
+        ):
+            self._spill_run()
+
+    def _spill_run(self) -> None:
+        os.makedirs(self._spill_dir, exist_ok=True)
+        path = os.path.join(self._spill_dir, f"run{self._run_seq:06d}.npy")
+        self._run_seq += 1
+        np.save(path, self._exact_sorted)
+        self._runs.append(path)
+        self._run_maps.append(np.load(path, mmap_mode="r"))
+        self._exact_sorted = np.empty(0, dtype=np.uint64)
+        if len(self._runs) > self.MAX_RUNS:
+            self._compact_runs()
+
+    def _compact_runs(self) -> None:
+        """Merge all runs into one (transient buffer = total spilled keys;
+        size ``spill_threshold`` and ``MAX_RUNS`` so this fits the worker)."""
+        merged = np.unique(
+            np.concatenate([np.asarray(m) for m in self._run_maps])
+        )
+        old = list(self._runs)
+        self._runs, self._run_maps = [], []
+        path = os.path.join(self._spill_dir, f"run{self._run_seq:06d}.npy")
+        self._run_seq += 1
+        np.save(path, merged)
+        self._runs.append(path)
+        self._run_maps.append(np.load(path, mmap_mode="r"))
+        for p in old:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
     def _exact_add(self, keys: np.ndarray) -> None:
         self._exact_pending.append(np.asarray(keys, dtype=np.uint64).copy())
@@ -73,22 +128,38 @@ class CuckooFilter:
         if self._pending_rows >= self._merge_threshold:
             self._exact_merge()
 
+    @staticmethod
+    def _sorted_probe(arr: np.ndarray, keys: np.ndarray, mask: np.ndarray) -> None:
+        if len(arr) == 0:
+            return
+        pos = np.searchsorted(arr, keys)
+        in_range = pos < len(arr)
+        mask[in_range] |= arr[pos[in_range]] == keys[in_range]
+
     def _exact_contains(self, keys: np.ndarray) -> np.ndarray:
-        """Vectorized membership in the sidecar (sorted array + pending
-        chunks)."""
+        """Vectorized membership in the sidecar (RAM sorted array + pending
+        chunks + mmap'd spilled runs)."""
         mask = np.zeros(len(keys), dtype=bool)
-        if len(self._exact_sorted):
-            pos = np.searchsorted(self._exact_sorted, keys)
-            in_range = pos < len(self._exact_sorted)
-            mask[in_range] = self._exact_sorted[pos[in_range]] == keys[in_range]
+        self._sorted_probe(self._exact_sorted, keys, mask)
+        for run in self._run_maps:
+            self._sorted_probe(run, keys, mask)
         if self._exact_pending:
             pend = np.concatenate(self._exact_pending)
             mask |= np.isin(keys, pend)
         return mask
 
     def _exact_all(self) -> np.ndarray:
+        """Full key set (RAM + spilled runs). With spilling on this is a
+        transient merged view — used by grow-rebuild and checkpoint dumps;
+        size log2_buckets so growth never fires at spill scale."""
         self._exact_merge()
-        return self._exact_sorted
+        if not self._run_maps:
+            return self._exact_sorted
+        return np.unique(
+            np.concatenate(
+                [self._exact_sorted] + [np.asarray(m) for m in self._run_maps]
+            )
+        )
 
     # -- key derivation ----------------------------------------------------
     @staticmethod
