@@ -106,3 +106,32 @@ def test_crawl_publishes_events():
     done = [e for e in events if e["action"] == "crawl_complete"][0]
     assert done["details"]["total_fetched"] == summary["total_fetched"]
     ray.kill(ray.get_actor("t_crawl_events"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_storage_seam_roundtrip(tmp_path):
+    """write_table/read_table: auto resolves to parquet here (no lance in
+    container), round-trips a Dataset, and format='lance' fails loudly
+    rather than silently degrading."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from thecrowler_ray.storage import (
+        lance_available,
+        read_table,
+        resolve_format,
+        write_table,
+    )
+
+    assert resolve_format("auto") in ("lance", "parquet")
+    ds = ray.data.from_arrow(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+    used = write_table(ds, str(tmp_path / "t"), "auto")
+    back = read_table(str(tmp_path / "t")).to_pandas().sort_values("a")
+    assert list(back.a) == [1, 2, 3] and list(back.b) == ["x", "y", "z"]
+    if not lance_available():
+        assert used == "parquet"
+        with _pytest.raises(ImportError):
+            resolve_format("lance")
+    with _pytest.raises(ValueError):
+        resolve_format("csvish")

@@ -128,6 +128,10 @@ class EngineConfig:
     driver_threshold: int = 500_000
     out_dir: str = "/tmp/crowler_ray/run"
     run_id: str = "run0"
+    # 'parquet' | 'lance' | 'auto' — the north star materializes page/frontier
+    # tables as Lance; 'auto' uses Lance when the library is present (not in
+    # this container) and parquet otherwise (thecrowler_ray.storage)
+    storage_format: str = "parquet"
 
 
 class LinkExplodeFilter:
@@ -664,8 +668,11 @@ class CrawlRun:
             fetched = fetched.materialize()
             import threading
 
+            from ..storage import write_table
+
             wt = threading.Thread(
-                target=fetched.write_parquet, args=(pages_dir,), daemon=True
+                target=write_table, args=(fetched, pages_dir, cfg.storage_format),
+                daemon=True,
             )
             wt.start()
             n_fetched = fetched.count()

@@ -170,37 +170,40 @@ def build_meta_tags(pages_paths):
     return dictionary, pairs
 
 
-def index_pages(pages_paths, out_dir: str) -> dict:
-    """Run the full indexing fan-out; one parquet dir per logical table.
+def index_pages(pages_paths, out_dir: str, fmt: str = "parquet") -> dict:
+    """Run the full indexing fan-out; one table directory per logical table
+    (parquet, or Lance via thecrowler_ray.storage when available).
     → {table: row_count}."""
+    from ..storage import write_table
+
     os.makedirs(out_dir, exist_ok=True)
     counts: dict[str, int] = {}
 
     si = build_search_index(pages_paths).materialize()
-    si.write_parquet(os.path.join(out_dir, "search_index"))
+    write_table(si, os.path.join(out_dir, "search_index"), fmt)
     counts["search_index"] = si.count()
 
     objects, obj_index = build_web_objects(pages_paths)
     objects = objects.materialize()
-    objects.write_parquet(os.path.join(out_dir, "web_objects"))
+    write_table(objects, os.path.join(out_dir, "web_objects"), fmt)
     counts["web_objects"] = objects.count()
     obj_index = obj_index.materialize()
-    obj_index.write_parquet(os.path.join(out_dir, "web_objects_index"))
+    write_table(obj_index, os.path.join(out_dir, "web_objects_index"), fmt)
     counts["web_objects_index"] = obj_index.count()
 
     kw_dict, kw_index = build_keywords(pages_paths)
     kw_dict = kw_dict.materialize()
-    kw_dict.write_parquet(os.path.join(out_dir, "keywords"))
+    write_table(kw_dict, os.path.join(out_dir, "keywords"), fmt)
     counts["keywords"] = kw_dict.count()
     kw_index = kw_index.materialize()
-    kw_index.write_parquet(os.path.join(out_dir, "keyword_index"))
+    write_table(kw_index, os.path.join(out_dir, "keyword_index"), fmt)
     counts["keyword_index"] = kw_index.count()
 
     mt_dict, mt_index = build_meta_tags(pages_paths)
     mt_dict = mt_dict.materialize()
-    mt_dict.write_parquet(os.path.join(out_dir, "meta_tags"))
+    write_table(mt_dict, os.path.join(out_dir, "meta_tags"), fmt)
     counts["meta_tags"] = mt_dict.count()
     mt_index = mt_index.materialize()
-    mt_index.write_parquet(os.path.join(out_dir, "meta_tags_index"))
+    write_table(mt_index, os.path.join(out_dir, "meta_tags_index"), fmt)
     counts["meta_tags_index"] = mt_index.count()
     return counts
