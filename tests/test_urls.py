@@ -111,3 +111,25 @@ Crawl-delay: 3
     shared = "User-agent: a\nUser-agent: b\nDisallow: /x/"
     assert parse_robots_txt(shared, "a") == ["/x/"]
     assert parse_robots_txt(shared, "b") == ["/x/"]
+
+
+def test_root_relative_resolves_against_page_url():
+    """Characterization of a DELIBERATE deviation (ENGINE_SPEC.md step 5):
+    root-relative hrefs resolve against the PAGE url — the RFC 3986 / browser
+    behavior — not against the seed/source url as the reference does
+    (crawler.go:2210-2212). If this ever changes, change ENGINE_SPEC.md,
+    oracle.py and the crawl engine together."""
+    from thecrowler_ray.urls import combine_urls
+
+    page = "http://sub.host0.test/dir/page"
+    assert combine_urls(page, "/top") == "http://sub.host0.test/top"
+    # crawl engine + oracle both pass the PAGE url as the base:
+    import inspect
+
+    from thecrowler_ray import oracle
+    from thecrowler_ray.pipelines import crawl
+
+    assert 'combine_urls(r["url"], link)' in inspect.getsource(oracle.crawl_oracle)
+    assert "combine_urls(page_urls[pi], link)" in inspect.getsource(
+        crawl.LinkExplodeFilter.__call__
+    )
