@@ -87,10 +87,93 @@ def parse_mbox(text: str, mailbox: str = "inbox", start_index: int = 0) -> pa.Ta
     return pa.Table.from_pydict(rows, schema=MAIL_SCHEMA)
 
 
-def read_mail(source_url: str, content: str | None = None, start_index: int = 0):
+def _message_rows(msg, url: str, mailbox: str, msg_index: int) -> dict:
+    """One parsed email.message → MAIL_SCHEMA row dict."""
+    body = msg.get_payload() if isinstance(msg.get_payload(), str) else ""
+    subject = msg.get("Subject", "")
+    spans = [
+        {"kind": "title", "text": subject, "media_ref": "", "offset": 0},
+        {"kind": "summary", "text": body[:200], "media_ref": "", "offset": 1},
+        {"kind": "body_text", "text": body, "media_ref": "", "offset": 2},
+    ]
+    for kw in extract_keywords(body, [{"name": "keywords", "content": ""}]):
+        spans.append(
+            {"kind": "keyword", "text": kw, "media_ref": "", "offset": len(spans)}
+        )
+    return {
+        "doc_id": hashlib.sha1(url.encode()).hexdigest(),
+        "url": url,
+        "mailbox": mailbox,
+        "msg_index": msg_index,
+        "title": subject,
+        "sender": msg.get("From", ""),
+        "date": msg.get("Date", ""),
+        "body_text": body,
+        "spans": spans,
+    }
+
+
+def imap_fetch_documents(
+    host: str,
+    port: int,
+    user: str,
+    password: str,
+    mailbox: str = "INBOX",
+    last_uid: int = 0,
+) -> tuple[pa.Table, int]:
+    """Incremental IMAP fetch (reference ``pkg/mail/connector_imap.go``):
+    LOGIN → SELECT → ``UID SEARCH UID last+1:*`` → ``UID FETCH (RFC822)``
+    per new message → document rows + the new checkpoint UID.
+
+    The client is stdlib :mod:`imaplib` speaking real RFC 3501; the durable
+    per-mailbox checkpoint is the highest UID ingested, mirroring the
+    reference's mailbox-offset state tables
+    (``postgresql-setup.pgsql:310,348``). IMAP returns the last message for
+    ``N:*`` even when its UID < N, so UIDs are re-filtered client-side."""
+    import imaplib
+
+    rows = {n: [] for n in MAIL_SCHEMA.names}
+    new_last = last_uid
+    conn = imaplib.IMAP4(host, port)
+    try:
+        conn.login(user, password)
+        typ, _ = conn.select(mailbox)
+        if typ != "OK":
+            raise RuntimeError(f"SELECT {mailbox} failed: {typ}")
+        typ, data = conn.uid("search", None, f"UID {last_uid + 1}:*")
+        if typ != "OK":
+            raise RuntimeError(f"UID SEARCH failed: {typ}")
+        uids = [int(u) for u in (data[0] or b"").split() if int(u) > last_uid]
+        parser = Parser()
+        for uid in sorted(uids):
+            typ, fetched = conn.uid("fetch", str(uid), "(RFC822)")
+            if typ != "OK" or not fetched or fetched[0] is None:
+                continue
+            raw = fetched[0][1]
+            msg = parser.parsestr(
+                raw.decode("utf-8", "replace") if isinstance(raw, bytes) else raw
+            )
+            url = f"imap://{host}:{port}/{mailbox}/{uid}"
+            row = _message_rows(msg, url, mailbox, uid)
+            for k, v in row.items():
+                rows[k].append(v)
+            new_last = max(new_last, uid)
+        conn.logout()
+    except Exception:
+        try:
+            conn.shutdown()
+        except OSError:
+            pass
+        raise
+    return pa.Table.from_pydict(rows, schema=MAIL_SCHEMA), new_last
+
+
+def read_mail(source_url: str, content: str | None = None, start_index: int = 0,
+              user: str = "user", password: str = "pass"):
     """Dispatch on the mail scheme (reference protocol classifier).
-    Only ``mbox://`` is implemented in-sandbox; the rest need live
-    accounts."""
+    ``mbox://`` parses local content; ``imap://host:port/MAILBOX`` speaks
+    RFC 3501 to the given endpoint (``start_index`` = last ingested UID);
+    POP3/Gmail/MS-Graph need live accounts and stay out of sandbox scope."""
     import ray.data
 
     scheme = source_url.split("://", 1)[0].lower()
@@ -100,7 +183,16 @@ def read_mail(source_url: str, content: str | None = None, start_index: int = 0)
             with open("/" + mailbox, encoding="utf-8") as f:
                 content = f.read()
         return ray.data.from_arrow(parse_mbox(content, mailbox, start_index))
-    if scheme in ("imap", "imaps", "pop3", "pop3s", "gmail", "graph-mail", "email"):
+    if scheme == "imap":
+        rest = source_url.split("://", 1)[1]
+        endpoint, _, mailbox = rest.partition("/")
+        host, _, port = endpoint.partition(":")
+        table, _ = imap_fetch_documents(
+            host, int(port or 143), user, password,
+            mailbox or "INBOX", last_uid=start_index,
+        )
+        return ray.data.from_arrow(table)
+    if scheme in ("imaps", "pop3", "pop3s", "gmail", "graph-mail", "email"):
         raise NotImplementedError(
             f"{scheme} connector requires live mail credentials/network "
             "(reference pkg/mail/connector_*.go); out of v0 sandbox scope"
