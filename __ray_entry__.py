@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
         "q_fingerprint": q.q_fingerprint,
+        "q_fingerprint_family": q.q_fingerprint_family,
         "q_exact_dedup": q.q_exact_dedup,
         # training-data ops (rows-only where not SQL-expressible)
         "q_langid": q.q_langid,
@@ -323,6 +324,11 @@ def oracle_sql() -> dict[str, str]:
         "q_exact_dedup": """
             SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "q_fingerprint_family": """
+            SELECT doc_id, md5(COALESCE(text, '')) AS fp_ja3,
+                   sha256(COALESCE(text, '')) AS fp_custom_tls
+            FROM documents
         """,
         "q_ann_topk": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

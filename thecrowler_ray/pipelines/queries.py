@@ -291,6 +291,23 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_fingerprint_family(sf_dir: str):
+    """Fingerprint registry over documents (reference pkg/fingerprints):
+    the oracle-checkable digest columns (ja3=md5, custom_tls=sha256); the
+    non-SQL kinds (cityhash64, murmur3, tlsh, jarm) are unit-tested."""
+    from ..fingerprints import FingerprintStage
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        FingerprintStage(["ja3", "custom_tls"]), batch_format="pandas",
+        concurrency=2,
+    )
+    return out.map_batches(
+        lambda df: df[["doc_id", "fp_ja3", "fp_custom_tls"]],
+        batch_format="pandas",
+    )
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact dedup keepers: (content_hash, doc_id=min id per hash)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
