@@ -209,3 +209,40 @@ def test_rows_only_queries_deterministic():
         a = canon(qs[name](sf))
         b = canon(qs[name](sf))
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_neardup_planted_recall():
+    """Banded multi-table hyperplane LSH (scale path, bucket_col=None):
+    auto-tuned table count reaches >=90% recall on planted cos>=0.95
+    near-dups with exact in-group verification (no false positives)."""
+    from thecrowler_ray.stages.dedup import embedding_neardup_pairs, lsh_tables_for
+
+    assert lsh_tables_for(1.0, 16) == 1
+    with pytest.raises(ValueError):
+        lsh_tables_for(-0.99, 64)
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(1500, 64)).astype(np.float32)
+    dups, truth = [], set()
+    for i in range(50):
+        v = base[i]
+        noisy = v + 0.08 * rng.normal(size=64).astype(np.float32) * np.linalg.norm(v) / 8
+        cos = float(v @ noisy / (np.linalg.norm(v) * np.linalg.norm(noisy)))
+        if cos >= 0.95:
+            dups.append(noisy)
+            truth.add((i, 1500 + len(dups) - 1))
+    emb = np.vstack([base] + [d[None] for d in dups])
+    t = pa.table({
+        "vec_id": np.arange(len(emb)),
+        "embedding": [list(map(float, e)) for e in emb],
+    })
+    got = embedding_neardup_pairs(
+        ray.data.from_arrow(t), threshold=0.95
+    ).to_pandas()
+    gset = set(zip(got.vec_a, got.vec_b)) if len(got) else set()
+    assert len(gset & truth) >= 0.9 * len(truth)
+    # every reported pair genuinely passes the threshold (in-group verify)
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for a, b in gset:
+        assert float(unit[a] @ unit[b]) >= 0.95 - 1e-9

@@ -188,26 +188,30 @@ def _shard_bucket_pairs(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
 
 
 def _dedup_pairs_sharded(pairs, *, num_shards: int = 64,
-                         hamming: bool = False):
+                         hamming: bool = False,
+                         pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+                         agg: dict | None = None):
     """Cross-band pair dedup via hash-sharded vectorized pandas reduce.
 
     A naive ``groupby(["doc_a","doc_b"]).aggregate(...)`` pays per-distinct-
     group overhead in Ray's sort-based aggregation (~0.3 ms/group — 30 s for
     90 k pairs measured at sf0.1); sharding by a row hash keeps the shuffle
     (num_shards uniform partitions) but reduces each shard with ONE pandas
-    groupby/drop_duplicates call."""
+    groupby/drop_duplicates call. ``agg`` maps value columns to 'min'/'max'
+    reducers (e.g. {'hamming': 'min'} or {'cosine': 'max'})."""
+    a_col, b_col = pair_cols
+    if agg is None and hamming:
+        agg = {"hamming": "min"}
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[["doc_a", "doc_b"]], index=False)
+        h = pd.util.hash_pandas_object(df[[a_col, b_col]], index=False)
         df["pair_shard"] = (h % num_shards).astype(np.int32)
         return df
 
     def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
-        if hamming:
-            return g.groupby(["doc_a", "doc_b"], as_index=False, sort=False)[
-                "hamming"
-            ].min()
-        return g.drop_duplicates(subset=["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+        if agg:
+            return g.groupby([a_col, b_col], as_index=False, sort=False).agg(agg)
+        return g.drop_duplicates(subset=[a_col, b_col])[[a_col, b_col]]
 
     return (
         pairs.map_batches(add_shard, batch_format="pandas")
@@ -349,40 +353,146 @@ def simhash_band_rows(batch: pa.Table, bands: int = 4, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def _group_cosine_pairs(g: pd.DataFrame, threshold: float, id_col: str,
+                        emb_col: str) -> pd.DataFrame:
+    emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = emb / norms
+    sims = unit @ unit.T
+    ids = g[id_col].to_numpy()
+    ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+    lo = np.minimum(ids[ia], ids[ib])
+    hi = np.maximum(ids[ia], ids[ib])
+    return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ia, ib]})
+
+
+def lsh_tables_for(threshold: float, n_planes: int,
+                   target_recall: float = 0.9) -> int:
+    """Number of hyperplane-LSH tables needed for ``target_recall`` at
+    cosine ``threshold`` with ``n_planes``-bit buckets (Charikar 2002:
+    per-plane collision prob p = 1 − θ/π; recall = 1 − (1 − p^P)^T)."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_bucket = p ** n_planes
+    if p_bucket >= 1.0:
+        return 1
+    if p_bucket < 1e-12:  # log1p(-p_bucket) underflows to 0 → T unbounded
+        raise ValueError(
+            f"cosine threshold {threshold} is too low for {n_planes}-plane "
+            "LSH buckets (collision probability ~ 0); lower n_planes or use "
+            "a bucket_col / brute-force path"
+        )
+    return max(1, math.ceil(math.log(1.0 - target_recall)
+                            / math.log(1.0 - p_bucket)))
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                            emb_col: str = "embedding", bucket_col: str | None = None):
-    """Pairs with cosine ≥ threshold. Within-bucket brute force (numpy
-    matmul per group); ``bucket_col=None`` buckets by LSH random projections
-    (the scale path — no O(N²) across buckets)."""
-    if bucket_col is None:
-        rng = np.random.default_rng(11)
-        planes = None
+                            emb_col: str = "embedding",
+                            bucket_col: str | None = None,
+                            n_tables: int | None = None, n_planes: int = 16,
+                            num_shards: int = 64,
+                            max_bucket_rows: int = 10_000):
+    """Pairs with cosine ≥ threshold.
 
-        def add_bucket(t: pa.Table) -> pa.Table:
-            nonlocal planes
-            emb = np.asarray(t[emb_col].to_pylist(), dtype=np.float32)
-            if planes is None:
-                planes = np.random.default_rng(11).normal(size=(emb.shape[1], 8)).astype(np.float32)
-            bits = (emb @ planes > 0).astype(np.int64)
-            bucket = bits @ (1 << np.arange(8, dtype=np.int64))
-            return t.append_column("nd_bucket", pa.array(bucket, pa.int64()))
+    ``bucket_col`` given: within-bucket brute force (numpy matmul per
+    group) — for pre-partitioned data (label, host, …).
 
-        ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-        bucket_col = "nd_bucket"
+    ``bucket_col=None``: banded multi-table random-hyperplane LSH — the
+    scale path. Each of ``n_tables`` tables hashes ``n_planes`` projection
+    signs into a bucket id (2^n_planes buckets per table; size n_planes ~
+    log2(N/target_bucket) so buckets stay small at 10^10 vectors), rows
+    carry the embedding so cosine verifies in-group, and pair generation
+    groups by a uniform hash shard of (table, bucket) — the same
+    scale-safe shape as the MinHash/SimHash pipelines; recall comes from
+    the table count, not from giant buckets. Buckets over
+    ``max_bucket_rows`` are truncated with a warning (tune n_planes up
+    instead of paying O(rows²)). ``n_tables=None`` derives the table count
+    from the threshold via :func:`lsh_tables_for` (90 % recall target) —
+    hyperplane LSH is a NEAR-dup method: low thresholds (< ~0.8) need
+    exponentially many tables and should use brute force or IVF instead."""
+    if bucket_col is not None:
+        return ds.groupby(bucket_col).map_groups(
+            lambda g: _group_cosine_pairs(g, threshold, id_col, emb_col),
+            batch_format="pandas",
+        )
+    if n_tables is None:
+        n_tables = lsh_tables_for(threshold, n_planes)
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = emb / norms
-        sims = unit @ unit.T
-        ids = g[id_col].to_numpy()
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        lo = np.minimum(ids[ia], ids[ib])
-        hi = np.maximum(ids[ia], ids[ib])
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ia, ib]})
+    def add_tables(t: pa.Table) -> pa.Table:
+        emb = np.asarray(t[emb_col].to_pylist(), dtype=np.float32)
+        n = len(t)
+        if n == 0 or emb.size == 0:
+            return pa.table(
+                {"shard": pa.array([], pa.int32()),
+                 "lsh_table": pa.array([], pa.int32()),
+                 "bucket": pa.array([], pa.int64()),
+                 id_col: pa.array([], t[id_col].type),
+                 emb_col: pa.array([], t[emb_col].type)}
+            )
+        dim = emb.shape[1]
+        # per-table plane sets from one deterministic stream
+        planes = np.random.default_rng(11).normal(
+            size=(n_tables, dim, n_planes)
+        ).astype(np.float32)
+        pows = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        table_idx = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        buckets = np.concatenate(
+            [((emb @ planes[ti] > 0).astype(np.int64) @ pows)
+             for ti in range(n_tables)]
+        )
+        row_idx = np.tile(np.arange(n, dtype=np.int64), n_tables)
+        ids_arr = t[id_col]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        emb_arr = t[emb_col]
+        if isinstance(emb_arr, pa.ChunkedArray):
+            emb_arr = emb_arr.combine_chunks()
+        take = pa.array(row_idx)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    _shard_of(buckets.astype(np.uint64), table_idx, num_shards)
+                ),
+                "lsh_table": pa.array(table_idx, pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+                id_col: ids_arr.take(take),
+                emb_col: emb_arr.take(take),
+            }
+        )
 
-    return ds.groupby(bucket_col).map_groups(group_pairs, batch_format="pandas")
+    rows = ds.map_batches(add_tables, batch_format="pyarrow")
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        dup = g[g.duplicated(subset=["lsh_table", "bucket"], keep=False)]
+        for _, bucket in dup.groupby(["lsh_table", "bucket"], sort=False):
+            b = bucket.drop_duplicates(subset=[id_col])
+            if len(b) < 2:
+                continue
+            if len(b) > max_bucket_rows:
+                import warnings
+
+                warnings.warn(
+                    f"LSH bucket truncated at {max_bucket_rows} rows "
+                    "(raise n_planes for this cardinality)", stacklevel=1
+                )
+                b = b.iloc[:max_bucket_rows]
+            parts.append(_group_cosine_pairs(b, threshold, id_col, emb_col))
+        if not parts:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype=g[id_col].dtype),
+                 "vec_b": pd.Series([], dtype=g[id_col].dtype),
+                 "cosine": pd.Series([], dtype=np.float64)}
+            )
+        return pd.concat(parts).drop_duplicates(subset=["vec_a", "vec_b"])
+
+    pairs = rows.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+    return _dedup_pairs_sharded(
+        pairs, num_shards=num_shards, pair_cols=("vec_a", "vec_b"),
+        agg={"cosine": "max"},
+    )
 
 
 def simhash_candidate_pairs(ds, *, bands: int = 4, max_hamming: int | None = None,

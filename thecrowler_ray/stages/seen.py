@@ -64,9 +64,14 @@ class SeenShard:
 
 
 def key_u64(key_hex_col) -> np.ndarray:
-    """hex url_key column (pyarrow or numpy of str) → uint64 keys."""
+    """hex url_key column (pyarrow or numpy of str) → uint64 keys.
+    One C-level hex decode for the whole batch (bytes.fromhex on the joined
+    prefixes) instead of a Python int() per key."""
     arr = key_hex_col.to_pylist() if hasattr(key_hex_col, "to_pylist") else list(key_hex_col)
-    return np.array([int(k[:16], 16) for k in arr], dtype=np.uint64)
+    if not arr:
+        return np.empty(0, dtype=np.uint64)
+    raw = bytes.fromhex("".join(k[:16] for k in arr))
+    return np.frombuffer(raw, dtype=">u8").astype(np.uint64)
 
 
 class SeenShardPool:

@@ -85,15 +85,67 @@ def fingerprint_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     batch["fingerprint_md5"] = [
         hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm
     ]
-    B, M = 1000000007, (1 << 61) - 1
-    fps = []
-    for t in norm:
-        h = 0
-        for ch in t[:4096]:  # bounded window
-            h = (h * B + ord(ch)) % M
-        fps.append(h)
-    batch["fingerprint_rolling"] = pd.Series(fps, index=batch.index, dtype="int64")
+    batch["fingerprint_rolling"] = pd.Series(
+        rolling_fingerprints(norm.tolist()), index=batch.index, dtype="int64"
+    )
     return batch
+
+
+_ROLL_B = 1000000007
+_ROLL_M = (1 << 61) - 1  # Mersenne: (x << 31) mod M is a 61-bit rotation
+
+
+def rolling_fingerprints(texts: list[str], window: int = 4096) -> np.ndarray:
+    """Vectorized Karp-Rabin rolling hash h = (h*B + ord) mod (2^61-1) per
+    doc, bit-identical to the scalar loop. One numpy step per character
+    POSITION (over all docs at once) with overflow-free Mersenne mulmod:
+    split h into 30/31-bit halves, rotate the high product by 31 within 61
+    bits, fold."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    clipped = [t[:window] for t in texts]
+    lens = np.fromiter((len(t) for t in clipped), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return np.zeros(n, dtype=np.int64)
+    # sort docs by length DESC so the active set at each position is a
+    # contiguous prefix (cheap slices, no fancy indexing)
+    order = np.argsort(-lens, kind="stable")
+    sorted_lens = lens[order]
+    mat = np.zeros((n, maxlen), dtype=np.uint64)
+    for row, i in enumerate(order):
+        t = clipped[i]
+        if t:
+            mat[row, : len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+    M = np.uint64(_ROLL_M)
+    B = np.uint64(_ROLL_B)
+    LO30 = np.uint64((1 << 30) - 1)
+    LO31 = np.uint64((1 << 31) - 1)
+    h = np.zeros(n, dtype=np.uint64)
+    # number of docs still active at position p = count(len > p); lens are
+    # sorted desc, so it's a prefix length found by binary search
+    for p in range(maxlen):
+        k = int(np.searchsorted(-sorted_lens, -(p + 1), side="right"))
+        if k == 0:
+            break
+        ha = h[:k]
+        c = mat[:k, p]
+        hi = ha >> np.uint64(31)            # < 2^30
+        lo = ha & LO31                      # < 2^31
+        t1 = hi * B                         # < 2^61
+        t1 = (t1 & M) + (t1 >> np.uint64(61))
+        t1 = np.where(t1 >= M, t1 - M, t1)
+        t1r = ((t1 & LO30) << np.uint64(31)) | (t1 >> np.uint64(30))  # rotl31
+        acc = t1r + lo * B + c              # < 2^63
+        acc = (acc & M) + (acc >> np.uint64(61))
+        acc = np.where(acc >= M, acc - M, acc)
+        h[:k] = acc
+    out = np.zeros(n, dtype=np.uint64)
+    out[order] = h
+    return out.astype(np.int64)
 
 
 def simhash64(tokens: list[str]) -> int:
