@@ -135,3 +135,50 @@ def test_storage_seam_roundtrip(tmp_path):
             resolve_format("lance")
     with _pytest.raises(ValueError):
         resolve_format("csvish")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_handlers_consume_events(tmp_path):
+    """§3.3 consumer loop: events dispatch to registered handlers by type,
+    unmatched events are dropped, scheduled actions run real pipelines
+    (time-series aggregation) through the scheduler->handler path."""
+    import ray
+
+    from thecrowler_ray.pipelines.handlers import (
+        HandlerRegistry,
+        drain_events,
+        make_timeseries_handler,
+        run_schedules,
+        scheduler_router,
+    )
+    from thecrowler_ray.state.events import event_bus
+
+    bus = event_bus("t_handlers_bus")
+    reg = HandlerRegistry()
+    seen = []
+    reg.register("content_change", lambda ev: seen.append(ev["action"]) or "ok")
+
+    ray.get(bus.publish.remote("recrawl", "content_change", now=100.0))
+    ray.get(bus.publish.remote("nobody_listens", "mystery", now=100.0))
+    out = drain_events(bus, reg, now=101.0)
+    assert out["handled"] == 1 and out["dropped"] == 1
+    assert seen == ["recrawl"]
+    assert ray.get(bus.poll.remote(None, 101.0)) == []  # all acked
+
+    # scheduled time-series aggregation fires through the scheduler router
+    ts_out = str(tmp_path / "ts_agg")
+    reg.register("timeseries_aggregate",
+                 make_timeseries_handler("/root/testdata/sf0.001", ts_out))
+    scheduler_router(reg)
+    ray.get(bus.add_schedule.remote("ts", "timeseries_aggregate", 60.0, now=200.0))
+    res = run_schedules(bus, reg, now=199.0 + 60.0 + 1.0)
+    assert res["fired"] == ["ts"]
+    assert res["handled"] == 1
+    agg = res["results"][0]["result"][0]
+    assert agg["rows"] > 0
+    import ray.data as rd
+
+    assert rd.read_parquet(ts_out).count() == agg["rows"]
+    # not due again immediately
+    res2 = run_schedules(bus, reg, now=260.5)
+    assert res2["fired"] == [] and res2["handled"] == 0
