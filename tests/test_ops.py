@@ -246,3 +246,19 @@ def test_embedding_lsh_neardup_planted_recall():
     unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
     for a, b in gset:
         assert float(unit[a] @ unit[b]) >= 0.95 - 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dim_join_threshold_paths_equal():
+    """The native-join path (forced via join_threshold=0) must produce the
+    same result as the broadcast path — the scale switch is invisible."""
+    from thecrowler_ray.pipelines.queries import q_nation_revenue, q_top_customers
+
+    sf = "/root/testdata/sf0.001"
+    for fn, sort_cols in ((q_top_customers, ["c_custkey"]),
+                          (q_nation_revenue, ["n_name"])):
+        a = fn(sf)
+        b = fn(sf, join_threshold=0)
+        a = a.sort_values(sort_cols).reset_index(drop=True)
+        b = b.sort_values(sort_cols).reset_index(drop=True)[a.columns]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

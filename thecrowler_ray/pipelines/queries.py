@@ -75,9 +75,12 @@ def q_pricing_summary(sf_dir: str):
     return out
 
 
-def q_top_customers(sf_dir: str):
-    """Broadcast join: aggregate orders by custkey (combiner), then look up
-    the small customer dim on the driver. No shuffle join."""
+def q_top_customers(sf_dir: str, join_threshold: int = 1_000_000):
+    """Dim-size-adaptive join: aggregate orders by custkey (combiner), then
+    attach the customer dim — driver-side broadcast merge while the dim is
+    small, native hash-partitioned ``Dataset.join`` + distributed
+    sort/limit above ``join_threshold`` rows (the "small side" is ~1.5 B
+    rows at the stated 100× scale, where a broadcast dict cannot exist)."""
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -86,23 +89,36 @@ def q_top_customers(sf_dir: str):
         )
         return g.rename_columns(["o_custkey", "total_spent", "n_orders"])
 
-    agg = (
+    agg_ds = (
         orders.map_batches(partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(
             Sum("total_spent", alias_name="total_spent"),
             Sum("n_orders", alias_name="n_orders"),
         )
-        .to_pandas()
     )
-    cust = (
-        _rp(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    )  # small dim — broadcast-style lookup
-    top = (
-        agg.merge(cust, left_on="o_custkey", right_on="c_custkey")
-        .sort_values(["total_spent", "c_custkey"], ascending=[False, True])
-        .head(10)
-    )
+    cust_ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    if cust_ds.count() > join_threshold:
+        joined = agg_ds.join(
+            cust_ds, join_type="inner", num_partitions=16,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        # the join folds the right key into o_custkey
+        top = (
+            joined.sort([("total_spent"), ("o_custkey")],
+                        descending=[True, False])
+            .limit(10)
+            .to_pandas()
+            .rename(columns={"o_custkey": "c_custkey"})
+        )
+    else:
+        agg = agg_ds.to_pandas()
+        cust = cust_ds.to_pandas()  # small dim — broadcast-style lookup
+        top = (
+            agg.merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .sort_values(["total_spent", "c_custkey"], ascending=[False, True])
+            .head(10)
+        )
     top["total_spent"] = top["total_spent"].round(2)
     return top[["c_custkey", "c_name", "total_spent", "n_orders"]].reset_index(drop=True)
 
@@ -535,23 +551,42 @@ def q_search_ranked(sf_dir: str):
     )
 
 
-def q_nation_revenue(sf_dir: str):
-    """Three-table broadcast-dimension chain: orders → customer → nation."""
+def q_nation_revenue(sf_dir: str, join_threshold: int = 1_000_000):
+    """Three-table chain: orders → customer → nation. Customer attaches by
+    broadcast map while small, by native ``Dataset.join`` above
+    ``join_threshold`` rows; nation (25 rows at every scale) is always a
+    broadcast lookup."""
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_ds = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust.c_custkey, cust.c_nationkey))
     n2name = dict(zip(nation.n_nationkey, nation.n_name))
-    lookup = ray.put((c2n, n2name))
 
-    def add_nation(df: pd.DataFrame) -> pd.DataFrame:
-        c2n_, n2name_ = ray.get(lookup)
-        df["n_name"] = df["o_custkey"].map(c2n_).map(n2name_)
-        return df[["n_name", "o_totalprice"]]
+    if cust_ds.count() > join_threshold:
+        with_nat = orders.join(
+            cust_ds, join_type="inner", num_partitions=16,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        nref = ray.put(n2name)
+
+        def name_of(df: pd.DataFrame) -> pd.DataFrame:
+            df["n_name"] = df["c_nationkey"].map(ray.get(nref))
+            return df[["n_name", "o_totalprice"]]
+
+        keyed = with_nat.map_batches(name_of, batch_format="pandas")
+    else:
+        cust = cust_ds.to_pandas()
+        c2n = dict(zip(cust.c_custkey, cust.c_nationkey))
+        lookup = ray.put((c2n, n2name))
+
+        def add_nation(df: pd.DataFrame) -> pd.DataFrame:
+            c2n_, n2name_ = ray.get(lookup)
+            df["n_name"] = df["o_custkey"].map(c2n_).map(n2name_)
+            return df[["n_name", "o_totalprice"]]
+
+        keyed = orders.map_batches(add_nation, batch_format="pandas")
 
     out = (
-        orders.map_batches(add_nation, batch_format="pandas")
-        .groupby("n_name")
+        keyed.groupby("n_name")
         .aggregate(Count(alias_name="n_orders"),
                    Sum("o_totalprice", alias_name="total_revenue"))
         .to_pandas()
