@@ -177,11 +177,14 @@ def main() -> None:
         lo, hi = (
             int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "4,16").split(",")
         )
-        # interleave the levels (lo,hi,lo,hi): adjacent pairs share a drift
-        # window on this noisy host, so per-pair efficiency is far more
-        # stable than two monolithic blocks; report the median pair raw +
-        # calibrated (per-CPU md5 throughput measured around each run)
-        order = [lo, hi, lo, hi]
+        # interleave the levels (lo,hi,lo,hi,...): adjacent pairs share a
+        # drift window on this noisy host, so per-pair efficiency is far
+        # more stable than two monolithic blocks; report the median pair
+        # raw + calibrated (per-CPU md5 throughput measured around each
+        # run). GRAFT_SCALE_ROUNDS=R gives 2R-1 adjacent pairs (default 3
+        # rounds → 5 pairs, the median-of-5 evidence protocol).
+        rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+        order = [lo, hi] * rounds
         runs = []
         for n in order:
             env = dict(
@@ -244,6 +247,7 @@ def main() -> None:
                     "pair_efficiencies_calibrated": [
                         round(p["calibrated"], 3) for p in pairs
                     ],
+                    "n_pairs": len(pairs),
                     "sf": sf_of(SF_DIR),
                 }
             )
