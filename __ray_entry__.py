@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_search_ranked": q.q_search_ranked,
         "q_scrape_rules": q.q_scrape_rules,
         "q_tech_detect": q.q_tech_detect,
+        "q_scrape_docs": q.q_scrape_docs,
+        "q_tech_detect_docs": q.q_tech_detect_docs,
         # the crawl engine itself (rows-only; pytest gates it vs the oracle)
         "q_crawl": q_crawl,
         "q_crawl_index": q_crawl_index,
@@ -389,6 +391,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
                    COUNT(*) AS occurrences
             FROM events GROUP BY 1
+        """,
+        "q_scrape_docs": """
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source AS title,
+                   array_to_string(
+                       list_slice(list_filter(string_split_regex(text, '\\s+'),
+                                              x -> x <> ''), 1, 10), ' ')
+                       AS description,
+                   text AS body
+            FROM documents
+        """,
+        "q_tech_detect_docs": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN '{"php": 32.5, "wordpress": 80.0}'
+                        WHEN 1 THEN '{"jquery": 25.0}'
+                        WHEN 2 THEN '{"bootstrap": 25.0}'
+                        ELSE '{"react": 32.5}' END AS detected_tech
+            FROM documents
         """,
         "q_langid": _langid_sql(),
         "q_simhash": f"""

@@ -529,6 +529,121 @@ def q_tech_detect(sf_dir: str):
     return out.select_columns(["url", "detected_tech"])
 
 
+_DOC_TECH_MARKERS = [
+    # doc_id % 4 → markers injected into the derived page; each class
+    # produces one deterministic detect() result the SQL twin re-states
+    '<meta name="generator" content="WordPress 6.2"><div class="wp-content">x</div>',
+    '<script src="/js/jquery-3.6.0.min.js"></script>',
+    '<link href="/css/bootstrap.min.css" rel="stylesheet">',
+    '<div data-reactroot="">x</div>',
+]
+
+
+def _doc_html(doc_id: int, lang: str, source: str, text: str) -> str:
+    """documents row → deterministic HTML page (SQL-recomputable: plain
+    string assembly, no randomness), so the real selector/detection engines
+    can run under the DuckDB oracle gate."""
+    words = (text or "").split()
+    desc = " ".join(words[:10])
+    marker = _DOC_TECH_MARKERS[int(doc_id) % 4]
+    return (
+        f'<html lang="{lang}"><head><title>Doc {doc_id} {source}</title>'
+        f'<meta name="description" content="{desc}">'
+        f"{marker}</head><body><p>{text}</p></body></html>"
+    )
+
+
+def _doc_pages(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        htmls = [
+            _doc_html(d, la, s, x)
+            for d, la, s, x in zip(
+                t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+                t["source"].to_pylist(), t["text"].to_pylist(),
+            )
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "url": pa.array([f"doc://{d}" for d in t["doc_id"].to_pylist()]),
+             "html": pa.array(htmls, pa.string())}
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+_DOC_SCRAPE_RULESET = """
+ruleset_name: "docpages"
+rule_groups:
+  - group_name: "docs"
+    is_enabled: true
+    scraping_rules:
+      - rule_name: "doc"
+        elements:
+          - key: "title"
+            selectors:
+              - selector_type: "css"
+                selector: "title"
+          - key: "description"
+            selectors:
+              - selector_type: "xpath"
+                selector: "//meta[@name='description']"
+                attribute: "content"
+          - key: "body"
+            selectors:
+              - selector_type: "css"
+                selector: "p"
+"""
+
+
+def q_scrape_docs(sf_dir: str):
+    """The real YAML scrape-rule executor (selector engine, attribute
+    extraction) over documents-derived HTML — DuckDB recomputes the
+    expected title/description/body per row, so the whole selector path is
+    oracle-checked. The synthweb-page variant stays as the rows-only
+    q_scrape_rules."""
+    import json as _json
+
+    from ..ruleset import ScrapeStage
+
+    out = _doc_pages(sf_dir).map_batches(
+        ScrapeStage,
+        fn_constructor_args=(_DOC_SCRAPE_RULESET,),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=2,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = [_json.loads(s) for s in t["scraped_data"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "title": pa.array([r.get("title", "") for r in rows], pa.string()),
+                "description": pa.array(
+                    [r.get("description", "") for r in rows], pa.string()
+                ),
+                "body": pa.array([r.get("body", "") for r in rows], pa.string()),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+def q_tech_detect_docs(sf_dir: str):
+    """The real tech-detection engine (regex signatures, confidence curve,
+    implied-stack closure) over documents-derived HTML with per-class
+    markers — the detect() JSON is a pure function of doc_id % 4, which the
+    SQL twin re-states. The synthweb variant stays rows-only."""
+    from ..detection import DetectStage
+
+    out = _doc_pages(sf_dir).map_batches(
+        DetectStage, batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+    return out.select_columns(["doc_id", "detected_tech"])
+
+
 def q_search_ranked(sf_dir: str):
     """Dorking search + FTS-style ranking (reference search_pages analog):
     filter by the query, score = total term occurrences, top-20 by
