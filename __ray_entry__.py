@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents: crawl semantics mapped to the corpus (M8/M9, A1/A2, §2.7)
         "q_lang_counts": q.q_lang_counts,
         "q_keyword_occurrences": q.q_keyword_occurrences,
+        "q_doc_keywords": q.q_doc_keywords,
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
         "q_fingerprint": q.q_fingerprint,
@@ -117,6 +118,45 @@ def _stoplist_sql() -> str:
 
 def _sql_list(words) -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+def _doc_keywords_sql() -> str:
+    """SQL twin of per-doc extract_keywords over the plain-text corpus:
+    whitespace tokens, 3..45 chars, per-language stop-word filter,
+    first-seen ordered dedup (MIN(pos) + row_number)."""
+    from thecrowler_ray.keywords import STOP_WORDS
+
+    cases = []
+    for lang in sorted(STOP_WORDS):
+        words = STOP_WORDS[lang]
+        if not words:
+            continue
+        cases.append(f"WHEN '{lang}' THEN tok IN ({_sql_list(words)})")
+    stop_case = "CASE lang " + " ".join(cases) + " ELSE FALSE END"
+    return f"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, lang, unnest(ws) AS tok,
+                   CAST(generate_subscripts(ws, 1) AS BIGINT) AS p
+            FROM w
+        ), filt AS (
+            SELECT doc_id, tok, p FROM tok
+            WHERE length(tok) BETWEEN 3 AND 45
+              AND NOT ({stop_case})
+        ), firsts AS (
+            SELECT doc_id, tok AS keyword, MIN(p) AS first_p
+            FROM filt GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY first_p)
+                    - 1 AS BIGINT) AS pos,
+               keyword
+        FROM firsts
+    """
 
 
 def _langid_sql() -> str:
@@ -392,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS occurrences
             FROM events GROUP BY 1
         """,
+        "q_doc_keywords": _doc_keywords_sql(),
         "q_scrape_docs": """
             SELECT doc_id,
                    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source AS title,

@@ -307,6 +307,31 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword extraction with first-seen order (reference M8:
+    normalize → tokenize → length/symbol/stop filters → ordered dedup) —
+    the per-doc ordered counterpart of the global q_keyword_occurrences."""
+    from ..keywords import extract_keywords
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def kws(t: pa.Table) -> pa.Table:
+        ids, poss, words = [], [], []
+        for d, x, la in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                            t["lang"].to_pylist()):
+            for i, kw in enumerate(extract_keywords(x or "", [], la or "")):
+                ids.append(d)
+                poss.append(i)
+                words.append(kw)
+        return pa.table(
+            {"doc_id": pa.array(ids, t["doc_id"].type),
+             "pos": pa.array(poss, pa.int64()),
+             "keyword": pa.array(words, pa.string())}
+        )
+
+    return ds.map_batches(kws, batch_format="pyarrow")
+
+
 def q_fingerprint_family(sf_dir: str):
     """Fingerprint registry over documents (reference pkg/fingerprints):
     the oracle-checkable digest columns (ja3=md5, custom_tls=sha256); the
