@@ -159,6 +159,92 @@ def _doc_keywords_sql() -> str:
     """
 
 
+def _minhash_pairs_sql() -> str:
+    """SQL twin of the MinHash-LSH candidate-pair pipeline, bit-exact:
+    per-token FNV-1a (list_reduce over code points; ASCII corpus), k=3
+    polynomial rolling shingles mod 2^64, DISTINCT >>3, the SAME 128
+    (a,b) universal-hash permutations (read from MinHashSignatures so the
+    constants can never drift), per-perm MIN mod 2^61-1, per-band
+    polynomial hash mod 2^64 >>1, and the shared-bucket self-join."""
+    import numpy as np
+
+    from thecrowler_ray.stages.dedup import MinHashSignatures
+
+    m = MinHashSignatures()  # num_perm=128, shingle_k=3, seed=7
+    P = 1099511628211
+    M64 = 1 << 64
+    w = [pow(P, 3 - j, M64) for j in range(4)]  # uint64-wrapped weights
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(m.a, m.b))
+    )
+    FNV_BASIS = 0xCBF29CE484222325
+    FNV_PRIME = 0x100000001B3
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), padded AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 3 THEN ws
+                        ELSE list_concat(ws, list_slice(['', '', ''],
+                                                        1, 3 - len(ws)))
+                   END AS ws
+            FROM w
+        ), tok AS (
+            SELECT doc_id, unnest(ws) AS tok,
+                   CAST(generate_subscripts(ws, 1) AS BIGINT) AS p,
+                   len(ws) AS n
+            FROM padded
+        ), th AS (
+            SELECT doc_id, p, n,
+                   list_reduce(
+                       list_prepend({FNV_BASIS}::HUGEINT,
+                                    list_transform(regexp_extract_all(tok, '.'),
+                                                   c -> CAST(unicode(c) AS HUGEINT))),
+                       (h, b) -> ((h - (h % 256)
+                                   + CAST(xor(CAST(h % 256 AS BIGINT),
+                                              CAST(b AS BIGINT)) AS HUGEINT))
+                                  * {FNV_PRIME}::HUGEINT)
+                                 % {M64}::HUGEINT
+                   ) AS h
+            FROM tok
+        ), rolled AS (
+            SELECT doc_id, p, n, h,
+                   LEAD(h, 1) OVER (PARTITION BY doc_id ORDER BY p) AS h1,
+                   LEAD(h, 2) OVER (PARTITION BY doc_id ORDER BY p) AS h2
+            FROM th
+        ), shingle AS (
+            SELECT DISTINCT doc_id,
+                   (((h * {P}::HUGEINT % {M64}::HUGEINT + h1)
+                     * {P}::HUGEINT % {M64}::HUGEINT + h2)
+                    % {M64}::HUGEINT) // 8 AS sh
+            FROM rolled WHERE p <= n - 2
+        ), perms(pi, a, b) AS (VALUES {perm_rows}),
+        sig AS (
+            SELECT doc_id, pi,
+                   MIN((a * sh + b) % 2305843009213693951::HUGEINT) AS v
+            FROM shingle CROSS JOIN perms GROUP BY doc_id, pi
+        ), bh AS (
+            SELECT doc_id, CAST(pi // 4 AS INTEGER) AS band,
+                   (SUM((v * CASE CAST(pi % 4 AS INTEGER)
+                                 WHEN 0 THEN {w[0]}::HUGEINT
+                                 WHEN 1 THEN {w[1]}::HUGEINT
+                                 WHEN 2 THEN {w[2]}::HUGEINT
+                                 ELSE {w[3]}::HUGEINT END)
+                        % {M64}::HUGEINT)
+                    % {M64}::HUGEINT) // 2 AS band_hash
+            FROM sig GROUP BY doc_id, CAST(pi // 4 AS INTEGER)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bh a JOIN bh b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
 def _langid_sql() -> str:
     """DuckDB twin of thecrowler_ray.langid.detect_lang: same marker/stop
     tables, same (2*markers + stops)/n_words score over the first 200
@@ -433,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q_doc_keywords": _doc_keywords_sql(),
+        "q_minhash_pairs": _minhash_pairs_sql(),
         "q_scrape_docs": """
             SELECT doc_id,
                    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source AS title,
@@ -515,10 +602,12 @@ def oracle_sql() -> dict[str, str]:
                        AS target_height
             FROM dims
         """,
-        # q_scrape_rules / q_tech_detect: synthetic-page inputs, not
-        # SQL-expressible (selector engine / signature matching) → rows-only.
-        # q_minhash_pairs / q_crawl / q_doc_spans: intentionally omitted —
-        # not ANSI-SQL-expressible (FNV-shingle LSH signatures, stateful
-        # BFS, span extraction over synthetic HTML). Driver applies the
-        # rows-only check; pytest pins them against the Python oracle.
+        # Rows-only remainder: q_scrape_rules / q_tech_detect run over the
+        # seeded synthweb corpus (md5-driven page generator — the
+        # documents-derived q_scrape_docs / q_tech_detect_docs cover the
+        # same engines under the oracle gate); q_crawl / q_crawl_index /
+        # q_action_rules are the stateful BFS engine (pinned to the Python
+        # oracle by tests/test_crawl_engine.py); q_doc_spans returns a
+        # nested list<struct> span column. Driver applies the rows-only
+        # check to these.
     }
