@@ -40,7 +40,7 @@ def test_read_mail_dispatch():
     ds = read_mail("mbox://team", content=MBOX)
     assert ds.count() == 2
     with pytest.raises(NotImplementedError):
-        read_mail("pop3://mail.example.com")  # imap is now a real client
+        read_mail("gmail://acct")  # imap/pop3 are now real clients
     with pytest.raises(ValueError):
         read_mail("http://not-mail.example.com")
 
@@ -190,5 +190,94 @@ def test_read_mail_imap_scheme():
         ds = read_mail(f"imap://127.0.0.1:{srv.port}/INBOX")
         df = ds.to_pandas()
         assert len(df) == 1 and df.title[0] == "hello"
+    finally:
+        srv.close()
+
+
+class _FixturePop3Server:
+    """Minimal POP3 server: USER/PASS/STAT/RETR/QUIT over a local socket."""
+
+    def __init__(self, messages):
+        import socket
+        import threading
+
+        self.messages = list(messages)  # ordinal order, bytes
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(4)
+        self.port = self.sock.getsockname()[1]
+        self._stop = False
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        while not self._stop:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            try:
+                self._session(conn)
+            except (OSError, ValueError):
+                pass
+            finally:
+                conn.close()
+
+    def _session(self, conn):
+        w = conn.makefile("wb")
+        r = conn.makefile("rb")
+        w.write(b"+OK fixture POP3 ready\r\n")
+        w.flush()
+        while True:
+            line = r.readline()
+            if not line:
+                return
+            parts = line.decode().strip().split()
+            cmd = parts[0].upper() if parts else ""
+            if cmd in ("USER", "PASS"):
+                w.write(b"+OK\r\n")
+            elif cmd == "STAT":
+                total = sum(len(m) for m in self.messages)
+                w.write(f"+OK {len(self.messages)} {total}\r\n".encode())
+            elif cmd == "RETR":
+                i = int(parts[1])
+                if 1 <= i <= len(self.messages):
+                    w.write(b"+OK message follows\r\n")
+                    w.write(self.messages[i - 1])
+                    w.write(b"\r\n.\r\n")
+                else:
+                    w.write(b"-ERR no such message\r\n")
+            elif cmd == "QUIT":
+                w.write(b"+OK bye\r\n")
+                w.flush()
+                return
+            else:
+                w.write(b"-ERR unsupported\r\n")
+            w.flush()
+
+    def close(self):
+        self._stop = True
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def test_pop3_incremental_fetch_with_checkpoint():
+    from thecrowler_ray.sources.mailbox import pop3_fetch_documents
+
+    srv = _FixturePop3Server([
+        _rfc822("one", "alpha body"),
+        _rfc822("two", "beta body"),
+    ])
+    try:
+        table, last = pop3_fetch_documents("127.0.0.1", srv.port, "u", "p")
+        assert last == 2
+        assert list(table.to_pandas().title) == ["one", "two"]
+        srv.messages.append(_rfc822("three", "gamma body"))
+        t2, last2 = pop3_fetch_documents(
+            "127.0.0.1", srv.port, "u", "p", last_index=last
+        )
+        assert last2 == 3
+        assert list(t2.to_pandas().title) == ["three"]
     finally:
         srv.close()

@@ -168,6 +168,50 @@ def imap_fetch_documents(
     return pa.Table.from_pydict(rows, schema=MAIL_SCHEMA), new_last
 
 
+def pop3_fetch_documents(
+    host: str,
+    port: int,
+    user: str,
+    password: str,
+    last_index: int = 0,
+) -> tuple[pa.Table, int]:
+    """Incremental POP3 fetch (reference ``pkg/mail/connector_pop3.go``):
+    USER/PASS → STAT → RETR each message past the checkpoint → document
+    rows + the new checkpoint index.
+
+    POP3 has no stable UIDs across sessions in the base protocol, so the
+    checkpoint is the message ORDINAL (the reference's pop3 connector keeps
+    the same per-mailbox offset); it is only stable on servers that do not
+    delete/renumber between sessions — UIDL support is the upgrade path."""
+    import poplib
+
+    rows = {n: [] for n in MAIL_SCHEMA.names}
+    conn = poplib.POP3(host, port)
+    new_last = last_index
+    try:
+        conn.user(user)
+        conn.pass_(password)
+        count, _ = conn.stat()
+        parser = Parser()
+        for i in range(last_index + 1, count + 1):
+            _, lines, _ = conn.retr(i)
+            raw = b"\r\n".join(lines).decode("utf-8", "replace")
+            msg = parser.parsestr(raw)
+            url = f"pop3://{host}:{port}/INBOX/{i}"
+            row = _message_rows(msg, url, "INBOX", i)
+            for k, v in row.items():
+                rows[k].append(v)
+            new_last = i
+        conn.quit()
+    except Exception:
+        try:
+            conn.close()
+        except OSError:
+            pass
+        raise
+    return pa.Table.from_pydict(rows, schema=MAIL_SCHEMA), new_last
+
+
 def read_mail(source_url: str, content: str | None = None, start_index: int = 0,
               user: str = "user", password: str = "pass"):
     """Dispatch on the mail scheme (reference protocol classifier).
@@ -192,9 +236,17 @@ def read_mail(source_url: str, content: str | None = None, start_index: int = 0,
             mailbox or "INBOX", last_uid=start_index,
         )
         return ray.data.from_arrow(table)
-    if scheme in ("imaps", "pop3", "pop3s", "gmail", "graph-mail", "email"):
+    if scheme == "pop3":
+        rest = source_url.split("://", 1)[1]
+        endpoint = rest.split("/", 1)[0]
+        host, _, port = endpoint.partition(":")
+        table, _ = pop3_fetch_documents(
+            host, int(port or 110), user, password, last_index=start_index
+        )
+        return ray.data.from_arrow(table)
+    if scheme in ("imaps", "pop3s", "gmail", "graph-mail", "email"):
         raise NotImplementedError(
-            f"{scheme} connector requires live mail credentials/network "
+            f"{scheme} connector requires live mail credentials/TLS/network "
             "(reference pkg/mail/connector_*.go); out of v0 sandbox scope"
         )
     raise ValueError(f"not a mail source: {source_url}")
