@@ -162,3 +162,111 @@ rule_groups:
     rs = load_rulesets(y)
     with pytest.raises(NotImplementedError):
         apply_rule(rs[0].rule_groups[0].scraping_rules[0], HTML)
+
+
+def test_plugin_registry_selectors():
+    """plugin_call/agent_call selectors resolve through a PluginRegistry by
+    name (reference extractExternal contract): values flow into extracted
+    data, empty results fall through to the next selector, missing plugins
+    raise, js_path still needs a browser."""
+    from thecrowler_ray.plugins import (
+        PluginNotFoundError,
+        PluginRegistry,
+        UnavailableCapabilityError,
+        normalize_external_value,
+    )
+    from thecrowler_ray.ruleset import load_rulesets, scrape_page
+
+    assert normalize_external_value(None) == []
+    assert normalize_external_value("x") == ["x"]
+    assert normalize_external_value([1, 2]) == [1, 2]
+
+    yaml_doc = """
+ruleset_name: "plugged"
+rule_groups:
+  - group_name: "g"
+    is_enabled: true
+    scraping_rules:
+      - rule_name: "r"
+        elements:
+          - key: "price"
+            selectors:
+              - selector_type: "plugin_call"
+                selector: "price_extractor"
+              - selector_type: "css"
+                selector: ".price"
+          - key: "summary"
+            selectors:
+              - selector_type: "agent_call"
+                selector: "summarizer"
+"""
+    rulesets = load_rulesets(yaml_doc)
+    html = '<html><body><span class="price">9.99</span>hello world</body></html>'
+
+    reg = PluginRegistry()
+    reg.register_plugin("price_extractor", lambda ctx: "42.00")
+    reg.register_agent("summarizer",
+                       lambda ctx: ctx["html"][:20] and "a short summary")
+    got = scrape_page(rulesets, html, "http://x.test/", plugins=reg)
+    assert got == {"price": "42.00", "summary": "a short summary"}
+
+    # plugin returns nothing → CSS fallback wins
+    reg2 = PluginRegistry()
+    reg2.register_plugin("price_extractor", lambda ctx: None)
+    reg2.register_agent("summarizer", lambda ctx: "s")
+    got2 = scrape_page(rulesets, html, "http://x.test/", plugins=reg2)
+    assert got2["price"] == "9.99"
+
+    # missing plugin raises; no registry raises UnavailableCapabilityError
+    reg3 = PluginRegistry()
+    reg3.register_agent("summarizer", lambda ctx: "s")
+    with pytest.raises(PluginNotFoundError):
+        scrape_page(rulesets, html, "http://x.test/", plugins=reg3)
+    with pytest.raises(UnavailableCapabilityError):
+        scrape_page(rulesets, html, "http://x.test/")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scrape_stage_with_plugin_factory():
+    import pyarrow as pa
+    import ray.data
+
+    from thecrowler_ray.plugins import PluginRegistry
+    from thecrowler_ray.ruleset import ScrapeStage
+
+    yaml_doc = """
+ruleset_name: "plugged"
+rule_groups:
+  - group_name: "g"
+    is_enabled: true
+    scraping_rules:
+      - rule_name: "r"
+        elements:
+          - key: "host"
+            selectors:
+              - selector_type: "plugin_call"
+                selector: "host_of"
+"""
+
+    def factory():
+        reg = PluginRegistry()
+        reg.register_plugin(
+            "host_of", lambda ctx: ctx["url"].split("//")[1].split("/")[0]
+        )
+        return reg
+
+    ds = ray.data.from_arrow(pa.table({
+        "url": ["http://a.test/p", "http://b.test/q"],
+        "html": ["<p>x</p>", "<p>y</p>"],
+    }))
+    out = ds.map_batches(
+        ScrapeStage,
+        fn_constructor_args=(yaml_doc,),
+        fn_constructor_kwargs={"plugin_factory": factory},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    import json
+
+    hosts = sorted(json.loads(s)["host"] for s in out.scraped_data)
+    assert hosts == ["a.test", "b.test"]

@@ -1,0 +1,68 @@
+"""Plugin / agent call seam (SURVEY.md §2.10).
+
+The reference embeds a JS VM (``pkg/plugin/plugins.go``) and an agent
+runtime (``pkg/agent/``); rulesets reach them through ``plugin_call`` /
+``agent_call`` selectors and post-processing steps, resolved via a runtime
+lookup by NAME (``pkg/scraper/rules.go:133-150`` extractExternal →
+``runtime.Plugins.RunPlugin(name)`` / ``runtime.Agents``; absence yields
+``UnavailableCapabilityError``). The embedded VM itself is out of sandbox
+scope, but the *call contract* — named external handlers invoked with the
+page context, returning values that flow into extracted data — is plain
+data-plane behavior. This registry implements that contract with Python
+callables, so public rulesets that reference plugins run once the handler
+is registered (on a real deployment the callable shells into the JS VM).
+
+Handlers receive ``ctx = {url, html, rule_name, selector, data}`` and may
+return None / scalar / list; values normalize like the reference's
+``normalizeExternalValue`` (None → [], scalar → [scalar]).
+"""
+
+from __future__ import annotations
+
+
+class UnavailableCapabilityError(NotImplementedError):
+    """Selector needs a plugin/agent runtime that is not configured
+    (reference scraper.UnavailableCapabilityError)."""
+
+
+class PluginNotFoundError(KeyError):
+    pass
+
+
+def normalize_external_value(value) -> list:
+    if value is None:
+        return []
+    if isinstance(value, (list, tuple)):
+        return list(value)
+    return [value]
+
+
+class PluginRegistry:
+    """Named plugin + agent handlers (one registry per ScrapeStage actor —
+    built once in ``__init__`` like the reference's rules-engine cache)."""
+
+    def __init__(self):
+        self._plugins: dict[str, object] = {}
+        self._agents: dict[str, object] = {}
+
+    def register_plugin(self, name: str, fn) -> "PluginRegistry":
+        self._plugins[name] = fn
+        return self
+
+    def register_agent(self, name: str, fn) -> "PluginRegistry":
+        self._agents[name] = fn
+        return self
+
+    def run_plugin(self, name: str, ctx: dict) -> list:
+        try:
+            fn = self._plugins[name]
+        except KeyError:
+            raise PluginNotFoundError(f"plugin not found: {name!r}") from None
+        return normalize_external_value(fn(ctx))
+
+    def run_agent(self, name: str, ctx: dict) -> list:
+        try:
+            fn = self._agents[name]
+        except KeyError:
+            raise PluginNotFoundError(f"agent not found: {name!r}") from None
+        return normalize_external_value(fn(ctx))

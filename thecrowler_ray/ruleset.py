@@ -199,19 +199,40 @@ def _extract_value(el, selector: Selector, html: str) -> str:
     return value
 
 
-def apply_rule(rule: ScrapingRule, html: str, url: str = "") -> dict:
+def apply_rule(rule: ScrapingRule, html: str, url: str = "",
+               plugins=None) -> dict:
     """Run one scraping rule over a page → {key: value | [values]}.
-    Selector fallback: first selector (in order) that yields anything wins."""
+    Selector fallback: first selector (in order) that yields anything wins.
+    ``plugin_call`` / ``agent_call`` selectors resolve through the
+    ``plugins`` registry by name (reference extractExternal,
+    ``pkg/scraper/rules.go:133-150``); without a registry they raise
+    UnavailableCapabilityError like the reference runtime."""
     root = parse_dom(html)
     out: dict = {}
     for element in rule.elements:
         key = element["key"]
         for sel in element["selectors"]:
             if sel.selector_type in ("plugin_call", "agent_call", "js_path"):
-                raise NotImplementedError(
-                    f"selector type {sel.selector_type} requires the plugin/"
-                    "agent runtime (out of v0 scope)"
-                )
+                from .plugins import UnavailableCapabilityError
+
+                if plugins is None or sel.selector_type == "js_path":
+                    raise UnavailableCapabilityError(
+                        f"selector type {sel.selector_type} requires the "
+                        "plugin/agent runtime (register handlers in a "
+                        "PluginRegistry; js_path needs a live browser)"
+                    )
+                ctx = {"url": url, "html": html,
+                       "rule_name": rule.rule_name,
+                       "selector": sel.selector, "data": dict(out)}
+                if sel.selector_type == "plugin_call":
+                    values = plugins.run_plugin(sel.selector, ctx)
+                else:
+                    values = plugins.run_agent(sel.selector, ctx)
+                values = [v for v in values if v != ""]
+                if values:
+                    out[key] = values if sel.extract_all else values[0]
+                    break
+                continue
             found = select(root, sel.selector_type, sel.selector, html)
             values = [
                 v
@@ -254,7 +275,7 @@ def apply_post_processing(data: dict, step: dict) -> dict:
 
 
 def scrape_page(rulesets: list[Ruleset], html: str, url: str,
-                now: _dt.datetime | None = None) -> dict:
+                now: _dt.datetime | None = None, plugins=None) -> dict:
     """All applicable rules from valid+enabled groups, merged
     (later rules do not overwrite earlier keys — first-win like the
     reference's mergeMaps usage)."""
@@ -266,7 +287,7 @@ def scrape_page(rulesets: list[Ruleset], html: str, url: str,
             for rule in group.scraping_rules:
                 if not rule_applies(rule, url):
                     continue
-                data = apply_rule(rule, html, url)
+                data = apply_rule(rule, html, url, plugins=plugins)
                 for k, v in data.items():
                     merged.setdefault(k, v)
     return merged
@@ -278,11 +299,15 @@ class ScrapeStage:
 
     def __init__(self, ruleset_yaml: str, url_col: str = "url",
                  html_col: str = "html",
-                 now: _dt.datetime | None = None):
+                 now: _dt.datetime | None = None,
+                 plugin_factory=None):
         self.rulesets = load_rulesets(ruleset_yaml)
         self.url_col = url_col
         self.html_col = html_col
         self.now = now
+        # plugin registry built once per actor (a factory pickles cleanly
+        # where a registry holding closures might not)
+        self.plugins = plugin_factory() if plugin_factory else None
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -291,7 +316,8 @@ class ScrapeStage:
         htmls = batch[self.html_col].to_pylist()
         scraped = [
             json.dumps(
-                scrape_page(self.rulesets, h or "", u or "", self.now),
+                scrape_page(self.rulesets, h or "", u or "", self.now,
+                            plugins=self.plugins),
                 sort_keys=True,
             )
             for u, h in zip(urls, htmls)
