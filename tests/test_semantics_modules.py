@@ -234,3 +234,33 @@ rule_groups:
     # per-signature weights: only the weaker url signature
     weak = det.detect(url="http://x.test/admin/login")
     assert 0 < weak.get("django", 0) < 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_dedup_fingerprint_analyze(tmp_path):
+    """The ray-job-submit CLI surface covers the training-data pipelines."""
+    import json
+
+    from thecrowler_ray.__main__ import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    for argv, checks in [
+        (["dedup", "--input", docs, "--method", "exact",
+          "--out", str(tmp_path / "d1")], {"method": "exact"}),
+        (["fingerprint", "--input", docs, "--kinds", "sha256,cityhash64",
+          "--out", str(tmp_path / "d2")], {"kinds": ["sha256", "cityhash64"]}),
+        (["analyze", "--input", docs, "--out", str(tmp_path / "d3")], {}),
+    ]:
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0
+        res = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert res["rows"] > 0
+        for k, v in checks.items():
+            assert res[k] == v
+    import ray.data
+
+    assert ray.data.read_parquet(str(tmp_path / "d2")).count() == 500

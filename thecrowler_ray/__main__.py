@@ -19,9 +19,13 @@ import json
 import sys
 
 
+_OWNS_RAY = False
+
+
 def _ray_init(num_cpus: int | None):
     import ray
 
+    global _OWNS_RAY
     if not ray.is_initialized():
         kwargs = dict(
             address="local", include_dashboard=False,
@@ -30,6 +34,7 @@ def _ray_init(num_cpus: int | None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        _OWNS_RAY = True
 
 
 def cmd_crawl(args) -> int:
@@ -97,6 +102,81 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Near/exact-dup pipelines over a documents-shaped parquet table."""
+    import ray.data
+
+    from .stages import dedup as dd
+    from .storage import write_table
+
+    _ray_init(args.num_cpus)
+    ds = ray.data.read_parquet(args.input)
+    if args.method == "exact":
+        out = dd.exact_dedup(ds, id_col=args.id_col)
+    elif args.method == "minhash":
+        out = dd.minhash_candidate_pairs(ds, id_col=args.id_col)
+    elif args.method == "simhash":
+        out = dd.simhash_candidate_pairs(
+            ds, id_col=args.id_col, max_hamming=args.max_hamming
+        )
+    elif args.method == "embedding":
+        out = dd.embedding_neardup_pairs(
+            ds, threshold=args.threshold, id_col=args.id_col,
+            emb_col=args.emb_col,
+        )
+    else:
+        print(f"unknown method {args.method}", file=sys.stderr)
+        return 2
+    fmt = write_table(out.materialize(), args.out)
+    print(json.dumps({"method": args.method, "rows": out.count(),
+                      "out": args.out, "format": fmt}))
+    return 0
+
+
+def cmd_fingerprint(args) -> int:
+    import ray.data
+
+    from .fingerprints import FingerprintStage
+    from .storage import write_table
+
+    _ray_init(args.num_cpus)
+    kinds = [k.strip() for k in args.kinds.split(",") if k.strip()]
+    ds = ray.data.read_parquet(args.input).map_batches(
+        FingerprintStage(kinds, text_col=args.text_col),
+        batch_format="pandas", concurrency=2,
+    ).materialize()
+    fmt = write_table(ds, args.out)
+    print(json.dumps({"kinds": kinds, "rows": ds.count(), "out": args.out,
+                      "format": fmt}))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """Text-analysis battery: tokens + quality + language ID + simhash."""
+    import ray.data
+
+    from .stages.text_analysis import (
+        LangIdStage,
+        quality_stage,
+        simhash_stage,
+        token_count_stage,
+    )
+    from .storage import write_table
+
+    _ray_init(args.num_cpus)
+    ds = (
+        ray.data.read_parquet(args.input)
+        .map_batches(token_count_stage, batch_format="pandas")
+        .map_batches(quality_stage, batch_format="pandas")
+        .map_batches(LangIdStage, batch_format="pandas", concurrency=2)
+        .map_batches(simhash_stage, batch_format="pandas")
+        .materialize()
+    )
+    fmt = write_table(ds, args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out, "format": fmt}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="thecrowler_ray")
     parser.add_argument("--num-cpus", type=int, default=None)
@@ -119,13 +199,38 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("-k", type=int, default=10)
     p_search.set_defaults(fn=cmd_search)
 
+    p_dedup = sub.add_parser("dedup")
+    p_dedup.add_argument("--input", required=True)
+    p_dedup.add_argument("--method", default="exact",
+                         choices=["exact", "minhash", "simhash", "embedding"])
+    p_dedup.add_argument("--out", required=True)
+    p_dedup.add_argument("--id-col", dest="id_col", default="doc_id")
+    p_dedup.add_argument("--emb-col", dest="emb_col", default="embedding")
+    p_dedup.add_argument("--threshold", type=float, default=0.95)
+    p_dedup.add_argument("--max-hamming", dest="max_hamming", type=int, default=12)
+    p_dedup.set_defaults(fn=cmd_dedup)
+
+    p_fp = sub.add_parser("fingerprint")
+    p_fp.add_argument("--input", required=True)
+    p_fp.add_argument("--out", required=True)
+    p_fp.add_argument("--kinds", default="sha256,tlsh,cityhash64")
+    p_fp.add_argument("--text-col", dest="text_col", default="text")
+    p_fp.set_defaults(fn=cmd_fingerprint)
+
+    p_an = sub.add_parser("analyze")
+    p_an.add_argument("--input", required=True)
+    p_an.add_argument("--out", required=True)
+    p_an.set_defaults(fn=cmd_analyze)
+
     args = parser.parse_args(argv)
     try:
         return args.fn(args)
     finally:
         import ray
 
-        if ray.is_initialized():
+        # only tear down a session this CLI created (an embedding caller —
+        # tests, a driver — keeps its own session)
+        if _OWNS_RAY and ray.is_initialized():
             ray.shutdown()
 
 
