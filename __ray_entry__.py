@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_decode": q.q_media_decode,
         # embeddings
         "q_ann_topk": q.q_ann_topk,
+        "q_ann_ivf": q.q_ann_ivf,
         "q_embedding_neardup": q.q_embedding_neardup,
         # time-series, search, attribute extraction, scrape rules, detection
         "q_timeseries": q.q_timeseries,
@@ -459,6 +460,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_ann_topk": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) DESC,
+                     e.vec_id
+            LIMIT 10
+        """,
+        "q_ann_ivf": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -262,3 +262,23 @@ def test_dim_join_threshold_paths_equal():
         a = a.sort_values(sort_cols).reset_index(drop=True)
         b = b.sort_values(sort_cols).reset_index(drop=True)[a.columns]
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_recall_vs_exact():
+    """IVF-Flat approximate top-k: with enough probes the result equals the
+    exact scan; with nprobe = n_centroids it MUST equal it (all lists
+    scanned)."""
+    from thecrowler_ray.stages.similarity import ivf_topk_cosine, topk_cosine
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    emb = np.stack(ds.to_pandas()["embedding"].to_numpy())
+    q = emb[0]
+    exact = topk_cosine(ds, q, k=10)
+    full = ivf_topk_cosine(ds, q, k=10, n_centroids=16, nprobe=16)
+    assert list(full.vec_id) == list(exact.vec_id)
+    approx = ivf_topk_cosine(ds, q, k=10, n_centroids=16, nprobe=6)
+    # the query vector itself lives in a probed list (it defines them)
+    assert approx.vec_id.iloc[0] == exact.vec_id.iloc[0]
+    recall = len(set(approx.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.5, recall

@@ -414,6 +414,20 @@ def q_ann_topk(sf_dir: str, k: int = 10):
     return got[["vec_id", "cosine"]]
 
 
+def q_ann_ivf(sf_dir: str, k: int = 10):
+    """IVF-Flat top-k with every list probed (nprobe = n_centroids), which
+    is exact by construction — same oracle as the brute-force scan. The
+    approximate path (nprobe < n_centroids) is recall-tested in pytest."""
+    from ..stages.similarity import ivf_topk_cosine
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _query_vec(sf_dir, 0)
+    got = ivf_topk_cosine(ds, q, k=k, n_centroids=16, nprobe=16,
+                          dtype=np.float64)
+    got["cosine"] = got["cosine"].round(4)
+    return got[["vec_id", "cosine"]]
+
+
 def q_embedding_neardup(sf_dir: str, threshold: float = 0.35):
     """Same-label cosine near-dup pairs (bucketed brute force)."""
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
