@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_monthly_orders": q.q_monthly_orders,
         # stream-shaped events (§2.9 analogue)
         "q_events_hourly": q.q_events_hourly,
+        "q_events_sliding": q.q_events_sliding,
         "q_events_top_users": q.q_events_top_users,
         "q_user_sessions": q.q_user_sessions,
         # documents: crawl semantics mapped to the corpus (M8/M9, A1/A2, §2.7)
@@ -408,6 +409,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "q_events_sliding": """
+            SELECT event_type,
+                   date_trunc('hour', ts) + to_hours(CAST(i AS BIGINT))
+                       AS window_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events CROSS JOIN range(3) r(i)
+            GROUP BY event_type,
+                     date_trunc('hour', ts) + to_hours(CAST(i AS BIGINT))
         """,
         "q_user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,

@@ -230,6 +230,39 @@ def q_events_hourly(sf_dir: str):
     return out
 
 
+def q_events_sliding(sf_dir: str, window_hours: int = 3):
+    """Sliding window (length 3 h, slide 1 h) per event type: each event
+    expands to its window_hours window labels inside map_batches (vectorized
+    shift + concat), partials pre-aggregate per batch, and only ~n_windows
+    rows per block enter the shuffle — the scale-safe sliding-window shape
+    (no self-join of the raw stream)."""
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch.assign(hour=batch["ts"].dt.floor("h"))[
+            ["event_type", "hour", "value"]
+        ]
+        shifted = [
+            base.assign(window_end=base["hour"] + pd.Timedelta(hours=i))
+            for i in range(window_hours)
+        ]
+        exploded = pd.concat(shifted, ignore_index=True)
+        return exploded.groupby(["event_type", "window_end"], sort=False,
+                                as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "window_end"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user ordered gap analysis via map_groups
     (the documented partition-by-key + in-group ordering pattern)."""
