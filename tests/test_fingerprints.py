@@ -111,3 +111,26 @@ def test_fingerprint_stage_over_dataset():
         "blake2", "md5", "tlsh", "murmur3_32", "cityhash64", "jarm",
         "ja4", "ja4s",
     }
+
+
+def test_tlsh_full_locality():
+    """Full TLSH (public construction): T1 format, deterministic, and
+    locality — a 1-char edit scores far closer than unrelated text."""
+    import random
+    import string
+
+    from thecrowler_ray.fingerprints import tlsh_distance, tlsh_full
+
+    random.seed(3)
+    base = "".join(random.choices(string.ascii_letters + " .,", k=600))
+    near = base[:300] + "X" + base[301:]
+    far = "".join(random.choices(string.ascii_letters + " .,", k=600))
+    a = tlsh_full(base)
+    assert a.startswith("T1") and len(a) == 72
+    assert tlsh_full(base) == a
+    d_near = tlsh_distance(a, tlsh_full(near))
+    d_far = tlsh_distance(a, tlsh_full(far))
+    assert d_near < d_far
+    assert d_near < 30 < d_far
+    assert tlsh_full("short") == ""  # below spec minimum length
+    assert tlsh_distance(a, "") == 9999

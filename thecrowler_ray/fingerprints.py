@@ -88,6 +88,128 @@ def tlsh_digest(data: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Full TLSH (Trend Micro locality-sensitive hash, public spec / OSS ref
+# implementation semantics: 128 buckets, 5-byte sliding window, 6 Pearson
+# triplet hashes per position, quartile-coded 2-bit body, T1 hex output).
+# The registry's default 'tlsh' stays the reference-parity histogram
+# digest; 'tlsh_full' is the real locality-sensitive construction.
+# ---------------------------------------------------------------------------
+
+_PEARSON = [
+    1, 87, 49, 12, 176, 178, 102, 166, 121, 193, 6, 84, 249, 230, 44, 163,
+    14, 197, 213, 181, 161, 85, 218, 80, 64, 239, 24, 226, 236, 142, 38, 200,
+    110, 177, 104, 103, 141, 253, 255, 50, 77, 101, 81, 18, 45, 96, 31, 222,
+    25, 107, 190, 70, 86, 237, 240, 34, 72, 242, 20, 214, 244, 227, 149, 235,
+    97, 234, 57, 22, 60, 250, 82, 175, 208, 5, 127, 199, 111, 62, 135, 248,
+    174, 169, 211, 58, 66, 154, 106, 195, 245, 171, 17, 187, 182, 179, 0, 243,
+    132, 56, 148, 75, 128, 133, 158, 100, 130, 126, 91, 13, 153, 246, 216, 219,
+    119, 68, 223, 78, 83, 88, 201, 99, 122, 11, 92, 32, 136, 114, 52, 10,
+    138, 30, 48, 183, 156, 35, 61, 26, 143, 74, 251, 94, 129, 162, 63, 152,
+    170, 7, 115, 167, 241, 206, 3, 150, 55, 59, 151, 220, 90, 53, 23, 131,
+    125, 173, 15, 238, 79, 95, 89, 16, 105, 137, 225, 224, 217, 160, 37, 123,
+    118, 73, 2, 157, 46, 116, 9, 145, 134, 228, 207, 212, 202, 215, 69, 229,
+    27, 188, 67, 124, 168, 252, 42, 4, 29, 108, 21, 247, 19, 205, 39, 203,
+    233, 40, 186, 147, 198, 192, 155, 33, 164, 191, 98, 204, 165, 180, 117, 76,
+    140, 36, 210, 172, 41, 54, 159, 8, 185, 232, 113, 196, 231, 47, 146, 120,
+    51, 65, 28, 144, 254, 221, 93, 189, 194, 139, 112, 43, 71, 109, 184, 209,
+]
+
+
+def _b_mapping(salt: int, i: int, j: int, k: int) -> int:
+    t = _PEARSON
+    h = t[salt ^ i]
+    h = t[h ^ j]
+    h = t[h ^ k]
+    return h
+
+
+_LOG_1_5 = 0.4054651
+_LOG_1_3 = 0.26236426
+_LOG_1_1 = 0.095310180
+
+
+def _l_capturing(n: int) -> int:
+    import math
+
+    if n <= 656:
+        i = math.floor(math.log(max(n, 1)) / _LOG_1_5)
+    elif n <= 3199:
+        i = math.floor(math.log(n) / _LOG_1_3 - 8.72777)
+    else:
+        i = math.floor(math.log(n) / _LOG_1_1 - 62.5472)
+    return i & 0xFF
+
+
+def _swap_nibbles(b: int) -> int:
+    return ((b & 0x0F) << 4) | ((b & 0xF0) >> 4)
+
+
+def tlsh_full(data: str | bytes, *, min_len: int = 50) -> str:
+    """Full 128-bucket TLSH per the public construction. Returns the
+    'T1'-prefixed 70-hex digest, or '' when the input is shorter than the
+    spec's minimum (TLSH is undefined for tiny inputs)."""
+    raw = data.encode("utf-8") if isinstance(data, str) else bytes(data)
+    n = len(raw)
+    if n < min_len:
+        return ""
+    buckets = [0] * 256
+    checksum = 0
+    for i in range(n - 4):
+        w = raw[i : i + 5]
+        # window bytes ordered newest-first like the reference sliding window
+        b4, b3, b2, b1, b0 = w[0], w[1], w[2], w[3], w[4]
+        checksum = _b_mapping(0, b0, b1, checksum)
+        buckets[_b_mapping(2, b0, b1, b2)] += 1
+        buckets[_b_mapping(3, b0, b1, b3)] += 1
+        buckets[_b_mapping(5, b0, b2, b3)] += 1
+        buckets[_b_mapping(7, b0, b2, b4)] += 1
+        buckets[_b_mapping(11, b0, b1, b4)] += 1
+        buckets[_b_mapping(13, b0, b3, b4)] += 1
+    cnt = sorted(buckets[:128])
+    q1, q2, q3 = cnt[31], cnt[63], cnt[95]
+    if q3 == 0:
+        return ""
+    header = [
+        _swap_nibbles(checksum),
+        _swap_nibbles(_l_capturing(n)),
+        _swap_nibbles(((q1 * 100 // q3) % 16) << 4 | ((q2 * 100 // q3) % 16)),
+    ]
+    body = []
+    for i in range(31, -1, -1):  # reversed bucket quads, spec output order
+        byte = 0
+        for j in range(4):
+            b = buckets[i * 4 + j]
+            if b <= q1:
+                code = 0
+            elif b <= q2:
+                code = 1
+            elif b <= q3:
+                code = 2
+            else:
+                code = 3
+            byte |= code << (j * 2)
+        body.append(byte)
+    return "T1" + bytes(header + body).hex().upper()
+
+
+def tlsh_distance(a: str, b: str) -> int:
+    """Approximate TLSH diff: hamming-style distance over the body's 2-bit
+    codes plus header byte deltas (monotone in the official diff — used for
+    near-dup thresholding, not score-compatible with the official tool)."""
+    if not a or not b or len(a) != len(b):
+        return 9999
+    da, db = bytes.fromhex(a[2:]), bytes.fromhex(b[2:])
+    dist = 0
+    for x, y in zip(da[3:], db[3:]):
+        for shift in (0, 2, 4, 6):
+            ca, cb = (x >> shift) & 3, (y >> shift) & 3
+            d = abs(ca - cb)
+            dist += 6 if d == 3 else d
+    dist += abs(da[1] - db[1]) % 256  # length bucket delta
+    return dist
+
+
+# ---------------------------------------------------------------------------
 # MurmurHash3 x86 32-bit (Austin Appleby, public domain)
 # ---------------------------------------------------------------------------
 
@@ -335,6 +457,7 @@ FINGERPRINTS = {
     "blake2": _blake2,
     "md5": _md5,
     "tlsh": tlsh_digest,
+    "tlsh_full": tlsh_full,
     "murmur3_32": lambda s: format(murmur3_32(s.encode("utf-8")), "x"),
     "cityhash64": lambda s: format(cityhash64(s.encode("utf-8")), "x"),
     "jarm": jarm_hash,
