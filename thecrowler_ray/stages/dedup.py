@@ -137,7 +137,8 @@ def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def _shard_bucket_pairs(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
                         sim_col: str | None = None,
-                        max_hamming: int | None = None) -> pd.DataFrame:
+                        max_hamming: int | None = None,
+                        max_bucket_rows: int | None = None) -> pd.DataFrame:
     """All (doc_a < doc_b) pairs sharing a bucket, within ONE hash shard.
 
     Only buckets with ≥2 rows are visited (duplicated-mask prefilter), so the
@@ -145,7 +146,13 @@ def _shard_bucket_pairs(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
     ``sim_col`` is given the 8-byte simhash rides along in the band rows and
     hamming is verified in-group (no driver-side lookup table — the round-1
     design built a doc_id→simhash dict from two full ``to_pandas()`` passes,
-    which cannot exist at 10^10 docs)."""
+    which cannot exist at 10^10 docs).
+
+    ``max_bucket_rows`` guards the degenerate corpus where one bucket holds
+    a huge identical-content cluster (pair output is inherently O(c²) there
+    — run exact dedup FIRST; that is the pipeline order the brief's dedup
+    family implies). None = exact, the default for the oracle-checked
+    queries."""
     id_dtype = g[id_col].dtype
     empty_cols = {"doc_a": pd.Series([], dtype=id_dtype),
                   "doc_b": pd.Series([], dtype=id_dtype)}
@@ -156,6 +163,14 @@ def _shard_bucket_pairs(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
         return pd.DataFrame(empty_cols)
     a_parts, b_parts, sa_parts, sb_parts = [], [], [], []
     for _, bucket in dup.groupby(bucket_cols, sort=False):
+        if max_bucket_rows is not None and len(bucket) > max_bucket_rows:
+            import warnings
+
+            warnings.warn(
+                f"pair-gen bucket truncated at {max_bucket_rows} rows "
+                "(exact-dedup identical content first)", stacklevel=1
+            )
+            bucket = bucket.iloc[:max_bucket_rows]
         if sim_col is None:
             ids = np.unique(bucket[id_col].to_numpy())
             if len(ids) < 2:
@@ -259,7 +274,8 @@ def lsh_band_rows(batch: pa.Table, bands: int = 32, id_col: str = "doc_id",
 
 
 def minhash_candidate_pairs(ds, *, num_perm=128, bands=32, shingle_k=3,
-                            id_col="doc_id", text_col="text", num_shards=64):
+                            id_col="doc_id", text_col="text", num_shards=64,
+                            max_bucket_rows=None):
     """documents → candidate near-dup pairs (doc_a < doc_b) from shared LSH
     buckets, deduplicated across bands.
 
@@ -279,7 +295,8 @@ def minhash_candidate_pairs(ds, *, num_perm=128, bands=32, shingle_k=3,
     )
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _shard_bucket_pairs(g, ["band", "band_hash"], id_col)
+        return _shard_bucket_pairs(g, ["band", "band_hash"], id_col,
+                                   max_bucket_rows=max_bucket_rows)
 
     pairs = band_rows.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
     return _dedup_pairs_sharded(pairs, num_shards=num_shards)
@@ -497,7 +514,8 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
 
 def simhash_candidate_pairs(ds, *, bands: int = 4, max_hamming: int | None = None,
                             id_col: str = "doc_id", text_col: str = "text",
-                            num_shards: int = 64):
+                            num_shards: int = 64,
+                            max_bucket_rows: int | None = None):
     """SimHash near-dup pairs: 64-bit simhash per doc → band segments →
     shared-segment candidates (pigeonhole guarantees recall for hamming <
     bands) → exact hamming verification in-group. Same scalable shape as the
@@ -516,7 +534,7 @@ def simhash_candidate_pairs(ds, *, bands: int = 4, max_hamming: int | None = Non
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return _shard_bucket_pairs(
             g, ["band", "segment"], id_col, sim_col="simhash",
-            max_hamming=max_hamming,
+            max_hamming=max_hamming, max_bucket_rows=max_bucket_rows,
         )
 
     pairs = band_rows.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
