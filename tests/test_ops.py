@@ -205,7 +205,11 @@ def test_rows_only_queries_deterministic():
         df = df[cols]
         return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
 
-    for name in ("q_crawl", "q_minhash_pairs", "q_simhash"):
+    # the queries that remain rows-only in oracle_sql() must at least be
+    # bit-deterministic (q_minhash_pairs/q_simhash graduated to oracles but
+    # stay here as regression canaries)
+    for name in ("q_crawl", "q_action_rules", "q_scrape_rules",
+                 "q_minhash_pairs", "q_simhash"):
         a = canon(qs[name](sf))
         b = canon(qs[name](sf))
         pd.testing.assert_frame_equal(a, b)
