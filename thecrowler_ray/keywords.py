@@ -141,24 +141,34 @@ def unique(words: list[str]) -> list[str]:
     return out
 
 
+# per-process (lang, raw token) → normalized keyword | None memo: tokens
+# repeat massively across pages of a crawl, so the normalize+filter decision
+# runs once per distinct token per worker rather than once per page. Size
+# capped so adversarial vocabularies cannot grow the worker heap unbounded.
+_KW_MEMO: dict[tuple[str, str], str | None] = {}
+_KW_MEMO_CAP = 2_000_000
+
+
 def extract_keywords(body_text: str, meta_tags: list[dict] | None = None, lang: str = "") -> list[str]:
     """Reference driver order: normalized body content, then meta
     ``keywords``, then meta ``description``; dedup preserving first-seen.
 
-    Fused fast path: one ordered-unique pass with a per-call decision cache
-    (normalize+filter computed once per distinct raw token). Equivalent to
-    ``unique(filter(content) + filter(meta...))`` because
-    ``normalize_keyword`` output is already stripped+lowercased, so
+    Fused fast path: one ordered-unique pass with a per-process decision
+    memo (normalize+filter computed once per distinct (lang, token) per
+    worker). Equivalent to ``unique(filter(content) + filter(meta...))``
+    because ``normalize_keyword`` output is already stripped+lowercased, so
     ``unique``'s re-normalization is a no-op on it."""
     meta_tags = meta_tags or []
-    lang_words = STOP_WORDS.get(lang.strip() or "en")
-    cache: dict[str, str | None] = {}
+    lang_key = lang.strip() or "en"
+    lang_words = STOP_WORDS.get(lang_key)
+    memo = _KW_MEMO
     seen: set[str] = set()
     out: list[str] = []
 
     def consume(words: list[str]) -> None:
         for word in words:
-            kw = cache.get(word, "\x00")
+            mk = (lang_key, word)
+            kw = memo.get(mk, "\x00")
             if kw == "\x00":
                 k = normalize_keyword(word)
                 if not k or len(k) > 45:
@@ -167,7 +177,8 @@ def extract_keywords(body_text: str, meta_tags: list[dict] | None = None, lang: 
                     kw = k
                 else:
                     kw = None
-                cache[word] = kw
+                if len(memo) < _KW_MEMO_CAP:
+                    memo[mk] = kw
             if kw is not None and kw not in seen:
                 seen.add(kw)
                 out.append(kw)
