@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tech_detect": q.q_tech_detect,
         "q_scrape_docs": q.q_scrape_docs,
         "q_tech_detect_docs": q.q_tech_detect_docs,
+        "q_xhr_requests": q.q_xhr_requests,
         # the crawl engine itself (rows-only; pytest gates it vs the oracle)
         "q_crawl": q_crawl,
         "q_crawl_index": q_crawl_index,
@@ -561,6 +562,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN '{"bootstrap": 25.0}'
                         ELSE '{"react": 32.5}' END AS detected_tech
             FROM documents
+        """,
+        "q_xhr_requests": """
+            SELECT doc_id AS page_id, CAST(0 AS BIGINT) AS seq,
+                   'doc://' || CAST(doc_id AS VARCHAR) ||
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 1 THEN '/js/jquery-3.6.0.min.js'
+                        ELSE '/css/bootstrap.min.css' END AS request_url,
+                   'GET' AS method,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 1 THEN 'script' ELSE 'stylesheet' END
+                       AS resource_type,
+                   CAST(200 AS BIGINT) AS status
+            FROM documents WHERE doc_id % 4 IN (1, 2)
         """,
         "q_langid": _langid_sql(),
         "q_simhash": f"""

@@ -172,3 +172,29 @@ application/json:
     assert detect_by_rules("http://x.test/a", '  {"k": 1}', rules) == "application/json"
     # fallback to the extension map
     assert detect_by_rules("http://x.test/p.pdf", "", rules) == "application/pdf"
+
+
+def test_collect_page_requests_subresources():
+    """M21 data-effects model: the deterministic half of the CDP network
+    log is the page's declared subresources, in DOM order, capped like the
+    reference's chatty-site guard (web.go:2064)."""
+    from thecrowler_ray.stages.netlog import collect_page_requests
+
+    html = (
+        '<html><body><img src="/a.png"><script src="http://cdn.test/x.js">'
+        '</script><link rel="stylesheet" href="/s.css">'
+        '<link rel="canonical" href="/self"><video src="/v.mp4"></video>'
+        '<iframe src="/f.html"></iframe><img></body></html>'
+    )
+    reqs = collect_page_requests("http://h.test/p", html)
+    assert [r["request_url"] for r in reqs] == [
+        "http://h.test/a.png", "http://cdn.test/x.js", "http://h.test/s.css",
+        "http://h.test/v.mp4", "http://h.test/f.html",
+    ]
+    assert {r["method"] for r in reqs} == {"GET"}
+    assert [r["resource_type"] for r in reqs] == [
+        "image", "script", "stylesheet", "media", "document"
+    ]
+    # cap
+    many = "".join(f'<img src="/i{i}.png">' for i in range(1500))
+    assert len(collect_page_requests("http://h.test/", many, cap=1000)) == 1000

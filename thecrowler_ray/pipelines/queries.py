@@ -722,6 +722,20 @@ def q_tech_detect_docs(sf_dir: str):
     return out.select_columns(["doc_id", "detected_tech"])
 
 
+def q_xhr_requests(sf_dir: str):
+    """Network-log collection (M21 as data effects) over documents-derived
+    pages: the subresource requests a browser would issue on load, in DOM
+    order — the marker assets are a pure function of doc_id % 4, which the
+    SQL twin re-states."""
+    from ..stages.netlog import XhrCollectStage
+
+    out = _doc_pages(sf_dir).map_batches(
+        XhrCollectStage(id_col="doc_id"), batch_format="pyarrow",
+        batch_size=128, concurrency=2,
+    )
+    return out
+
+
 def q_search_ranked(sf_dir: str):
     """Dorking search + FTS-style ranking (reference search_pages analog):
     filter by the query, score = total term occurrences, top-20 by
