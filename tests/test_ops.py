@@ -286,3 +286,34 @@ def test_ivf_topk_recall_vs_exact():
     assert approx.vec_id.iloc[0] == exact.vec_id.iloc[0]
     recall = len(set(approx.vec_id) & set(exact.vec_id)) / 10
     assert recall >= 0.5, recall
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_screenshot_stage_stores_files(tmp_path):
+    """S6 storage plumbing: deterministic per-url file names, real writes,
+    (path, size, hash) records; payload is the documented codec fake."""
+    from thecrowler_ray.stages.multimodal import ScreenshotStage
+
+    out = str(tmp_path / "shots")
+    ds = ray.data.from_arrow(pa.table({
+        "url": ["http://a.test/1", "http://b.test/2"],
+        "html": ["<p>alpha</p>", "<p>beta page</p>"],
+    }))
+    got = ds.map_batches(
+        ScreenshotStage, fn_constructor_args=(out,),
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas().sort_values("url").reset_index(drop=True)
+    import hashlib
+    import os
+
+    assert len(got) == 2
+    for _, r in got.iterrows():
+        assert os.path.exists(r.screenshot_path)
+        payload = open(r.screenshot_path, "rb").read()
+        assert payload.startswith(b"\x89PNG")
+        assert len(payload) == r.byte_len
+        assert hashlib.sha256(payload).hexdigest() == r.sha256
+    # deterministic: same url -> same file name
+    assert got.screenshot_path[0].endswith(
+        hashlib.sha1(b"http://a.test/1").hexdigest() + ".png"
+    )

@@ -153,6 +153,57 @@ def media_from_documents(batch: pa.Table) -> pa.Table:
     )
 
 
+class ScreenshotStage:
+    """Screenshot capture + storage plumbing (reference
+    ``pkg/crawler/web.go:163-517``: viewport-slice stitch → PNG → store to
+    file/HTTP/S3 under a deterministic name, recording path/size on the
+    page). The PNG encoder needs a browser+codec, so the payload here is a
+    deterministic fake (PNG magic + sha256-derived bytes sized by the page);
+    everything storage-side — per-actor output dir, url-hash naming, real
+    file writes, the (url, path, byte_len, sha256) record — is real. Swap
+    ``_render_fake`` for the browser screenshot hook on a live cluster."""
+
+    MAGIC = b"\x89PNG\r\n\x1a\n"
+
+    def __init__(self, out_dir: str, url_col: str = "url",
+                 html_col: str = "html"):
+        import os
+
+        self.out_dir = out_dir
+        self.url_col = url_col
+        self.html_col = html_col
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _render_fake(self, html: str) -> bytes:
+        digest = hashlib.sha256((html or "").encode("utf-8")).digest()
+        reps = 1 + len(html or "") // 256
+        return self.MAGIC + digest * reps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        urls = batch[self.url_col].to_pylist()
+        htmls = batch[self.html_col].to_pylist()
+        paths, sizes, hashes = [], [], []
+        for u, h in zip(urls, htmls):
+            name = hashlib.sha1((u or "").encode("utf-8")).hexdigest()
+            path = os.path.join(self.out_dir, f"{name}.png")
+            payload = self._render_fake(h or "")
+            with open(path, "wb") as f:
+                f.write(payload)
+            paths.append(path)
+            sizes.append(len(payload))
+            hashes.append(hashlib.sha256(payload).hexdigest())
+        return pa.table(
+            {
+                "url": batch[self.url_col],
+                "screenshot_path": pa.array(paths, pa.string()),
+                "byte_len": pa.array(sizes, pa.int64()),
+                "sha256": pa.array(hashes, pa.string()),
+            }
+        )
+
+
 def synth_media_table(n: int, seed: int = 5) -> pa.Table:
     """Deterministic synthetic media rows for tests/benches."""
     rng = np.random.default_rng(seed)
