@@ -162,9 +162,17 @@ def test_multimodal_decode_pipeline():
     feats = np.stack(out.feature.to_numpy())
     assert feats.shape[1] == 16
     np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
-    # stub gate for real codecs
+    # strict real-codec mode raises on formats we have no codec for (jpeg)
+    jpeg = pa.table(
+        {
+            "media_id": ["j1"],
+            "doc_id": ["d1"],
+            "mime": ["image/jpeg"],
+            "payload": [b"\xff\xd8\xff\xe0 fake"],
+        }
+    )
     with pytest.raises(NotImplementedError):
-        DecodeStage(real_codec=True)
+        DecodeStage(real_codec=True, strict=True)(jpeg)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -5,13 +5,14 @@ The reference stores media as screenshots / downloaded web objects
 Here media are ``binary`` columns + a MIME column; decode / feature-extract /
 resize / frame-sample are actor-pool ``map_batches`` stages.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernel is STUBBED: ``DecodeStage(real_codec=True)`` raises
-``NotImplementedError`` at construction, and the default deterministic fake
-derives "decoded" metadata from the payload bytes. Everything Ray-side —
-schema, batch sizing for large payloads, actor signature, output layout — is
-real and tested; swapping ``_decode_fake`` for a real codec is a one-method
-change.
+PNG and WAV are decoded/encoded for REAL via the pure-numpy codecs in
+``thecrowler_ray.codecs`` (PNG needs only stdlib zlib; WAV only stdlib
+``wave``). JPEG and MP4 genuinely need external codecs (PIL/ffmpeg, absent
+in this container), so for those ``DecodeStage(real_codec=True)`` falls back
+to the deterministic fake unless ``strict=True`` (then it raises
+``NotImplementedError`` per row). The default ``real_codec=False`` keeps the
+byte-derived fake for all mimes — that variant is SQL-recomputable, which is
+what the ``q_media_decode`` DuckDB oracle checks.
 """
 
 from __future__ import annotations
@@ -21,6 +22,14 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..codecs import (
+    audio_feature,
+    image_feature,
+    png_decode,
+    png_encode,
+    resize_bilinear,
+    wav_decode,
+)
 from ..content_type import media_kind
 
 MEDIA_SCHEMA = pa.schema(
@@ -54,12 +63,38 @@ class DecodeStage:
     pandas would box them into Python objects).
     """
 
-    def __init__(self, real_codec: bool = False):
-        if real_codec:
-            raise NotImplementedError(
-                "image/audio codecs are not available in this container; "
-                "wire PIL/ffmpeg here on a real cluster"
+    def __init__(self, real_codec: bool = False, strict: bool = False):
+        self.real_codec = real_codec
+        self.strict = strict
+
+    def _decode_real(self, payload: bytes, mime: str) -> dict | None:
+        """Real decode for the formats whose codecs we have (PNG, WAV).
+        Returns None when the mime needs an external codec (JPEG/MP4)."""
+        digest = hashlib.sha256(payload).digest()
+        base = {
+            "kind": media_kind(mime),
+            "byte_len": len(payload),
+            "sha256": digest.hex(),
+            "width": 0,
+            "height": 0,
+            "duration_ms": 0,
+        }
+        if mime == "image/png":
+            img = png_decode(payload)
+            base.update(
+                width=img.shape[1],
+                height=img.shape[0],
+                feature=image_feature(img).tolist(),
             )
+            return base
+        if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+            samples, rate = wav_decode(payload)
+            base.update(
+                duration_ms=int(len(samples) * 1000 / max(rate, 1)),
+                feature=audio_feature(samples).tolist(),
+            )
+            return base
+        return None
 
     @staticmethod
     def _decode_fake(payload: bytes, mime: str) -> dict:
@@ -89,7 +124,16 @@ class DecodeStage:
         payloads = batch["payload"].to_pylist()
         mimes = batch["mime"].to_pylist()
         for i in range(len(batch)):
-            d = self._decode_fake(payloads[i] or b"", mimes[i])
+            d = None
+            if self.real_codec:
+                d = self._decode_real(payloads[i] or b"", mimes[i])
+                if d is None and self.strict:
+                    raise NotImplementedError(
+                        f"no codec for {mimes[i]} in this container "
+                        "(wire PIL/ffmpeg here on a real cluster)"
+                    )
+            if d is None:
+                d = self._decode_fake(payloads[i] or b"", mimes[i])
             cols["media_id"].append(batch["media_id"][i].as_py())
             cols["doc_id"].append(batch["doc_id"][i].as_py())
             cols["mime"].append(mimes[i])
@@ -116,6 +160,47 @@ def resize_plan_stage(batch: pa.Table, max_side: int = 512) -> pa.Table:
     return batch.append_column(
         "target_width", pa.array((w * scale).astype(np.int32))
     ).append_column("target_height", pa.array((h * scale).astype(np.int32)))
+
+
+class ResizeStage:
+    """Real image resize for PNG rows: decode → bilinear resample to at most
+    ``max_side`` on the long edge (aspect preserved) → re-encode. Non-PNG
+    rows pass through untouched (``resized=False``). Actor-pool stage —
+    use small batches; payloads dominate block size."""
+
+    def __init__(self, max_side: int = 128):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        mimes = batch["mime"].to_pylist()
+        out_payloads, widths, heights, resized = [], [], [], []
+        for payload, mime in zip(payloads, mimes):
+            payload = payload or b""
+            if mime == "image/png":
+                img = png_decode(payload)
+                h, w = img.shape[:2]
+                scale = min(1.0, self.max_side / max(h, w, 1))
+                if scale < 1.0:
+                    img = resize_bilinear(
+                        img, max(1, int(w * scale)), max(1, int(h * scale))
+                    )
+                    payload = png_encode(img)
+                out_payloads.append(payload)
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                resized.append(scale < 1.0)
+            else:
+                out_payloads.append(payload)
+                widths.append(0)
+                heights.append(0)
+                resized.append(False)
+        cols = {n: batch[n] for n in batch.column_names if n != "payload"}
+        cols["payload"] = pa.array(out_payloads, pa.large_binary())
+        cols["width"] = pa.array(widths, pa.int32())
+        cols["height"] = pa.array(heights, pa.int32())
+        cols["resized"] = pa.array(resized, pa.bool_())
+        return pa.table(cols)
 
 
 def frame_sample_plan(batch: pa.Table, fps: float = 1.0) -> pa.Table:
@@ -164,6 +249,7 @@ class ScreenshotStage:
     ``_render_fake`` for the browser screenshot hook on a live cluster."""
 
     MAGIC = b"\x89PNG\r\n\x1a\n"
+    WIDTH = 256
 
     def __init__(self, out_dir: str, url_col: str = "url",
                  html_col: str = "html"):
@@ -175,9 +261,22 @@ class ScreenshotStage:
         os.makedirs(out_dir, exist_ok=True)
 
     def _render_fake(self, html: str) -> bytes:
+        """Deterministic page rasterization → REAL PNG bytes (the codec is
+        ours, `codecs.png_encode`; only the *browser paint* is faked): a
+        title band colored from the content hash, then one text band per
+        line with width ∝ line length. Height scales with content like a
+        real full-page screenshot stitch (``web.go:163-517``)."""
+        lines = [ln for ln in (html or "").splitlines() if ln.strip()][:120]
         digest = hashlib.sha256((html or "").encode("utf-8")).digest()
-        reps = 1 + len(html or "") // 256
-        return self.MAGIC + digest * reps
+        h = 24 + 4 * max(len(lines), 1)
+        img = np.full((h, self.WIDTH, 3), 245, np.uint8)
+        img[:16] = digest[0], digest[1], digest[2]  # title band
+        for i, ln in enumerate(lines):
+            y = 24 + 4 * i
+            bar = min(self.WIDTH - 8, 4 + len(ln))
+            shade = 40 + (digest[(3 + i) % 32] % 80)
+            img[y : y + 3, 4 : 4 + bar] = shade
+        return png_encode(img)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
