@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_counts": q.q_lang_counts,
         "q_keyword_occurrences": q.q_keyword_occurrences,
         "q_doc_keywords": q.q_doc_keywords,
+        "q_doc_spans_flat": q.q_doc_spans_flat,
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
         "q_fingerprint": q.q_fingerprint,
@@ -543,6 +544,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q_doc_keywords": _doc_keywords_sql(),
+        # the flagship nested span column, exploded: span_ord 0 = body_text,
+        # 1..n = first-seen ordered keywords (same extraction as above)
+        "q_doc_spans_flat": f"""
+            WITH kws AS ({_doc_keywords_sql()})
+            SELECT doc_id, 0::BIGINT AS span_ord, 'body_text' AS kind,
+                   COALESCE(text, '') AS span_text, '' AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT doc_id, pos + 1 AS span_ord, 'keyword' AS kind,
+                   keyword AS span_text, '' AS media_ref
+            FROM kws
+        """,
         "q_minhash_pairs": _minhash_pairs_sql(),
         "q_scrape_docs": """
             SELECT doc_id,

@@ -234,6 +234,33 @@ class DetectStage:
         return batch.append_column("detected_tech", pa.array(out, pa.string()))
 
 
+def external_detections_from_yaml(yaml_text: str) -> dict[str, list[str]]:
+    """DetectionRule YAML → {lowercased object_name: [provider, ...]}, the
+    map the reference builds with GetAllExternalDetectionsMap
+    (``pkg/ruleset/detectionrule.go:268-283``; ExternalDetection shape
+    ``types.go:430-434``). Feed it to ``extdetect.ExtDetectStage``."""
+    import yaml as _yaml
+
+    doc = _yaml.safe_load(yaml_text) or []
+    rules: list[dict] = []
+    if isinstance(doc, dict):
+        for g in doc.get("rule_groups", []):
+            rules.extend(g.get("detection_rules", []) or [])
+    else:
+        rules = list(doc)
+
+    out: dict[str, list[str]] = {}
+    for r in rules:
+        ext = r.get("external_detections")
+        if not ext:
+            continue
+        name = str(r.get("object_name") or r.get("rule_name", "")).lower()
+        out.setdefault(name, []).extend(
+            e.get("provider", "") for e in ext if e.get("provider")
+        )
+    return out
+
+
 def detection_rules_from_yaml(yaml_text: str) -> list[TechSignature]:
     """Load DetectionRule-shaped YAML (the reference ruleset's
     ``detection_rules`` entries, ``pkg/ruleset/types.go:299-314``) into

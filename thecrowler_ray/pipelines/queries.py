@@ -371,6 +371,38 @@ def q_doc_keywords(sf_dir: str):
     return ds.map_batches(kws, batch_format="pyarrow")
 
 
+def q_doc_spans_flat(sf_dir: str):
+    """The flagship nested span column (BASELINE.json input_hint shape),
+    exploded to one row per span — which makes the span SEQUENCE itself
+    SQL-expressible: span_ord 0 is the body_text span, 1..n the first-seen
+    ordered keywords (reference M7+M8 interleaving). Derived from the real
+    nested ``doc_spans_pipeline`` output (list_flatten, zero-copy), so the
+    oracle checks the nested column's content, not a parallel scalar path."""
+    import pyarrow.compute as pc
+
+    from .flagship import _spanify
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        _spanify, batch_format="pyarrow"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"], parent),
+                "span_ord": pc.cast(pc.struct_field(flat, "offset"), pa.int64()),
+                "kind": pc.struct_field(flat, "kind"),
+                "span_text": pc.struct_field(flat, "text"),
+                "media_ref": pc.struct_field(flat, "media_ref"),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def q_fingerprint_family(sf_dir: str):
     """Fingerprint registry over documents (reference pkg/fingerprints):
     the oracle-checkable digest columns (ja3=md5, custom_tls=sha256); the
