@@ -1,0 +1,125 @@
+"""HTTP API serving layer over a real local socket (reference
+services/api/main.go: health/ready, /v1/search/general with q=dork,
+rate-limit middleware, optional bearer auth)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from thecrowler_ray.api_server import ApiConfig, ApiServer
+
+
+def _get(port, path, token=None):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}")
+    if token:
+        req.add_header("Authorization", "Bearer " + token)
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return r.status, json.loads(r.read())
+
+
+def _fake_search(index_dir, dork, k):
+    assert index_dir == "/tmp/idx"
+    return [{"doc_id": 1, "url": "http://a.test/", "title": dork, "score": 2.5}][:k]
+
+
+def test_health_search_and_errors():
+    srv = ApiServer("/tmp/idx", ApiConfig(rate_limit="1000,1000"),
+                    search_fn=_fake_search)
+    port = srv.start()
+    try:
+        assert _get(port, "/v1/health")[1] == {"status": "ok"}
+        assert _get(port, "/v1/ready/")[1] == {"status": "ok"}
+        code, body = _get(port, "/v1/search/general?q=hello+world&limit=5")
+        assert code == 200
+        assert body["results"][0]["title"] == "hello world"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(port, "/v1/search/general")  # missing q
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(port, "/v1/nope")
+        assert ei.value.code == 404
+    finally:
+        srv.close()
+
+
+def test_rate_limit_and_auth():
+    srv = ApiServer(
+        "/tmp/idx",
+        ApiConfig(rate_limit="0.001,3", auth_token="sekret"),
+        search_fn=_fake_search,
+    )
+    port = srv.start()
+    try:
+        # health bypasses both rate limit and auth
+        assert _get(port, "/v1/health")[0] == 200
+        # auth: wrong/missing token → 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(port, "/v1/search/general?q=x")
+        assert ei.value.code == 401
+        assert _get(port, "/v1/search/general?q=x", token="sekret")[0] == 200
+        # burst=3 exhausted (401 attempt + two OKs; rate-limit is the
+        # outermost middleware, reference main.go:1054), refill ~0 → 429 with the
+        # reference's error string
+        _get(port, "/v1/search/general?q=x", token="sekret")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(port, "/v1/search/general?q=x", token="sekret")
+        assert ei.value.code == 429
+        assert json.loads(ei.value.read())["error"] == "Rate limit exceeded"
+    finally:
+        srv.close()
+
+
+def test_handler_error_is_500_and_server_survives():
+    def boom(index_dir, dork, k):
+        raise RuntimeError("kaput")
+
+    srv = ApiServer("/tmp/idx", ApiConfig(rate_limit="1000,1000"), search_fn=boom)
+    port = srv.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(port, "/v1/search/general?q=x")
+        assert ei.value.code == 500
+        assert _get(port, "/v1/health")[0] == 200  # still alive
+    finally:
+        srv.close()
+
+
+def test_rate_burst_parsing():
+    assert ApiConfig(rate_limit="10,10").rate_burst() == (10, 10)
+    assert ApiConfig(rate_limit="5").rate_burst() == (5, 10)  # main.go:111-113
+    assert ApiConfig(rate_limit="").rate_burst() == (10, 10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_real_search_backend(tmp_path):
+    """End-to-end: build a small index with the real pipeline, serve it,
+    query over the socket."""
+    import glob
+    import shutil
+
+    from thecrowler_ray.pipelines.crawl import CrawlRun, EngineConfig
+    from thecrowler_ray.pipelines.index import index_pages
+    from thecrowler_ray.sources.synthweb import CorpusConfig, seed_urls
+
+    crawl_out = str(tmp_path / "crawl")
+    cfg = CorpusConfig(seed=42, n_hosts=4, base_pages=25)
+    CrawlRun(
+        cfg, seed_urls(cfg, 3),
+        EngineConfig(max_links=60, max_waves=4, out_dir=crawl_out,
+                     n_seen_shards=2, n_pol_shards=2, fetch_concurrency=2),
+    ).run()
+    pages = sorted(glob.glob(f"{crawl_out}/wave=*/pages/*.parquet"))
+    index_dir = str(tmp_path / "index")
+    index_pages(pages, index_dir)
+
+    srv = ApiServer(index_dir, ApiConfig(rate_limit="1000,1000"))
+    port = srv.start()
+    try:
+        code, body = _get(port, "/v1/search/general?q=page&limit=3")
+        assert code == 200
+        assert 0 < len(body["results"]) <= 3
+        assert {"doc_id", "url", "title", "score"} <= set(body["results"][0])
+    finally:
+        srv.close()

@@ -1,0 +1,195 @@
+"""HTTP API serving layer (reference ``services/api/main.go``).
+
+The reference exposes the crawl/index state over a REST surface:
+``/v1/health``, ``/v1/ready``, ``/v1/search/*`` (dork query → SearchIndex
+rows), ``/v1/timeseries`` — each behind rate-limit + optional-auth
+middleware (``main.go:586-724``, rate default "10,10" ``main.go:108-122``).
+
+Here the handlers call the repo's own Ray-Data pipelines
+(``pipelines/search_api.search_pages``, ``stages/timeseries``), so the
+server is a thin stdlib ``ThreadingHTTPServer`` front over the data plane —
+no web framework needed, and tests drive it over a real local socket.
+The DB-admin endpoints (``/v1/source/*``) are out of scope: this engine's
+source state lives in parquet manifests, not a Postgres console.
+
+Deployment note (100 TB): the server is a *driver-side* query facade; the
+heavy lifting stays in Ray Data tasks. Run one per head node; queries
+stream through ``search_pages``'s partial top-k, so a request never
+materializes the index.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+from urllib.parse import parse_qs, urlparse
+
+
+@dataclass
+class ApiConfig:
+    """Mirror of the reference API config (rate_limit "rate,burst" string,
+    ``main.go:108-122``; optional static bearer token for the auth
+    middleware seam)."""
+
+    host: str = "127.0.0.1"
+    port: int = 0  # 0 → ephemeral (tests)
+    rate_limit: str = "10,10"
+    auth_token: str = ""  # empty → auth disabled (reference: config.API.Auth)
+
+    def rate_burst(self) -> tuple[float, float]:
+        s = self.rate_limit.strip() or "10,10"
+        if "," not in s:
+            s += ",10"
+        rate_s, burst_s = s.split(",", 1)
+        return float(rate_s or 10), float(burst_s or 10)
+
+
+class _TokenBucket:
+    def __init__(self, rate: float, burst: float):
+        self.rate, self.burst = rate, burst
+        self.tokens = burst
+        self.t = time.monotonic()
+        self.lock = threading.Lock()
+
+    def allow(self) -> bool:
+        with self.lock:
+            now = time.monotonic()
+            self.tokens = min(self.burst, self.tokens + (now - self.t) * self.rate)
+            self.t = now
+            if self.tokens >= 1.0:
+                self.tokens -= 1.0
+                return True
+            return False
+
+
+class ApiServer:
+    """``serve(index_dir)`` starts the thread; ``close()`` stops it.
+
+    Handler seams (injectable for tests / alternate backends):
+      search_fn(index_dir, dork, k) -> list[dict]
+      timeseries_fn(index_dir, params) -> list[dict]
+    Defaults call the real Ray pipelines (Ray must already be initialised
+    by the process that owns the server — same contract as the driver).
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        config: ApiConfig | None = None,
+        search_fn: Callable | None = None,
+        timeseries_fn: Callable | None = None,
+    ):
+        self.index_dir = index_dir
+        self.cfg = config or ApiConfig()
+        self.search_fn = search_fn or _default_search
+        self.timeseries_fn = timeseries_fn or _default_timeseries
+        rate, burst = self.cfg.rate_burst()
+        self.bucket = _TokenBucket(rate, burst)
+        self.httpd: ThreadingHTTPServer | None = None
+        self.thread: threading.Thread | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> int:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                server._handle(self)
+
+            def do_POST(self):
+                server._handle(self)
+
+        self.httpd = ThreadingHTTPServer(
+            (self.cfg.host, self.cfg.port), Handler
+        )
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self.thread.start()
+        return self.httpd.server_address[1]
+
+    def close(self) -> None:
+        if self.httpd:
+            self.httpd.shutdown()
+            self.httpd.server_close()
+
+    # -- request handling --------------------------------------------------
+    def _handle(self, req: BaseHTTPRequestHandler) -> None:
+        parsed = urlparse(req.path)
+        path = parsed.path.rstrip("/") or "/"
+        qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+
+        # health/ready bypass auth+rate-limit (reference: public middlewares
+        # but no auth; they must answer while the service is saturated)
+        if path in ("/v1/health", "/v1/ready"):
+            return _json(req, 200, {"status": "ok"})
+
+        if not self.bucket.allow():
+            return _json(req, 429, {"error": "Rate limit exceeded"})
+
+        if self.cfg.auth_token:
+            got = req.headers.get("Authorization", "")
+            if got != "Bearer " + self.cfg.auth_token:
+                return _json(req, 401, {"error": "Unauthorized"})
+
+        try:
+            if path == "/v1/search/general":
+                q = qs.get("q", "")
+                if not q:
+                    return _json(req, 400, {"error": "missing q"})
+                k = int(qs.get("limit", "10"))
+                rows = self.search_fn(self.index_dir, q, k)
+                return _json(req, 200, {"query": q, "results": rows})
+            if path == "/v1/timeseries":
+                rows = self.timeseries_fn(self.index_dir, qs)
+                return _json(req, 200, {"results": rows})
+            return _json(req, 404, {"error": f"no such endpoint {path}"})
+        except Exception as e:  # handler errors → 500, server stays up
+            return _json(req, 500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def _json(req: BaseHTTPRequestHandler, code: int, obj: dict) -> None:
+    body = json.dumps(obj).encode("utf-8")
+    req.send_response(code)
+    req.send_header("Content-Type", "application/json")
+    req.send_header("Content-Length", str(len(body)))
+    req.end_headers()
+    req.wfile.write(body)
+
+
+def _default_search(index_dir: str, dork: str, k: int) -> list[dict]:
+    from .pipelines.search_api import search_pages
+
+    df = search_pages(index_dir, dork, k=k)
+    return df.to_dict(orient="records")
+
+
+def _default_timeseries(index_dir: str, params: dict) -> list[dict]:
+    """Bucket aggregates over an events parquet table under the index dir
+    (reference /v1/timeseries over the TimeSeries tables)."""
+    import ray.data
+
+    from .stages.timeseries import timeseries_aggregate
+
+    path = params.get("table", f"{index_dir}/events.parquet")
+    ds = ray.data.read_parquet(path)
+    out = timeseries_aggregate(
+        ds,
+        metric_col=params.get("metric_col", "event_type"),
+        ts_col=params.get("ts_col", "ts"),
+        value_col=params.get("value_col", "value"),
+        entity_col=params.get("entity_col", "user_id"),
+        bucket=params.get("bucket", "h"),
+    )
+    df = out.to_pandas()
+    for c in df.columns:  # timestamps → ISO strings for JSON
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+    return df.to_dict(orient="records")
