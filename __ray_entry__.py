@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_keyword_occurrences": q.q_keyword_occurrences,
         "q_doc_keywords": q.q_doc_keywords,
         "q_doc_spans_flat": q.q_doc_spans_flat,
+        "q_dup_ngrams": q.q_dup_ngrams,
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
         "q_fingerprint": q.q_fingerprint,
@@ -544,6 +545,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q_doc_keywords": _doc_keywords_sql(),
+        # exact-substring dedup: per-doc duplicated word-5-gram count +
+        # union token coverage of the duplicated windows (the Ray path
+        # hashes n-grams with the rolling-FNV construction; SQL groups the
+        # literal strings — identical modulo 2^-64 collision odds)
+        "q_dup_ngrams": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                       array_to_string(list_slice(ws, p, p + 4), ' ') AS ng
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS p)
+            ), d AS (
+                SELECT ng FROM g GROUP BY ng
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT doc_id, pos FROM g JOIN d USING (ng)
+            ), cov AS (
+                SELECT doc_id, COUNT(DISTINCT t) AS dup_tokens
+                FROM hits, LATERAL (SELECT unnest(range(pos, pos + 5)) AS t)
+                GROUP BY doc_id
+            ), cnt AS (
+                SELECT doc_id, COUNT(*) AS dup_ngrams FROM hits
+                GROUP BY doc_id
+            )
+            SELECT doc_id, dup_ngrams, dup_tokens
+            FROM cnt JOIN cov USING (doc_id)
+        """,
         # the flagship nested span column, exploded: span_ord 0 = body_text,
         # 1..n = first-seen ordered keywords (same extraction as above)
         "q_doc_spans_flat": f"""

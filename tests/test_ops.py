@@ -176,6 +176,51 @@ def test_multimodal_decode_pipeline():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_duplicate_ngram_stats():
+    """Exact-substring dedup: cross-doc duplicated 3-grams found, window
+    union counted, within-doc-only repeats ignored, short docs skipped."""
+    from thecrowler_ray.stages.dedup import (
+        cut_duplicate_spans,
+        duplicate_ngram_stats,
+        ngram_hash_rows,
+    )
+
+    shared = "alpha beta gamma delta"  # 2 shared 3-grams, union 4 tokens
+    docs = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d", "e"],
+            "text": [
+                f"{shared} one two three",
+                f"zero {shared} nine",
+                "only here words that repeat repeat repeat repeat repeat",
+                "unrelated totally different tokens everywhere now",
+                "tiny doc",  # < n tokens → no ngrams
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    out = (
+        duplicate_ngram_stats(ds, n=3, num_shards=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(out.index) == {"a", "b"}
+    # both docs share exactly the 2 rolling 3-grams of the 4-token phrase
+    assert (out.dup_ngrams == 2).all()
+    assert (out.dup_tokens == 4).all()
+
+    # removal half: cutting the duplicated windows removes those 4 tokens
+    assert (
+        cut_duplicate_spans(f"{shared} one two three", [0, 1], 3)
+        == "one two three"
+    )
+
+    # short docs emit zero rows at the hash stage
+    rows = ngram_hash_rows(docs.slice(4, 1), n=3)
+    assert rows.num_rows == 0
+
+
 def test_simhash_candidate_pairs():
     from thecrowler_ray.stages.dedup import simhash_candidate_pairs
 

@@ -403,6 +403,19 @@ def q_doc_spans_flat(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_dup_ngrams(sf_dir: str, n: int = 5):
+    """Exact-substring dedup report: per-doc count of word 5-grams shared
+    with other documents + the token coverage an exact-substring cut would
+    remove (Lee-et-al-style duplicated-ngram detection; see
+    ``stages/dedup.py:duplicate_ngram_stats`` for the two-shard scale
+    shape). SQL twin groups the literal n-gram strings."""
+    from ..stages.dedup import duplicate_ngram_stats
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_ngram_stats(ds, n=n)
+    return out.select_columns(["doc_id", "dup_ngrams", "dup_tokens"])
+
+
 def q_fingerprint_family(sf_dir: str):
     """Fingerprint registry over documents (reference pkg/fingerprints):
     the oracle-checkable digest columns (ja3=md5, custom_tls=sha256); the

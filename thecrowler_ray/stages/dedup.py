@@ -540,3 +540,140 @@ def simhash_candidate_pairs(ds, *, bands: int = 4, max_hamming: int | None = Non
     pairs = band_rows.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
     return _dedup_pairs_sharded(pairs, num_shards=num_shards,
                                 hamming=max_hamming is not None)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup: duplicated word-n-gram detection
+# (the "dedup across documents at the substring level" op from the public
+# training-data-dedup literature; the reference's own dedup planes are
+# whole-content SHA-256 (crawler.go:1504-1543) — this extends the family)
+# ---------------------------------------------------------------------------
+
+
+def _fnv_token_hashes(toks: list[str], cache: dict) -> np.ndarray:
+    th = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        v = cache.get(t)
+        if v is None:
+            h = 0xCBF29CE484222325
+            for b in t.encode("utf-8"):
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            v = h
+            cache[t] = v
+        th[i] = v
+    return th
+
+
+_NGRAM_P = np.uint64(1099511628211)
+
+
+def ngram_hash_rows(batch: pa.Table, n: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """text rows → one row per word n-gram occurrence:
+    (id, pos, h) with h = polynomial roll (mod 2^64) of per-token FNV-1a
+    hashes over the n-window — the same vectorized construction as the
+    MinHash shingles, but keeping positions and emitting nothing for docs
+    shorter than n tokens. Rows are 20 B; the heavy text never leaves this
+    stage."""
+    ids_out, pos_out, h_out = [], [], []
+    cache: dict[str, int] = {}
+    for doc_id, text in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+        toks = (text or "").lower().split()
+        if len(toks) < n:
+            continue
+        th = _fnv_token_hashes(toks, cache)
+        m = len(toks) - n + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            acc = acc * _NGRAM_P + th[j : j + m]
+        ids_out.append(np.full(m, doc_id))
+        pos_out.append(np.arange(m, dtype=np.int32))
+        h_out.append(acc)
+    if not ids_out:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "pos": pa.array([], pa.int32()),
+                         "h": pa.array([], pa.uint64())})
+    return pa.table({
+        id_col: pa.array(np.concatenate(ids_out), batch[id_col].type),
+        "pos": pa.array(np.concatenate(pos_out), pa.int32()),
+        "h": pa.array(np.concatenate(h_out), pa.uint64()),
+    })
+
+
+def duplicate_ngram_stats(ds, n: int = 5, num_shards: int = 64,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_docs: int = 2):
+    """Per-document duplicated-substring report: for every doc containing a
+    word n-gram that also appears in ≥``min_docs``-1 other docs, emit
+    (id, dup_ngrams, dup_tokens) where dup_tokens is the size of the union
+    of the duplicated n-gram windows (the token count an exact-substring
+    dedup pass would cut).
+
+    Scale shape: two uniform hash-shard exchanges on 20 B rows (never by
+    raw ngram hash — Ray's sort aggregation pays per-distinct-group; one
+    shard = one vectorized pandas reduce), mirroring the near-dup pair
+    pipeline. ``num_shards`` is the scale knob (≈4× cluster cores)."""
+    rows = ds.map_batches(
+        lambda t: ngram_hash_rows(t, n, id_col, text_col),
+        batch_format="pyarrow",
+    )
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].to_numpy().astype(np.uint64, copy=False)
+        df["shard"] = (((h * _SHARD_MIX) >> np.uint64(33))
+                       % np.uint64(num_shards)).astype(np.int32)
+        return df
+
+    def dup_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        nun = g.groupby("h", sort=False)[id_col].nunique()
+        dup_h = nun.index[nun >= min_docs]
+        hit = g[g["h"].isin(dup_h)]
+        return hit[[id_col, "pos"]]
+
+    hits = (
+        rows.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(dup_in_shard, batch_format="pandas")
+    )
+
+    def add_doc_shard(df: pd.DataFrame) -> pd.DataFrame:
+        key = pd.util.hash_array(df[id_col].to_numpy()).astype(np.uint64)
+        df["dshard"] = (key % np.uint64(num_shards)).astype(np.int32)
+        return df
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_ngrams, out_tokens = [], [], []
+        for doc_id, grp in g.groupby(id_col, sort=False):
+            p = np.sort(grp["pos"].to_numpy())
+            # union of [p, p+n) via running max of window ends
+            ends = np.maximum.accumulate(p + n)
+            starts_new = np.empty(len(p), dtype=bool)
+            starts_new[0] = True
+            starts_new[1:] = p[1:] >= ends[:-1]
+            seg_start = p[starts_new]
+            seg_end = np.append(ends[np.nonzero(starts_new)[0][1:] - 1],
+                                ends[-1])
+            out_ids.append(doc_id)
+            out_ngrams.append(len(p))
+            out_tokens.append(int((seg_end - seg_start).sum()))
+        return pd.DataFrame({id_col: out_ids, "dup_ngrams": out_ngrams,
+                             "dup_tokens": out_tokens})
+
+    return (
+        hits.map_batches(add_doc_shard, batch_format="pandas")
+        .groupby("dshard")
+        .map_groups(coverage, batch_format="pandas")
+    )
+
+
+def cut_duplicate_spans(text: str, positions: list[int], n: int) -> str:
+    """Remove the duplicated n-gram windows from one document's text
+    (the removal half of exact-substring dedup), keeping tokens outside
+    the union of [p, p+n) windows. Per-row transform for a map_batches
+    cleanup stage once stats identify the spans."""
+    toks = text.split()
+    drop = np.zeros(len(toks), dtype=bool)
+    for p in positions:
+        drop[p : p + n] = True
+    return " ".join(t for t, d in zip(toks, drop) if not d)
