@@ -281,3 +281,172 @@ def test_pop3_incremental_fetch_with_checkpoint():
         assert list(t2.to_pandas().title) == ["three"]
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# Microsoft-Graph and Gmail REST connectors against local fixture servers
+# (delta / history checkpoints; OAuth token acquisition stays a seam)
+# ---------------------------------------------------------------------------
+
+import json as _json
+import threading as _threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def _rest_rfc822(subject, body):
+    return (f"From: a@b.test\r\nSubject: {subject}\r\n"
+            f"Date: Mon, 01 Jan 2024 00:00:00 +0000\r\n\r\n{body}\r\n")
+
+
+class _FixtureRestServer:
+    """Serves Graph-shaped and Gmail-shaped JSON; requires Bearer tok-123."""
+
+    def __init__(self):
+        self.graph_msgs = [("g1", "graph one", "alpha body"),
+                           ("g2", "graph two", "beta body")]
+        self.gmail_msgs = [("m1", "gmail one", "gamma body", 100),
+                           ("m2", "gmail two", "delta body", 101)]
+        self.added_gmail = []  # (id, subject, body, historyId)
+        self.delta_round = 0
+        srv = self
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, payload, ctype="application/json"):
+                data = (payload if isinstance(payload, bytes)
+                        else _json.dumps(payload).encode())
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.headers.get("Authorization") != "Bearer tok-123":
+                    return self._send(401, {"error": "unauthorized"})
+                u = urlparse(self.path)
+                qs = {k: v[0] for k, v in parse_qs(u.query).items()}
+                p = u.path
+                # ---- Graph ----
+                if "/messages/delta" in p:
+                    if qs.get("page") == "2":  # initial sync: page 2 (last)
+                        return self._send(200, {
+                            "value": [{"id": srv.graph_msgs[1][0]}],
+                            "@odata.deltaLink":
+                                f"http://127.0.0.1:{srv.port}{p}?token=d1",
+                        })
+                    if qs.get("token") == "d1":  # resumed delta: nothing new
+                        return self._send(200, {
+                            "value": [],
+                            "@odata.deltaLink":
+                                f"http://127.0.0.1:{srv.port}{p}?token=d2",
+                        })
+                    return self._send(200, {  # initial sync: page 1 of 2
+                        "value": [{"id": srv.graph_msgs[0][0]}],
+                        "@odata.nextLink":
+                            f"http://127.0.0.1:{srv.port}{p}?page=2",
+                    })
+                if p.endswith("/$value"):
+                    mid = p.split("/")[-2]
+                    for gid, subj, body in srv.graph_msgs:
+                        if gid == mid:
+                            return self._send(
+                                200, _rest_rfc822(subj, body).encode(),
+                                ctype="message/rfc822")
+                    return self._send(404, {"error": "no such message"})
+                # ---- Gmail ----
+                if p.endswith("/gmail/v1/users/me/messages"):
+                    if "pageToken" not in qs:
+                        return self._send(200, {
+                            "messages": [{"id": srv.gmail_msgs[0][0]}],
+                            "nextPageToken": "p2",
+                        })
+                    return self._send(200, {
+                        "messages": [{"id": srv.gmail_msgs[1][0]}],
+                    })
+                if "/gmail/v1/users/me/messages/" in p:
+                    import base64 as _b64
+
+                    mid = p.rsplit("/", 1)[1]
+                    for gid, subj, body, hid in srv.gmail_msgs + srv.added_gmail:
+                        if gid == mid:
+                            raw = _b64.urlsafe_b64encode(
+                                _rest_rfc822(subj, body).encode()).decode().rstrip("=")
+                            return self._send(200, {"id": gid, "raw": raw,
+                                                    "historyId": hid})
+                    return self._send(404, {"error": "no such message"})
+                if p.endswith("/gmail/v1/users/me/history"):
+                    start = int(qs.get("startHistoryId", 0))
+                    added = [
+                        {"messagesAdded": [{"message": {"id": gid}}]}
+                        for gid, _, _, hid in srv.added_gmail if hid > start
+                    ]
+                    top = max([h for *_, h in
+                               (srv.gmail_msgs + srv.added_gmail)] or [start])
+                    return self._send(200, {"history": added, "historyId": top})
+                return self._send(404, {"error": p})
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.port = self.httpd.server_address[1]
+        self.thread = _threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_graph_connector_delta_checkpoint():
+    from thecrowler_ray.sources.mailbox import graph_fetch_documents
+
+    srv = _FixtureRestServer()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        t1, delta = graph_fetch_documents(
+            base, "u1", "inbox", token_provider=lambda: "tok-123")
+        assert list(t1.to_pandas().title) == ["graph one", "graph two"]
+        assert delta and "token=d1" in delta
+        # resume from the delta cursor: nothing new
+        srv.delta_round = 1
+        t2, delta2 = graph_fetch_documents(
+            base, "u1", "inbox", delta_link=delta,
+            token_provider=lambda: "tok-123")
+        assert t2.num_rows == 0 and "token=d2" in delta2
+        # token seam is mandatory
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            graph_fetch_documents(base, "u1")
+    finally:
+        srv.close()
+
+
+def test_gmail_connector_history_checkpoint():
+    from thecrowler_ray.sources.mailbox import gmail_fetch_documents
+
+    srv = _FixtureRestServer()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        t1, hid = gmail_fetch_documents(
+            base, token_provider=lambda: "tok-123")
+        assert list(t1.to_pandas().title) == ["gmail one", "gmail two"]
+        assert hid == 101  # max historyId across fetched messages
+        # a new message arrives; incremental fetch picks up only it
+        srv.added_gmail.append(("m3", "gmail three", "epsilon body", 102))
+        t2, hid2 = gmail_fetch_documents(
+            base, history_id=hid, token_provider=lambda: "tok-123")
+        assert list(t2.to_pandas().title) == ["gmail three"]
+        assert hid2 == 102
+    finally:
+        srv.close()
+
+
+def test_read_mail_gmail_scheme_points_at_fetchers():
+    from thecrowler_ray.sources.mailbox import read_mail
+
+    with pytest.raises(NotImplementedError, match="token_provider"):
+        read_mail("gmail://me/INBOX")

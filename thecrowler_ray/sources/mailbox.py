@@ -212,6 +212,135 @@ def pop3_fetch_documents(
     return pa.Table.from_pydict(rows, schema=MAIL_SCHEMA), new_last
 
 
+def _bearer_get(url: str, token: str, accept: str = "application/json"):
+    """GET with bearer auth (the reference's Graph/Gmail HTTP hop)."""
+    import urllib.request
+
+    req = urllib.request.Request(url)
+    req.add_header("Authorization", "Bearer " + token)
+    req.add_header("Accept", accept)
+    with urllib.request.urlopen(req, timeout=15) as r:
+        return r.read()
+
+
+def graph_fetch_documents(
+    base_url: str,
+    user_id: str,
+    folder: str = "inbox",
+    delta_link: str | None = None,
+    token_provider=None,
+    page_size: int = 50,
+) -> tuple[pa.Table, str | None]:
+    """Incremental Microsoft-Graph mail fetch (reference
+    ``pkg/mail/connector_graph.go:518-568``): the messages **delta** query
+    (``/users/{uid}/mailFolders/{folder}/messages/delta?$select=…&$top=N``)
+    paged via ``@odata.nextLink``, then the raw RFC-822 body per message
+    (``/users/{uid}/messages/{id}/$value`` with ``Accept: message/rfc822``).
+    The durable checkpoint is the ``@odata.deltaLink`` cursor — pass it back
+    to resume; only messages added since are returned.
+
+    OAuth client-credential acquisition needs a live tenant, so the token
+    comes from ``token_provider()`` (a seam, like the reference's
+    ``TokenSource``). ``base_url`` defaults to the public endpoint; tests
+    point it at a local fixture server."""
+    import json as _json
+
+    if token_provider is None:
+        raise NotImplementedError(
+            "graph-mail needs an OAuth token_provider (live tenant); "
+            "reference connector_graph.go:116-137"
+        )
+    token = token_provider()
+    base = base_url.rstrip("/")
+    next_url = delta_link or (
+        f"{base}/users/{user_id}/mailFolders/{folder}/messages/delta"
+        f"?$select=id,receivedDateTime&$top={page_size}"
+    )
+    rows = {n: [] for n in MAIL_SCHEMA.names}
+    parser = Parser()
+    new_delta = delta_link
+    idx = 0
+    while next_url:
+        page = _json.loads(_bearer_get(next_url, token))
+        for m in page.get("value", []):
+            if m.get("@removed"):
+                continue
+            raw = _bearer_get(
+                f"{base}/users/{user_id}/messages/{m['id']}/$value",
+                token,
+                accept="message/rfc822",
+            )
+            msg = parser.parsestr(raw.decode("utf-8", "replace"))
+            idx += 1
+            url = f"graph-mail://{user_id}/{folder}/{m['id']}"
+            for k, v in _message_rows(msg, url, folder, idx).items():
+                rows[k].append(v)
+        new_delta = page.get("@odata.deltaLink", new_delta)
+        next_url = page.get("@odata.nextLink")
+    return pa.Table.from_pydict(rows, schema=MAIL_SCHEMA), new_delta
+
+
+def gmail_fetch_documents(
+    base_url: str,
+    user_id: str = "me",
+    label: str = "INBOX",
+    history_id: int = 0,
+    token_provider=None,
+    page_size: int = 50,
+) -> tuple[pa.Table, int]:
+    """Incremental Gmail fetch (reference ``connector_gmail.go:625-684``):
+    bootstrap from ``messages.list`` (labelIds + pageToken paging) when no
+    checkpoint, else advance with ``history.list?startHistoryId=N``
+    (messagesAdded); each message body via ``messages.get?format=raw``
+    (base64url RFC-822). The durable checkpoint is the mailbox
+    ``historyId``. Token acquisition is the same seam as Graph."""
+    import base64
+    import json as _json
+
+    if token_provider is None:
+        raise NotImplementedError(
+            "gmail needs an OAuth token_provider (live account); "
+            "reference connector_gmail.go:163"
+        )
+    token = token_provider()
+    base = base_url.rstrip("/")
+    api = f"{base}/gmail/v1/users/{user_id}"
+    msg_ids: list[str] = []
+    new_history = history_id
+    if history_id == 0:
+        page_token = ""
+        while True:
+            url = f"{api}/messages?labelIds={label}&maxResults={page_size}"
+            if page_token:
+                url += f"&pageToken={page_token}"
+            page = _json.loads(_bearer_get(url, token))
+            msg_ids.extend(m["id"] for m in page.get("messages", []))
+            page_token = page.get("nextPageToken", "")
+            if not page_token:
+                break
+    else:
+        url = f"{api}/history?startHistoryId={history_id}&labelId={label}"
+        page = _json.loads(_bearer_get(url, token))
+        for h in page.get("history", []):
+            msg_ids.extend(
+                a["message"]["id"] for a in h.get("messagesAdded", [])
+            )
+        new_history = int(page.get("historyId", history_id))
+    rows = {n: [] for n in MAIL_SCHEMA.names}
+    parser = Parser()
+    for i, mid in enumerate(msg_ids, 1):
+        m = _json.loads(_bearer_get(f"{api}/messages/{mid}?format=raw", token))
+        # each message response carries its historyId; the checkpoint is
+        # the max seen (messages.list itself does not report one)
+        new_history = max(new_history, int(m.get("historyId", 0)))
+        raw = base64.urlsafe_b64decode(m["raw"] + "=" * (-len(m["raw"]) % 4))
+        msg = parser.parsestr(raw.decode("utf-8", "replace"))
+        url = f"gmail://{user_id}/{label}/{mid}"
+        for k, v in _message_rows(msg, url, label, i).items():
+            rows[k].append(v)
+    return pa.Table.from_pydict(rows, schema=MAIL_SCHEMA), new_history
+
+
 def read_mail(source_url: str, content: str | None = None, start_index: int = 0,
               user: str = "user", password: str = "pass"):
     """Dispatch on the mail scheme (reference protocol classifier).
@@ -244,7 +373,15 @@ def read_mail(source_url: str, content: str | None = None, start_index: int = 0,
             host, int(port or 110), user, password, last_index=start_index
         )
         return ray.data.from_arrow(table)
-    if scheme in ("imaps", "pop3s", "gmail", "graph-mail", "email"):
+    if scheme in ("gmail", "graph-mail"):
+        raise NotImplementedError(
+            f"{scheme}: call gmail_fetch_documents / graph_fetch_documents "
+            "with a token_provider — the REST clients and delta/history "
+            "checkpoints are implemented; only OAuth token acquisition "
+            "needs a live account (connector_gmail.go:163, "
+            "connector_graph.go:116-137)"
+        )
+    if scheme in ("imaps", "pop3s", "email"):
         raise NotImplementedError(
             f"{scheme} connector requires live mail credentials/TLS/network "
             "(reference pkg/mail/connector_*.go); out of v0 sandbox scope"
