@@ -488,3 +488,18 @@ def test_seen_spill_engine_equality():
     assert summary["total_fetched"] == len(oracle.pages)
     _assert_match(run, "/tmp/crowler_t_spill", oracle)
     assert _glob.glob(f"{spill_dir}/shard*/run*.npy"), "no spill runs written"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wave_spill_engine_equality():
+    """Big-wave object-store relief (wave_spill_threshold): pages stream
+    straight to storage and links re-read pruned columns — results must be
+    byte-identical to the oracle (threshold=1 forces every wave through
+    the spill path)."""
+    run, summary, oracle = _run_both(
+        "/tmp/crowler_t_wavespill",
+        engine_kw=dict(max_links=150, max_waves=8, wave_spill_threshold=1),
+        oracle_kw=dict(max_links=150, max_waves=8),
+    )
+    assert summary["total_fetched"] == len(oracle.pages)
+    _assert_match(run, "/tmp/crowler_t_wavespill", oracle)
