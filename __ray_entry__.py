@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_keywords": q.q_doc_keywords,
         "q_doc_spans_flat": q.q_doc_spans_flat,
         "q_dup_ngrams": q.q_dup_ngrams,
+        "q_source_schedule": q.q_source_schedule,
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
         "q_fingerprint": q.q_fingerprint,
@@ -545,6 +546,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q_doc_keywords": _doc_keywords_sql(),
+        # source claiming: the reference's update_sources eligibility
+        # (re-crawl / error-retry / lease-expiry windows), (created_at,
+        # source_id) order, LIMIT batch — over a deterministic sources
+        # table derived from per-user event activity
+        "q_source_schedule": """
+            WITH src AS (
+                SELECT user_id AS source_id,
+                       'https://src-' || CAST(user_id AS VARCHAR) || '.test/'
+                           AS url,
+                       epoch_us(MIN(ts)) / 1000000.0 AS created_at,
+                       CASE CAST(user_id % 6 AS INTEGER)
+                            WHEN 0 THEN 'completed' WHEN 1 THEN 'error'
+                            WHEN 2 THEN 'pending' WHEN 3 THEN 'new'
+                            WHEN 4 THEN 'processing' ELSE '' END AS status,
+                       CASE CAST(user_id % 3 AS INTEGER)
+                            WHEN 0 THEN 'high' WHEN 1 THEN 'medium'
+                            ELSE 'low' END AS priority,
+                       user_id % 17 = 0 AS disabled,
+                       CASE WHEN user_id % 11 = 0 THEN NULL
+                            ELSE epoch_us(MAX(ts)) / 1000000.0
+                       END AS last_updated_at
+                FROM events GROUP BY user_id
+            ), t AS (SELECT epoch_us(MAX(ts)) / 1000000.0 AS now_s FROM events)
+            SELECT source_id, url, 'processing' AS status, priority,
+                   'engine-0' AS engine
+            FROM src, t
+            WHERE NOT disabled
+              AND priority IN ('high', 'medium')
+              AND (
+                   (status = 'completed'
+                    AND last_updated_at < now_s - 259200.0)
+                OR (status = 'error' AND last_updated_at < now_s - 900.0)
+                OR status IN ('pending', 'new', '')
+                OR (status = 'processing'
+                    AND last_updated_at < now_s - 86400.0)
+              )
+            ORDER BY created_at, source_id
+            LIMIT 20
+        """,
         # exact-substring dedup: per-doc duplicated word-5-gram count +
         # union token coverage of the duplicated windows (the Ray path
         # hashes n-grams with the rolling-FNV construction; SQL groups the

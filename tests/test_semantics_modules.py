@@ -264,3 +264,53 @@ def test_cli_dedup_fingerprint_analyze(tmp_path):
     import ray.data
 
     assert ray.data.read_parquet(str(tmp_path / "d2")).count() == 500
+
+
+def test_source_claim_semantics():
+    """update_sources eligibility (postgresql-setup.pgsql:2826-2901):
+    re-crawl window, error retry, fresh states, lease expiry, priority
+    filter, disabled exclusion, (created_at, source_id) order + LIMIT."""
+    import numpy as np
+    import pandas as pd
+
+    from thecrowler_ray.scheduler import ClaimPolicy, claim_sources, due_mask
+
+    now = 1_000_000.0
+    H, D = 3600.0, 86400.0
+    df = pd.DataFrame(
+        {
+            "source_id": range(10),
+            "status": ["completed", "completed", "error", "error", "pending",
+                       "new", None, "processing", "processing", "completed"],
+            "last_updated_at": [now - 4 * D, now - H,      # 0 due, 1 fresh
+                                now - 1000, now - 100,     # 2 due, 3 recent
+                                now - 1, now - 1, np.nan,  # 4,5,6 always due
+                                now - 2 * D, now - H,      # 7 lease-expired, 8 held
+                                np.nan],                   # 9 never-updated
+            "priority": ["high"] * 9 + ["low"],
+            "disabled": [False] * 6 + [True] + [False] * 3,
+            "created_at": [50, 40, 30, 20, 10, 60, 5, 70, 80, 90],
+        }
+    )
+    pol = ClaimPolicy(limit=10, regular_crawling="3 days",
+                      priority="high,medium", engine_id="e7")
+    got = claim_sources(df, now, pol)
+    # 0 (completed+old), 2 (error+past 15min), 4,5 (fresh), 7 (lease expired)
+    # — NOT 1 (recent ok), 3 (error too recent), 6 (disabled), 8 (held),
+    # 9 (priority low; never-updated only matters via last_ok_update)
+    assert sorted(got.source_id) == [0, 2, 4, 5, 7]
+    # ordering is (created_at, source_id): created_at 10,30,50,60,70
+    assert list(got.source_id) == [4, 2, 0, 5, 7]
+    assert (got.status == "processing").all() and (got.engine == "e7").all()
+
+    # last_ok_update clause brings in the never-updated row (9 still low-pri)
+    pol2 = ClaimPolicy(limit=10, last_ok_update="1 days", priority="")
+    got2 = claim_sources(df, now, pol2)
+    assert 9 in set(got2.source_id) and 6 not in set(got2.source_id)
+    # limit truncates after ordering
+    pol3 = ClaimPolicy(limit=2, regular_crawling="3 days", priority="high")
+    got3 = claim_sources(df, now, pol3)
+    assert len(got3) == 2
+    assert list(got3.created_at) == sorted(got3.created_at)
+    # vectorized mask matches row count
+    assert due_mask(df, now, pol).sum() == 5

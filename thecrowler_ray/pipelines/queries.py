@@ -403,6 +403,52 @@ def q_doc_spans_flat(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_source_schedule(sf_dir: str, limit: int = 20):
+    """Source claiming (reference ``update_sources``,
+    ``postgresql-setup.pgsql:2826-2901``): a deterministic sources table is
+    derived from per-user event activity, then the due-filter (re-crawl /
+    error-retry / lease-expiry windows), (created_at, source_id) ordering
+    and batch LIMIT run exactly as the reference's claim SQL. Eligibility
+    filters distributed via map_batches; the bounded order/limit on the
+    controller (``scheduler.claim_sources_ds``)."""
+    from ..scheduler import ClaimPolicy, claim_sources_ds
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def to_sources(df):
+        g = df.groupby("user_id")["ts"]
+        out = g.agg(created_at="min", last_ts="max").reset_index()
+        return out
+
+    # per-batch partial min/max then a tiny driver combine (users ≪ events)
+    parts = ev.map_batches(to_sources, batch_format="pandas").to_pandas()
+    src = parts.groupby("user_id").agg(
+        created_at=("created_at", "min"), last_ts=("last_ts", "max")
+    ).reset_index()
+    now_s = src["last_ts"].max().timestamp()
+    uid = src["user_id"].to_numpy()
+    statuses = np.array(
+        ["completed", "error", "pending", "new", "processing", ""], dtype=object
+    )
+    src["source_id"] = uid
+    src["url"] = ["https://src-%d.test/" % u for u in uid]
+    src["status"] = statuses[uid % 6]
+    src["priority"] = np.array(["high", "medium", "low"], dtype=object)[uid % 3]
+    src["disabled"] = uid % 17 == 0
+    src["created_at"] = src["created_at"].map(lambda t: t.timestamp())
+    last = src["last_ts"].map(lambda t: t.timestamp()).to_numpy()
+    src["last_updated_at"] = np.where(uid % 11 == 0, np.nan, last)
+    import ray.data as rd
+
+    policy = ClaimPolicy(limit=limit, priority="high,medium",
+                         regular_crawling="3 days")
+    claimed = claim_sources_ds(
+        rd.from_pandas(src.drop(columns=["last_ts"])), now_s, policy
+    )
+    out = claimed[["source_id", "url", "status", "priority", "engine"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_dup_ngrams(sf_dir: str, n: int = 5):
     """Exact-substring dedup report: per-doc count of word 5-grams shared
     with other documents + the token coverage an exact-substring cut would
