@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_spans_flat": q.q_doc_spans_flat,
         "q_dup_ngrams": q.q_dup_ngrams,
         "q_source_schedule": q.q_source_schedule,
+        "q_extdetect": q.q_extdetect,
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
         "q_fingerprint": q.q_fingerprint,
@@ -546,6 +547,38 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q_doc_keywords": _doc_keywords_sql(),
+        # external-detection fan-out: the fake transport is
+        # sha256(sorted-JSON-of-request), so SQL rebuilds the exact
+        # request basis string, digest, score and result JSON
+        "q_extdetect": """
+            WITH u AS (
+                SELECT 'http://doc-' || CAST(doc_id AS VARCHAR) || '.test/'
+                           AS url
+                FROM documents
+            ), b AS (
+                SELECT url,
+                       '{"b": null, "p": "SSLLabs", "u": '
+                       || '"https://api.ssllabs.com/api/v3/analyze?host='
+                       || url || '"}' AS basis
+                FROM u
+            ), h AS (
+                SELECT url, sha256(basis) AS hex FROM b
+            ), s AS (
+                SELECT url, hex,
+                       CAST(('0x' || substr(hex, 1, 2)) AS INTEGER) % 101
+                           AS score
+                FROM h
+            )
+            SELECT url, 'cdn' AS object_name, 'ssllabs' AS provider,
+                   '{"provider": "SSLLabs", "query_status": "ok", '
+                   || '"scan_id": "' || substr(hex, 1, 24) || '", '
+                   || '"score": ' || CAST(score AS VARCHAR) || ', '
+                   || '"verdict": "'
+                   || CASE WHEN score >= 90 THEN 'malicious' ELSE 'clean' END
+                   || '"}' AS result_json,
+                   CAST(10 AS INTEGER) AS confidence
+            FROM s
+        """,
         # source claiming: the reference's update_sources eligibility
         # (re-crawl / error-retry / lease-expiry windows), (created_at,
         # source_id) order, LIMIT batch — over a deterministic sources

@@ -123,3 +123,21 @@ def test_real_search_backend(tmp_path):
         assert {"doc_id", "url", "title", "score"} <= set(body["results"][0])
     finally:
         srv.close()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_timeseries_endpoint_real_backend():
+    """/v1/timeseries runs the real bucket-aggregate pipeline over an
+    events parquet table and returns JSON-safe rows."""
+    srv = ApiServer("/root/testdata/sf0.001", ApiConfig(rate_limit="1000,1000"))
+    port = srv.start()
+    try:
+        code, body = _get(port, "/v1/timeseries?bucket=h")
+        assert code == 200
+        rows = body["results"]
+        assert len(rows) > 0
+        r0 = rows[0]
+        assert {"bucket", "metric", "n", "sum_value", "p50"} <= set(r0)
+        assert isinstance(r0["bucket"], str)  # timestamps serialized
+    finally:
+        srv.close()

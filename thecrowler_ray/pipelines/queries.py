@@ -403,6 +403,32 @@ def q_doc_spans_flat(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_extdetect(sf_dir: str):
+    """External-detection fan-out (reference detection.go:758-867) over
+    document-derived URLs with the deterministic fake transport — the
+    sha256-based fake is exactly recomputable in SQL, so the whole plane
+    (request construction → transport → result rows, confidence 10) runs
+    under the oracle gate."""
+    from ..extdetect import ExtDetectStage, FakeTransport
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {"url": pa.array([f"http://doc-{d}.test/" for d in ids])}
+        )
+
+    urls = ds.map_batches(to_urls, batch_format="pyarrow")
+    return urls.map_batches(
+        ExtDetectStage,
+        fn_constructor_args=({"CDN": ["ssllabs"]},),
+        fn_constructor_kwargs={"transport": FakeTransport()},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
 def q_source_schedule(sf_dir: str, limit: int = 20):
     """Source claiming (reference ``update_sources``,
     ``postgresql-setup.pgsql:2826-2901``): a deterministic sources table is
