@@ -102,6 +102,30 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve the HTTP API (reference services/api) over an index dir."""
+    from .api_server import ApiConfig, ApiServer
+
+    _ray_init(args.num_cpus)
+    srv = ApiServer(
+        args.index,
+        ApiConfig(host=args.host, port=args.port,
+                  rate_limit=args.rate_limit, auth_token=args.token),
+    )
+    port = srv.start()
+    print(json.dumps({"serving": f"http://{args.host}:{port}",
+                      "endpoints": ["/v1/health", "/v1/ready",
+                                    "/v1/search/general?q=", "/v1/timeseries"]}))
+    try:
+        import time as _time
+
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.close()
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near/exact-dup pipelines over a documents-shaped parquet table."""
     import ray.data
@@ -198,6 +222,14 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--query", required=True)
     p_search.add_argument("-k", type=int, default=10)
     p_search.set_defaults(fn=cmd_search)
+
+    p_serve = sub.add_parser("serve")
+    p_serve.add_argument("--index", required=True)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8080)
+    p_serve.add_argument("--rate-limit", default="10,10")
+    p_serve.add_argument("--token", default="")
+    p_serve.set_defaults(fn=cmd_serve)
 
     p_dedup = sub.add_parser("dedup")
     p_dedup.add_argument("--input", required=True)
