@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_ngrams": q.q_dup_ngrams,
         "q_source_schedule": q.q_source_schedule,
         "q_extdetect": q.q_extdetect,
+        "q_hll_users": q.q_hll_users,
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
         "q_fingerprint": q.q_fingerprint,
@@ -547,6 +548,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q_doc_keywords": _doc_keywords_sql(),
+        # HyperLogLog registers (b=12): bucket = high 12 bits of
+        # md5-high-64, rho = 1-based position of the first set bit in the
+        # remaining 52 (strpos over bin()), max per bucket
+        "q_hll_users": """
+            WITH h AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                           ::UBIGINT AS h
+                FROM events
+            ), r AS (
+                SELECT CAST(h >> 52 AS BIGINT) AS bucket,
+                       CASE WHEN strpos(substr(lpad(bin(h), 64, '0'), 13), '1') = 0
+                            THEN 53
+                            ELSE strpos(substr(lpad(bin(h), 64, '0'), 13), '1')
+                       END AS rho
+                FROM h
+            )
+            SELECT bucket, CAST(MAX(rho) AS BIGINT) AS register
+            FROM r GROUP BY bucket
+        """,
         # external-detection fan-out: the fake transport is
         # sha256(sorted-JSON-of-request), so SQL rebuilds the exact
         # request basis string, digest, score and result JSON

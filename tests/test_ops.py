@@ -370,3 +370,53 @@ def test_screenshot_stage_stores_files(tmp_path):
     assert got.screenshot_path[0].endswith(
         hashlib.sha1(b"http://a.test/1").hexdigest() + ".png"
     )
+
+
+def test_hll_sketch_accuracy_and_merge():
+    """HLL estimate within the expected error band (~1.04/sqrt(m) ≈ 1.6%
+    at b=12); order-independent max-merge equals single-pass."""
+    import numpy as np
+
+    from thecrowler_ray.stages.sketch import HyperLogLog, _hash64
+
+    values = [f"user-{i}" for i in range(50_000)]
+    one = HyperLogLog(12)
+    one.add_values(values)
+    est = one.estimate()
+    assert abs(est - 50_000) / 50_000 < 0.05, est
+
+    # merged partials == single pass, regardless of split and order
+    parts = [HyperLogLog(12) for _ in range(4)]
+    for i, v in enumerate(values):
+        parts[i % 4].add_values([v])
+    merged = parts[3].merge(parts[1]).merge(parts[0]).merge(parts[2])
+    np.testing.assert_array_equal(merged.registers, one.registers)
+
+    # duplicates do not move the registers
+    dup = HyperLogLog(12)
+    dup.add_values(values + values[:1000])
+    np.testing.assert_array_equal(dup.registers, one.registers)
+
+    # small-cardinality linear-counting regime is exact-ish
+    small = HyperLogLog(12)
+    small.add_values([f"s{i}" for i in range(100)])
+    assert abs(small.estimate() - 100) < 8
+
+    # hash matches the SQL construction (md5 high 64 of the string form)
+    import hashlib
+
+    h = _hash64(["42"])
+    assert h[0] == int(hashlib.md5(b"42").hexdigest()[:16], 16)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_dataset():
+    from thecrowler_ray.stages.sketch import HyperLogLog, hll_distinct
+
+    tbl = pa.table({"u": [f"u{i % 700}" for i in range(5000)]})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    hll = hll_distinct(ds, "u", b=12)
+    ref = HyperLogLog(12)
+    ref.add_values([f"u{i}" for i in range(700)])
+    np.testing.assert_array_equal(hll.registers, ref.registers)
+    assert abs(hll.estimate() - 700) / 700 < 0.05

@@ -403,6 +403,19 @@ def q_doc_spans_flat(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_hll_users(sf_dir: str, b: int = 12):
+    """HyperLogLog distinct-user sketch over events: per-batch register
+    arrays (4 KiB each), driver max-merge, nonzero registers as integer
+    rows — the register table is a pure function of the value set, so the
+    DuckDB twin recomputes every register bit-for-bit (the estimate's
+    accuracy is unit-tested separately)."""
+    from ..stages.sketch import hll_distinct, hll_register_table
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+    hll = hll_distinct(ds, "user_id", b=b)
+    return pa.Table.from_pandas(hll_register_table(hll), preserve_index=False)
+
+
 def q_extdetect(sf_dir: str):
     """External-detection fan-out (reference detection.go:758-867) over
     document-derived URLs with the deterministic fake transport — the

@@ -1,0 +1,122 @@
+"""Distributed cardinality sketch: HyperLogLog.
+
+The reference counts distinct values exactly inside its time-series
+aggregation (``pkg/database/time_series_aggregation.go`` keeps a per-bucket
+value set); at 10^10 rows an exact set per group is not viable, so this adds
+the standard HLL sketch (Flajolet et al. 2007 construction) as a
+Ray-Data-native operator:
+
+    map_batches → one 2^b-byte register array per batch   (no shuffle)
+      → driver max-merge of the tiny register arrays
+      → bias-corrected estimate
+
+Registers are a pure function of the value set (md5-high-64 hashes), so the
+whole distributed pipeline is EXACTLY recomputable in SQL — the
+``q_hll_users`` oracle rebuilds every register with DuckDB md5/bin/strpos
+and the driver hash-gate compares them integer-for-integer. Merge is
+order-independent (max), which is what makes the sketch cluster-safe:
+4 KiB per batch moves to the driver regardless of data size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _hash64(values) -> np.ndarray:
+    """md5-high-64 of the string form — matches the SQL twin's
+    ('0x' || substr(md5(v), 1, 16))::UBIGINT."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.md5(str(v).encode("utf-8")).digest()[:8], "big"
+        )
+    return out
+
+
+class HyperLogLog:
+    """Registers + estimate. b bits of bucket index (m = 2^b registers)."""
+
+    def __init__(self, b: int = 12):
+        self.b = b
+        self.m = 1 << b
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        w_bits = 64 - self.b
+        j = (h >> np.uint64(w_bits)).astype(np.int64)
+        w = h & np.uint64((1 << w_bits) - 1)
+        # rho = leading zeros of w within w_bits, + 1  ==  w_bits+1 - bit_length;
+        # bit_length via frexp's exponent — exact because w < 2^53 is exactly
+        # representable in float64 (b ≥ 11 keeps w_bits ≤ 53)
+        assert w_bits <= 53
+        bl = np.frexp(w.astype(np.float64))[1].astype(np.int64)  # 0 for w=0
+        rho = (w_bits + 1 - bl).astype(np.uint8)
+        np.maximum.at(self.registers, j, rho)
+
+    def add_values(self, values) -> None:
+        self.add_hashes(_hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.b == other.b
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        # exact integer sum of 2^(K - M_j) keeps the harmonic mean
+        # reproducible (no float-summation order sensitivity)
+        K = 64 - self.b + 1
+        s = int(np.sum(1 << (K - self.registers.astype(np.int64))))
+        e = alpha * m * m * (1 << K) / s
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * math.log(m / zeros)
+        return e
+
+
+class HLLBatchStage:
+    """map_batches stage: N rows → ONE register-array row (4 KiB at b=12).
+    Stateless; the driver (or a downstream reduce) max-merges rows."""
+
+    def __init__(self, column: str, b: int = 12):
+        self.column = column
+        self.b = b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog(self.b)
+        hll.add_values(batch[self.column].to_pylist())
+        return pa.table(
+            {"registers": pa.array([hll.registers.tolist()],
+                                   pa.list_(pa.uint8(), hll.m))}
+        )
+
+
+def hll_distinct(ds, column: str, b: int = 12) -> HyperLogLog:
+    """Dataset → merged HLL for ``column``. Only register rows reach the
+    driver: 4 KiB × #batches."""
+    rows = ds.map_batches(
+        HLLBatchStage, fn_constructor_args=(column, b),
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    out = HyperLogLog(b)
+    for regs in rows["registers"]:
+        out.registers = np.maximum(out.registers,
+                                   np.asarray(regs, dtype=np.uint8))
+    return out
+
+
+def hll_register_table(hll: HyperLogLog) -> pd.DataFrame:
+    """Nonzero registers as (bucket, register) rows — the integer-exact
+    shape the SQL oracle recomputes."""
+    j = np.nonzero(hll.registers)[0]
+    return pd.DataFrame(
+        {"bucket": j.astype(np.int64),
+         "register": hll.registers[j].astype(np.int64)}
+    )
