@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_schedule": q.q_source_schedule,
         "q_extdetect": q.q_extdetect,
         "q_hll_users": q.q_hll_users,
+        "q_sample_docs": q.q_sample_docs,
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
         "q_fingerprint": q.q_fingerprint,
@@ -548,6 +549,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q_doc_keywords": _doc_keywords_sql(),
+        # bottom-k hash-order sample: stable deterministic sampling,
+        # literally ORDER BY md5(key) LIMIT k in SQL
+        "q_sample_docs": """
+            SELECT doc_id, lang,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                       AS sample_hash_hex
+            FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR))
+            LIMIT 50
+        """,
         # HyperLogLog registers (b=12): bucket = high 12 bits of
         # md5-high-64, rho = 1-based position of the first set bit in the
         # remaining 52 (strpos over bin()), max per bucket

@@ -420,3 +420,22 @@ def test_hll_distinct_dataset():
     ref.add_values([f"u{i}" for i in range(700)])
     np.testing.assert_array_equal(hll.registers, ref.registers)
     assert abs(hll.estimate() - 700) / 700 < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bottom_k_sample_stable_and_kmv():
+    """Bottom-k sample is identical across partitionings (stable,
+    mergeable) and its k-th hash gives a sane KMV cardinality estimate."""
+    from thecrowler_ray.stages.sample import bottom_k_sample, kmv_estimate
+
+    tbl = pa.table({"key": [f"k{i}" for i in range(4000)]})
+    a = bottom_k_sample(ray.data.from_arrow(tbl).repartition(3), "key", 64)
+    b = bottom_k_sample(ray.data.from_arrow(tbl).repartition(11), "key", 64)
+    assert list(a.key) == list(b.key)
+    assert len(a) == 64
+    assert list(a.sample_hash) == sorted(a.sample_hash)
+    est = kmv_estimate(a, 64)
+    assert abs(est - 4000) / 4000 < 0.35  # k=64 → ~12% stderr
+    # fewer rows than k → exact
+    small = bottom_k_sample(ray.data.from_arrow(tbl.slice(0, 10)), "key", 64)
+    assert kmv_estimate(small, 64) == 10

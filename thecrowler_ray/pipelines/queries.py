@@ -403,6 +403,21 @@ def q_doc_spans_flat(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_sample_docs(sf_dir: str, k: int = 50):
+    """Deterministic bottom-k (hash-order) sample of documents: stable
+    across runs/partitionings/cluster sizes, mergeable, and SQL-checkable
+    (ORDER BY md5(doc_id) LIMIT k). Per-batch partial bottom-k; only k rows
+    per batch reach the driver (``stages/sample.py``)."""
+    from ..stages.sample import bottom_k_sample
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    out = bottom_k_sample(ds, "doc_id", k)
+    out["sample_hash_hex"] = [format(h, "016x") for h in out["sample_hash"]]
+    return pa.Table.from_pandas(
+        out[["doc_id", "lang", "sample_hash_hex"]], preserve_index=False
+    )
+
+
 def q_hll_users(sf_dir: str, b: int = 12):
     """HyperLogLog distinct-user sketch over events: per-batch register
     arrays (4 KiB each), driver max-merge, nonzero registers as integer
