@@ -1027,13 +1027,17 @@ def q_order_lineitem_join(sf_dir: str):
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     items = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def add_rev(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("revenue", rev).drop_columns(
-            ["l_extendedprice", "l_discount"]
+    def rev_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        # partial aggregate BELOW the join: collapse lineitems to one row
+        # per orderkey per batch (~4x fewer rows enter the join shuffle;
+        # the join stays genuinely large-large)
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False, sort=False).agg(
+            n_lineitems=("revenue", "size"), revenue=("revenue", "sum")
         )
+        return g
 
-    items = items.map_batches(add_rev, batch_format="pyarrow")
+    items = items.map_batches(rev_per_order, batch_format="pandas")
     joined = items.join(
         orders,
         join_type="inner",
@@ -1044,11 +1048,12 @@ def q_order_lineitem_join(sf_dir: str):
     out = (
         joined.groupby("o_orderpriority")
         .aggregate(
-            Count(alias_name="n_lineitems"),
+            Sum("n_lineitems", alias_name="n_lineitems"),
             Sum("revenue", alias_name="total_revenue"),
         )
         .to_pandas()
     )
+    out["n_lineitems"] = out["n_lineitems"].astype("int64")
     out["total_revenue"] = out["total_revenue"].round(2)
     return out
 
