@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_schedule": q.q_source_schedule,
         "q_extdetect": q.q_extdetect,
         "q_hll_users": q.q_hll_users,
+        "q_cms_users": q.q_cms_users,
         "q_sample_docs": q.q_sample_docs,
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
@@ -558,6 +559,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR))
             LIMIT 50
+        """,
+        # Count-Min counters (d=4, w=1024): bucket_r = md5-high-64 of
+        # 'r|value' mod w, counter = row count — exact integer compare
+        "q_cms_users": """
+            WITH rows_ AS (SELECT unnest(range(4)) AS r),
+            b AS (
+                SELECT r,
+                       CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                                 || CAST(user_id AS VARCHAR)), 1, 16))
+                            ::UBIGINT % 1024 AS BIGINT) AS bucket
+                FROM events CROSS JOIN rows_
+            )
+            SELECT r AS row, bucket, COUNT(*) AS cnt
+            FROM b GROUP BY r, bucket
         """,
         # HyperLogLog registers (b=12): bucket = high 12 bits of
         # md5-high-64, rho = 1-based position of the first set bit in the

@@ -439,3 +439,22 @@ def test_bottom_k_sample_stable_and_kmv():
     # fewer rows than k → exact
     small = bottom_k_sample(ray.data.from_arrow(tbl.slice(0, 10)), "key", 64)
     assert kmv_estimate(small, 64) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cms_sketch_query_and_merge():
+    """CMS point queries upper-bound true counts (and are exact when no
+    collision); merged partials equal one-pass counters."""
+    from thecrowler_ray.stages.sketch import CountMinSketch, cms_frequencies
+
+    values = ["a"] * 100 + ["b"] * 10 + [f"x{i}" for i in range(50)]
+    one = CountMinSketch(4, 256)
+    one.add_values(values)
+    assert one.query("a") >= 100 and one.query("b") >= 10
+    assert one.query("a") <= 160  # collisions bounded by n/w per row
+
+    tbl = pa.table({"u": values})
+    merged = cms_frequencies(ray.data.from_arrow(tbl).repartition(5), "u",
+                             d=4, w=256)
+    np.testing.assert_array_equal(merged.counts, one.counts)
+    assert merged.query("a") == one.query("a")

@@ -418,6 +418,17 @@ def q_sample_docs(sf_dir: str, k: int = 50):
     )
 
 
+def q_cms_users(sf_dir: str, d: int = 4, w: int = 1024):
+    """Count-Min frequency sketch over events.user_id: per-batch counter
+    partials sum-merge on the driver (d*w*8 B per batch); nonzero counters
+    as integer rows, recomputed exactly by the SQL twin."""
+    from ..stages.sketch import cms_frequencies, cms_table
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+    cms = cms_frequencies(ds, "user_id", d=d, w=w)
+    return pa.Table.from_pandas(cms_table(cms), preserve_index=False)
+
+
 def q_hll_users(sf_dir: str, b: int = 12):
     """HyperLogLog distinct-user sketch over events: per-batch register
     arrays (4 KiB each), driver max-merge, nonzero registers as integer

@@ -1,4 +1,4 @@
-"""Distributed cardinality sketch: HyperLogLog.
+"""Distributed sketches: HyperLogLog (cardinality) and Count-Min (frequency).
 
 The reference counts distinct values exactly inside its time-series
 aggregation (``pkg/database/time_series_aggregation.go`` keeps a per-bucket
@@ -119,4 +119,81 @@ def hll_register_table(hll: HyperLogLog) -> pd.DataFrame:
     return pd.DataFrame(
         {"bucket": j.astype(np.int64),
          "register": hll.registers[j].astype(np.int64)}
+    )
+
+
+class CountMinSketch:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005): d rows ×
+    w buckets of counters; add = increment h_r(v) in each row; point query
+    = min over rows. Mergeable by element-wise SUM, so per-batch partials
+    combine exactly — like the HLL above, counters are a pure function of
+    the multiset and the q_cms_users oracle recomputes them in SQL."""
+
+    def __init__(self, d: int = 4, w: int = 1024):
+        self.d = d
+        self.w = w
+        self.counts = np.zeros((d, w), dtype=np.int64)
+
+    def _buckets(self, values) -> np.ndarray:
+        """(d, n) bucket ids: md5-high-64 of 'r|value' mod w — the seeded
+        per-row hash family the SQL twin mirrors."""
+        out = np.empty((self.d, len(values)), dtype=np.int64)
+        for r in range(self.d):
+            for i, v in enumerate(values):
+                h = int.from_bytes(
+                    hashlib.md5(f"{r}|{v}".encode("utf-8")).digest()[:8], "big"
+                )
+                out[r, i] = h % self.w
+        return out
+
+    def add_values(self, values) -> None:
+        b = self._buckets(values)
+        for r in range(self.d):
+            np.add.at(self.counts[r], b[r], 1)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.d, self.w) == (other.d, other.w)
+        self.counts += other.counts
+        return self
+
+    def query(self, value) -> int:
+        b = self._buckets([value])[:, 0]
+        return int(min(self.counts[r, b[r]] for r in range(self.d)))
+
+
+class CMSBatchStage:
+    """map_batches stage: N rows → ONE flattened counter row (d*w int64)."""
+
+    def __init__(self, column: str, d: int = 4, w: int = 1024):
+        self.column = column
+        self.d = d
+        self.w = w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch(self.d, self.w)
+        cms.add_values(batch[self.column].to_pylist())
+        return pa.table(
+            {"counts": pa.array([cms.counts.reshape(-1).tolist()],
+                                pa.list_(pa.int64(), self.d * self.w))}
+        )
+
+
+def cms_frequencies(ds, column: str, d: int = 4, w: int = 1024) -> CountMinSketch:
+    """Dataset → merged CMS. Only counter rows (d*w*8 B each) move."""
+    rows = ds.map_batches(
+        CMSBatchStage, fn_constructor_args=(column, d, w),
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    out = CountMinSketch(d, w)
+    for c in rows["counts"]:
+        out.counts += np.asarray(c, dtype=np.int64).reshape(d, w)
+    return out
+
+
+def cms_table(cms: CountMinSketch) -> pd.DataFrame:
+    """Nonzero counters as (row, bucket, cnt) — the SQL-recomputable shape."""
+    r, b = np.nonzero(cms.counts)
+    return pd.DataFrame(
+        {"row": r.astype(np.int64), "bucket": b.astype(np.int64),
+         "cnt": cms.counts[r, b]}
     )
