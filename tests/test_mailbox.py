@@ -53,12 +53,14 @@ def test_read_mail_dispatch():
 
 class _FixtureImapServer:
     """Minimal in-process IMAP4 server: greeting, LOGIN, SELECT, UID SEARCH,
-    UID FETCH (RFC822 literal), LOGOUT. Messages are (uid, rfc822-bytes)."""
+    UID FETCH (RFC822 literal), LOGOUT. Messages are (uid, rfc822-bytes).
+    ``ssl_ctx`` wraps accepted connections (the IMAPS form)."""
 
-    def __init__(self, messages):
+    def __init__(self, messages, ssl_ctx=None):
         import socket
         import threading
 
+        self.ssl_ctx = ssl_ctx
         self.messages = dict(messages)  # uid -> bytes
         self.sock = socket.socket()
         self.sock.bind(("127.0.0.1", 0))
@@ -75,6 +77,8 @@ class _FixtureImapServer:
             except OSError:
                 return
             try:
+                if self.ssl_ctx is not None:
+                    conn = self.ssl_ctx.wrap_socket(conn, server_side=True)
                 self._session(conn)
             except (OSError, ValueError):
                 pass
@@ -197,10 +201,11 @@ def test_read_mail_imap_scheme():
 class _FixturePop3Server:
     """Minimal POP3 server: USER/PASS/STAT/RETR/QUIT over a local socket."""
 
-    def __init__(self, messages):
+    def __init__(self, messages, ssl_ctx=None):
         import socket
         import threading
 
+        self.ssl_ctx = ssl_ctx
         self.messages = list(messages)  # ordinal order, bytes
         self.sock = socket.socket()
         self.sock.bind(("127.0.0.1", 0))
@@ -216,6 +221,8 @@ class _FixturePop3Server:
             except OSError:
                 return
             try:
+                if self.ssl_ctx is not None:
+                    conn = self.ssl_ctx.wrap_socket(conn, server_side=True)
                 self._session(conn)
             except (OSError, ValueError):
                 pass
@@ -450,3 +457,83 @@ def test_read_mail_gmail_scheme_points_at_fetchers():
 
     with pytest.raises(NotImplementedError, match="token_provider"):
         read_mail("gmail://me/INBOX")
+
+
+# ---------------------------------------------------------------------------
+# TLS variants (imaps / pop3s): self-signed cert, ssl-wrapped fixtures
+# ---------------------------------------------------------------------------
+
+
+def _tls_contexts(tmp_path):
+    """Self-signed localhost cert → (server ctx, pinned client ctx)."""
+    import datetime
+    import ssl
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime(2026, 1, 1)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=3650))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1"))]),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_pem = tmp_path / "cert.pem"
+    key_pem = tmp_path / "key.pem"
+    cert_pem.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_pem.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption()))
+    server = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server.load_cert_chain(str(cert_pem), str(key_pem))
+    client = ssl.create_default_context(cafile=str(cert_pem))
+    return server, client
+
+
+def test_imaps_fetch_over_tls(tmp_path):
+    from thecrowler_ray.sources.mailbox import imap_fetch_documents
+
+    server_ctx, client_ctx = _tls_contexts(tmp_path)
+    srv = _FixtureImapServer(
+        {1: _rfc822("secure one", "tls body"), 2: _rfc822("secure two", "more")},
+        ssl_ctx=server_ctx,
+    )
+    try:
+        t, last = imap_fetch_documents(
+            "127.0.0.1", srv.port, "u", "p", "INBOX",
+            last_uid=0, tls=True, ssl_context=client_ctx,
+        )
+        assert list(t.to_pandas().title) == ["secure one", "secure two"]
+        assert last == 2
+    finally:
+        srv.close()
+
+
+def test_pop3s_fetch_over_tls(tmp_path):
+    from thecrowler_ray.sources.mailbox import pop3_fetch_documents
+
+    server_ctx, client_ctx = _tls_contexts(tmp_path)
+    srv = _FixturePop3Server(
+        [_rfc822("s-one", "b1"), _rfc822("s-two", "b2")], ssl_ctx=server_ctx
+    )
+    try:
+        t, last = pop3_fetch_documents(
+            "127.0.0.1", srv.port, "u", "p",
+            last_index=0, tls=True, ssl_context=client_ctx,
+        )
+        assert list(t.to_pandas().title) == ["s-one", "s-two"]
+        assert last == 2
+    finally:
+        srv.close()

@@ -120,6 +120,8 @@ def imap_fetch_documents(
     password: str,
     mailbox: str = "INBOX",
     last_uid: int = 0,
+    tls: bool = False,
+    ssl_context=None,
 ) -> tuple[pa.Table, int]:
     """Incremental IMAP fetch (reference ``pkg/mail/connector_imap.go``):
     LOGIN → SELECT → ``UID SEARCH UID last+1:*`` → ``UID FETCH (RFC822)``
@@ -129,12 +131,17 @@ def imap_fetch_documents(
     per-mailbox checkpoint is the highest UID ingested, mirroring the
     reference's mailbox-offset state tables
     (``postgresql-setup.pgsql:310,348``). IMAP returns the last message for
-    ``N:*`` even when its UID < N, so UIDs are re-filtered client-side."""
+    ``N:*`` even when its UID < N, so UIDs are re-filtered client-side.
+    ``tls=True`` speaks IMAPS (IMAP4_SSL; pass ``ssl_context`` to pin a
+    test CA — the reference's imaps scheme)."""
     import imaplib
 
     rows = {n: [] for n in MAIL_SCHEMA.names}
     new_last = last_uid
-    conn = imaplib.IMAP4(host, port)
+    if tls:
+        conn = imaplib.IMAP4_SSL(host, port, ssl_context=ssl_context)
+    else:
+        conn = imaplib.IMAP4(host, port)
     try:
         conn.login(user, password)
         typ, _ = conn.select(mailbox)
@@ -174,6 +181,8 @@ def pop3_fetch_documents(
     user: str,
     password: str,
     last_index: int = 0,
+    tls: bool = False,
+    ssl_context=None,
 ) -> tuple[pa.Table, int]:
     """Incremental POP3 fetch (reference ``pkg/mail/connector_pop3.go``):
     USER/PASS → STAT → RETR each message past the checkpoint → document
@@ -182,11 +191,15 @@ def pop3_fetch_documents(
     POP3 has no stable UIDs across sessions in the base protocol, so the
     checkpoint is the message ORDINAL (the reference's pop3 connector keeps
     the same per-mailbox offset); it is only stable on servers that do not
-    delete/renumber between sessions — UIDL support is the upgrade path."""
+    delete/renumber between sessions — UIDL support is the upgrade path.
+    ``tls=True`` speaks POP3S (POP3_SSL with optional pinned context)."""
     import poplib
 
     rows = {n: [] for n in MAIL_SCHEMA.names}
-    conn = poplib.POP3(host, port)
+    if tls:
+        conn = poplib.POP3_SSL(host, port, context=ssl_context)
+    else:
+        conn = poplib.POP3(host, port)
     new_last = last_index
     try:
         conn.user(user)
@@ -356,21 +369,24 @@ def read_mail(source_url: str, content: str | None = None, start_index: int = 0,
             with open("/" + mailbox, encoding="utf-8") as f:
                 content = f.read()
         return ray.data.from_arrow(parse_mbox(content, mailbox, start_index))
-    if scheme == "imap":
+    if scheme in ("imap", "imaps"):
+        tls = scheme == "imaps"
         rest = source_url.split("://", 1)[1]
         endpoint, _, mailbox = rest.partition("/")
         host, _, port = endpoint.partition(":")
         table, _ = imap_fetch_documents(
-            host, int(port or 143), user, password,
-            mailbox or "INBOX", last_uid=start_index,
+            host, int(port or (993 if tls else 143)), user, password,
+            mailbox or "INBOX", last_uid=start_index, tls=tls,
         )
         return ray.data.from_arrow(table)
-    if scheme == "pop3":
+    if scheme in ("pop3", "pop3s"):
+        tls = scheme == "pop3s"
         rest = source_url.split("://", 1)[1]
         endpoint = rest.split("/", 1)[0]
         host, _, port = endpoint.partition(":")
         table, _ = pop3_fetch_documents(
-            host, int(port or 110), user, password, last_index=start_index
+            host, int(port or (995 if tls else 110)), user, password,
+            last_index=start_index, tls=tls,
         )
         return ray.data.from_arrow(table)
     if scheme in ("gmail", "graph-mail"):
@@ -381,9 +397,9 @@ def read_mail(source_url: str, content: str | None = None, start_index: int = 0,
             "needs a live account (connector_gmail.go:163, "
             "connector_graph.go:116-137)"
         )
-    if scheme in ("imaps", "pop3s", "email"):
+    if scheme == "email":
         raise NotImplementedError(
-            f"{scheme} connector requires live mail credentials/TLS/network "
-            "(reference pkg/mail/connector_*.go); out of v0 sandbox scope"
+            "the 'email' meta-scheme needs per-account routing config "
+            "(reference pkg/mail/pipeline.go); use an explicit scheme"
         )
     raise ValueError(f"not a mail source: {source_url}")
