@@ -1,0 +1,871 @@
+"""A deterministic JavaScript-subset interpreter for ruleset plugins.
+
+The reference embeds a full JS VM (otto) for plugin scripts
+(``pkg/plugin/plugins.go``; contract: the VM gets ``params`` set
+(``plugins.go:983``), runs the script, and the result is the conventional
+``var result = …`` export, else the script's final expression value
+(``plugins.go:2265-2299``)). Shipping a complete VM is out of scope, but a
+large share of real scraping plugins are plain data transforms — so this
+module implements an honest SUBSET interpreter (tokenizer → recursive
+descent parser → tree-walking evaluator) sufficient for those:
+
+  - literals (numbers, strings, booleans, null, arrays, objects)
+  - var/let/const, assignment (+=, -=, *=, /=), ++/--
+  - if/else, while, for(;;), blocks, return
+  - function declarations + function expressions (closures)
+  - operators: + - * / % comparisons && || ! ?: (===/!== and ==/!= are both
+    STRICT — the one documented semantic deviation)
+  - Math.*, JSON.parse/stringify, String(), Number(), parseInt/parseFloat,
+    Object.keys, Array.isArray
+  - string methods (toLowerCase/toUpperCase/trim/split/indexOf/includes/
+    slice/substring/replace/startsWith/endsWith/charAt/repeat), array
+    methods (push/pop/join/indexOf/includes/slice/concat/map/filter/
+    reverse), .length
+
+Execution is bounded (``max_ops``) and has no I/O, imports, eval,
+prototypes, regex, or host access — scripts are pure functions of
+``params``, which is exactly what the data plane needs. Anything outside
+the subset raises ``MiniJsError`` at parse time, so unsupported plugins
+fail loudly rather than mis-run.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+
+class MiniJsError(Exception):
+    pass
+
+
+class _Undefined:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "undefined"
+
+
+UNDEFINED = _Undefined()
+
+_PUNCT = [
+    "===", "!==", "&&", "||", "==", "!=", "<=", ">=", "+=", "-=", "*=",
+    "/=", "++", "--", "{", "}", "(", ")", "[", "]", ",", ";", ":", "?",
+    ".", "+", "-", "*", "/", "%", "<", ">", "=", "!",
+]
+_KEYWORDS = {
+    "var", "let", "const", "if", "else", "while", "for", "return",
+    "function", "true", "false", "null", "undefined", "typeof",
+}
+
+
+def _tokenize(src: str) -> list[tuple[str, object]]:
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            if j < 0:
+                raise MiniJsError("unterminated comment")
+            i = j + 2
+            continue
+        if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
+            j = i
+            while j < n and (src[j].isdigit() or src[j] == "."):
+                j += 1
+            toks.append(("num", float(src[i:j])))
+            i = j
+            continue
+        if c in "'\"":
+            j = i + 1
+            out = []
+            while j < n and src[j] != c:
+                if src[j] == "\\" and j + 1 < n:
+                    esc = src[j + 1]
+                    out.append({"n": "\n", "t": "\t", "r": "\r"}.get(esc, esc))
+                    j += 2
+                else:
+                    out.append(src[j])
+                    j += 1
+            if j >= n:
+                raise MiniJsError("unterminated string")
+            toks.append(("str", "".join(out)))
+            i = j + 1
+            continue
+        if c.isalpha() or c in "_$":
+            j = i
+            while j < n and (src[j].isalnum() or src[j] in "_$"):
+                j += 1
+            word = src[i:j]
+            toks.append(("kw" if word in _KEYWORDS else "id", word))
+            i = j
+            continue
+        for p in _PUNCT:
+            if src.startswith(p, i):
+                toks.append(("punct", p))
+                i += len(p)
+                break
+        else:
+            raise MiniJsError(f"unexpected character {c!r}")
+    toks.append(("eof", None))
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat(self, kind, val=None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise MiniJsError(f"expected {val or kind}, got {t[1]!r}")
+        return t
+
+    def at(self, kind, val=None):
+        t = self.peek()
+        return t[0] == kind and (val is None or t[1] == val)
+
+    def skip_semi(self):
+        while self.at("punct", ";"):
+            self.next()
+
+    # -- statements --------------------------------------------------------
+    def program(self):
+        body = []
+        while not self.at("eof"):
+            body.append(self.statement())
+            self.skip_semi()
+        return ("block", body)
+
+    def statement(self):
+        if self.at("punct", "{"):
+            self.next()
+            body = []
+            while not self.at("punct", "}"):
+                body.append(self.statement())
+                self.skip_semi()
+            self.eat("punct", "}")
+            return ("block", body)
+        if self.at("kw", "var") or self.at("kw", "let") or self.at("kw", "const"):
+            self.next()
+            decls = []
+            while True:
+                name = self.eat("id")[1]
+                init = ("lit", UNDEFINED)
+                if self.at("punct", "="):
+                    self.next()
+                    init = self.expr()
+                decls.append((name, init))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            return ("decl", decls)
+        if self.at("kw", "if"):
+            self.next()
+            self.eat("punct", "(")
+            cond = self.expr()
+            self.eat("punct", ")")
+            then = self.statement()
+            other = None
+            self.skip_semi()
+            if self.at("kw", "else"):
+                self.next()
+                other = self.statement()
+            return ("if", cond, then, other)
+        if self.at("kw", "while"):
+            self.next()
+            self.eat("punct", "(")
+            cond = self.expr()
+            self.eat("punct", ")")
+            return ("while", cond, self.statement())
+        if self.at("kw", "for"):
+            self.next()
+            self.eat("punct", "(")
+            init = None
+            if not self.at("punct", ";"):
+                init = self.statement()
+            self.eat("punct", ";")
+            cond = None if self.at("punct", ";") else self.expr()
+            self.eat("punct", ";")
+            upd = None if self.at("punct", ")") else self.expr()
+            self.eat("punct", ")")
+            return ("for", init, cond, upd, self.statement())
+        if self.at("kw", "return"):
+            self.next()
+            if self.at("punct", ";") or self.at("punct", "}") or self.at("eof"):
+                return ("return", ("lit", UNDEFINED))
+            return ("return", self.expr())
+        if self.at("kw", "function"):
+            self.next()
+            name = self.eat("id")[1]
+            fn = self.function_rest()
+            return ("decl", [(name, fn)])
+        return ("expr", self.expr())
+
+    def function_rest(self):
+        self.eat("punct", "(")
+        names = []
+        while not self.at("punct", ")"):
+            names.append(self.eat("id")[1])
+            if self.at("punct", ","):
+                self.next()
+        self.eat("punct", ")")
+        self.eat("punct", "{")
+        body = []
+        while not self.at("punct", "}"):
+            body.append(self.statement())
+            self.skip_semi()
+        self.eat("punct", "}")
+        return ("func", names, ("block", body))
+
+    # -- expressions (precedence climbing) ---------------------------------
+    def expr(self):
+        return self.assignment()
+
+    def assignment(self):
+        left = self.ternary()
+        if self.at("punct", "=") or any(
+            self.at("punct", op) for op in ("+=", "-=", "*=", "/=")
+        ):
+            op = self.next()[1]
+            right = self.assignment()
+            if left[0] not in ("name", "member", "index"):
+                raise MiniJsError("invalid assignment target")
+            return ("assign", op, left, right)
+        return left
+
+    def ternary(self):
+        cond = self.logic_or()
+        if self.at("punct", "?"):
+            self.next()
+            a = self.assignment()
+            self.eat("punct", ":")
+            b = self.assignment()
+            return ("ternary", cond, a, b)
+        return cond
+
+    def _binary(self, sub, ops):
+        node = sub()
+        while any(self.at("punct", o) for o in ops):
+            op = self.next()[1]
+            node = ("bin", op, node, sub())
+        return node
+
+    def logic_or(self):
+        return self._binary(self.logic_and, ("||",))
+
+    def logic_and(self):
+        return self._binary(self.equality, ("&&",))
+
+    def equality(self):
+        return self._binary(self.relational, ("===", "!==", "==", "!="))
+
+    def relational(self):
+        return self._binary(self.additive, ("<", "<=", ">", ">="))
+
+    def additive(self):
+        return self._binary(self.multiplicative, ("+", "-"))
+
+    def multiplicative(self):
+        return self._binary(self.unary, ("*", "/", "%"))
+
+    def unary(self):
+        if self.at("punct", "!"):
+            self.next()
+            return ("not", self.unary())
+        if self.at("punct", "-"):
+            self.next()
+            return ("neg", self.unary())
+        if self.at("punct", "+"):
+            self.next()
+            return ("pos", self.unary())
+        if self.at("kw", "typeof"):
+            self.next()
+            return ("typeof", self.unary())
+        return self.postfix()
+
+    def postfix(self):
+        node = self.primary()
+        while True:
+            if self.at("punct", "."):
+                self.next()
+                t = self.next()
+                if t[0] not in ("id", "kw"):
+                    raise MiniJsError("bad member name")
+                node = ("member", node, t[1])
+            elif self.at("punct", "["):
+                self.next()
+                idx = self.expr()
+                self.eat("punct", "]")
+                node = ("index", node, idx)
+            elif self.at("punct", "("):
+                self.next()
+                args = []
+                while not self.at("punct", ")"):
+                    args.append(self.assignment())
+                    if self.at("punct", ","):
+                        self.next()
+                self.eat("punct", ")")
+                node = ("call", node, args)
+            elif self.at("punct", "++") or self.at("punct", "--"):
+                op = self.next()[1]
+                node = ("postincr", op, node)
+            else:
+                return node
+
+    def primary(self):
+        t = self.peek()
+        if t[0] == "num" or t[0] == "str":
+            self.next()
+            return ("lit", t[1])
+        if t[0] == "kw":
+            if t[1] in ("true", "false"):
+                self.next()
+                return ("lit", t[1] == "true")
+            if t[1] == "null":
+                self.next()
+                return ("lit", None)
+            if t[1] == "undefined":
+                self.next()
+                return ("lit", UNDEFINED)
+            if t[1] == "function":
+                self.next()
+                return self.function_rest()
+        if t[0] == "id":
+            self.next()
+            return ("name", t[1])
+        if self.at("punct", "("):
+            self.next()
+            e = self.expr()
+            self.eat("punct", ")")
+            return e
+        if self.at("punct", "["):
+            self.next()
+            items = []
+            while not self.at("punct", "]"):
+                items.append(self.assignment())
+                if self.at("punct", ","):
+                    self.next()
+            self.eat("punct", "]")
+            return ("array", items)
+        if self.at("punct", "{"):
+            self.next()
+            pairs = []
+            while not self.at("punct", "}"):
+                k = self.next()
+                if k[0] not in ("id", "str", "kw", "num"):
+                    raise MiniJsError("bad object key")
+                key = str(int(k[1])) if k[0] == "num" and float(k[1]).is_integer() \
+                    else str(k[1])
+                self.eat("punct", ":")
+                pairs.append((key, self.assignment()))
+                if self.at("punct", ","):
+                    self.next()
+            self.eat("punct", "}")
+            return ("object", pairs)
+        raise MiniJsError(f"unexpected token {t[1]!r}")
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Function:
+    def __init__(self, params, body, env):
+        self.params = params
+        self.body = body
+        self.env = env
+
+
+def _truthy(v) -> bool:
+    if v is UNDEFINED or v is None or v is False:
+        return False
+    if isinstance(v, float):
+        return v != 0.0
+    if isinstance(v, str):
+        return v != ""
+    return True
+
+
+def _num(v) -> float:
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, float):
+        return v
+    if isinstance(v, str):
+        try:
+            return float(v) if v.strip() else 0.0
+        except ValueError:
+            return math.nan
+    if v is None:
+        return 0.0
+    return math.nan
+
+
+def _to_str(v) -> str:
+    if v is UNDEFINED:
+        return "undefined"
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() and abs(v) < 1e15 else repr(v)
+    if isinstance(v, str):
+        return v
+    return _json_stringify(v)
+
+
+def _json_ready(v):
+    if v is UNDEFINED:
+        return None
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+        return int(v)
+    if isinstance(v, list):
+        return [_json_ready(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_ready(x) for k, x in v.items() if x is not UNDEFINED}
+    return v
+
+
+def _json_stringify(v) -> str:
+    return json.dumps(_json_ready(v), separators=(",", ":"), sort_keys=False)
+
+
+def _json_parse(s):
+    def conv(x):
+        if isinstance(x, bool) or x is None or isinstance(x, str):
+            return x
+        if isinstance(x, (int, float)):
+            return float(x)
+        if isinstance(x, list):
+            return [conv(i) for i in x]
+        if isinstance(x, dict):
+            return {k: conv(val) for k, val in x.items()}
+        return x
+
+    return conv(json.loads(s))
+
+
+class Interpreter:
+    def __init__(self, max_ops: int = 500_000):
+        self.max_ops = max_ops
+        self.ops = 0
+
+    def run(self, src: str, params: dict | None = None):
+        """Execute a script. → the ``result`` global if set (non-null),
+        else the last expression-statement value (the reference's export
+        convention, plugins.go:2265-2299)."""
+        ast = _Parser(_tokenize(src)).program()
+        env = {"params": _json_parse(json.dumps(params or {}))}
+        self.ops = 0
+        last = UNDEFINED
+        for stmt in ast[1]:
+            last = self.exec_stmt(stmt, env)
+        result = env.get("result", UNDEFINED)
+        if result is not UNDEFINED and result is not None:
+            return _json_ready(result)
+        return _json_ready(last)
+
+    def _tick(self):
+        self.ops += 1
+        if self.ops > self.max_ops:
+            raise MiniJsError("script exceeded op budget")
+
+    # -- statements --------------------------------------------------------
+    def exec_stmt(self, node, env):
+        self._tick()
+        kind = node[0]
+        if kind == "block":
+            last = UNDEFINED
+            for s in node[1]:
+                last = self.exec_stmt(s, env)
+            return last
+        if kind == "decl":
+            for name, init in node[1]:
+                env[name] = self.eval(init, env)
+            return UNDEFINED
+        if kind == "if":
+            if _truthy(self.eval(node[1], env)):
+                return self.exec_stmt(node[2], env)
+            if node[3] is not None:
+                return self.exec_stmt(node[3], env)
+            return UNDEFINED
+        if kind == "while":
+            while _truthy(self.eval(node[1], env)):
+                self._tick()
+                self.exec_stmt(node[2], env)
+            return UNDEFINED
+        if kind == "for":
+            if node[1] is not None:
+                self.exec_stmt(node[1], env)
+            while node[2] is None or _truthy(self.eval(node[2], env)):
+                self._tick()
+                self.exec_stmt(node[4], env)
+                if node[3] is not None:
+                    self.eval(node[3], env)
+            return UNDEFINED
+        if kind == "return":
+            raise _Return(self.eval(node[1], env))
+        if kind == "expr":
+            return self.eval(node[1], env)
+        raise MiniJsError(f"bad statement {kind}")
+
+    # -- expressions -------------------------------------------------------
+    def eval(self, node, env):
+        self._tick()
+        kind = node[0]
+        if kind == "lit":
+            return node[1]
+        if kind == "name":
+            name = node[1]
+            e = env
+            while e is not None:
+                if name in e:
+                    return e[name]
+                e = e.get("__parent__")
+            builtin = _GLOBALS.get(name, UNDEFINED)
+            if builtin is UNDEFINED and name not in _GLOBALS:
+                raise MiniJsError(f"undefined variable {name!r}")
+            return builtin
+        if kind == "array":
+            return [self.eval(x, env) for x in node[1]]
+        if kind == "object":
+            return {k: self.eval(v, env) for k, v in node[1]}
+        if kind == "func":
+            return _Function(node[1], node[2], env)
+        if kind == "not":
+            return not _truthy(self.eval(node[1], env))
+        if kind == "neg":
+            return -_num(self.eval(node[1], env))
+        if kind == "pos":
+            return _num(self.eval(node[1], env))
+        if kind == "typeof":
+            v = self.eval(node[1], env)
+            if v is UNDEFINED:
+                return "undefined"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, float):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, _Function) or callable(v):
+                return "function"
+            return "object"
+        if kind == "ternary":
+            return (self.eval(node[2], env) if _truthy(self.eval(node[1], env))
+                    else self.eval(node[3], env))
+        if kind == "bin":
+            return self._binop(node[1], node[2], node[3], env)
+        if kind == "member":
+            return self._member(self.eval(node[1], env), node[2])
+        if kind == "index":
+            obj = self.eval(node[1], env)
+            idx = self.eval(node[2], env)
+            if isinstance(obj, list):
+                i = int(_num(idx))
+                return obj[i] if 0 <= i < len(obj) else UNDEFINED
+            if isinstance(obj, dict):
+                return obj.get(_to_str(idx), UNDEFINED)
+            if isinstance(obj, str):
+                i = int(_num(idx))
+                return obj[i] if 0 <= i < len(obj) else UNDEFINED
+            raise MiniJsError("cannot index this value")
+        if kind == "call":
+            return self._call(node, env)
+        if kind == "assign":
+            return self._assign(node, env)
+        if kind == "postincr":
+            op, target = node[1], node[2]
+            old = _num(self.eval(target, env))
+            new = old + 1 if op == "++" else old - 1
+            self._store(target, new, env)
+            return old
+        raise MiniJsError(f"bad expression {kind}")
+
+    def _binop(self, op, ln, rn, env):
+        if op == "&&":
+            left = self.eval(ln, env)
+            return self.eval(rn, env) if _truthy(left) else left
+        if op == "||":
+            left = self.eval(ln, env)
+            return left if _truthy(left) else self.eval(rn, env)
+        a = self.eval(ln, env)
+        b = self.eval(rn, env)
+        if op == "+":
+            if isinstance(a, str) or isinstance(b, str):
+                return _to_str(a) + _to_str(b)
+            if isinstance(a, list) or isinstance(b, list):
+                return _to_str(a) + _to_str(b)
+            return _num(a) + _num(b)
+        if op == "-":
+            return _num(a) - _num(b)
+        if op == "*":
+            return _num(a) * _num(b)
+        if op == "/":
+            d = _num(b)
+            return math.inf if d == 0 and _num(a) > 0 else (
+                -math.inf if d == 0 and _num(a) < 0 else (
+                    math.nan if d == 0 else _num(a) / d))
+        if op == "%":
+            d = _num(b)
+            return math.nan if d == 0 else math.fmod(_num(a), d)
+        if op in ("==", "==="):
+            return self._strict_eq(a, b)
+        if op in ("!=", "!=="):
+            return not self._strict_eq(a, b)
+        if op in ("<", "<=", ">", ">="):
+            if isinstance(a, str) and isinstance(b, str):
+                pass
+            else:
+                a, b = _num(a), _num(b)
+            return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+        raise MiniJsError(f"bad operator {op}")
+
+    @staticmethod
+    def _strict_eq(a, b):
+        if isinstance(a, bool) != isinstance(b, bool):
+            return False
+        if type(a) is type(b) or (isinstance(a, float) and isinstance(b, float)):
+            return a == b
+        if a is None and b is None:
+            return True
+        return a is b
+
+    def _member(self, obj, name):
+        if name == "length":
+            if isinstance(obj, (str, list)):
+                return float(len(obj))
+        if isinstance(obj, dict):
+            return obj.get(name, UNDEFINED)
+        method = _METHODS.get((type(obj).__name__, name))
+        if method is not None:
+            return _Bound(method, obj)
+        if obj is UNDEFINED or obj is None:
+            raise MiniJsError(f"cannot read property {name!r} of {_to_str(obj)}")
+        raise MiniJsError(f"unsupported property {name!r}")
+
+    def _call(self, node, env):
+        callee_node = node[1]
+        args = [self.eval(a, env) for a in node[2]]
+        fn = self.eval(callee_node, env)
+        return self._invoke(fn, args)
+
+    def _invoke(self, fn, args):
+        self._tick()
+        if isinstance(fn, _Bound):
+            return fn.method(self, fn.obj, args)
+        if isinstance(fn, _Function):
+            local = {"__parent__": fn.env}
+            for i, p in enumerate(fn.params):
+                local[p] = args[i] if i < len(args) else UNDEFINED
+            try:
+                self.exec_stmt(fn.body, local)
+            except _Return as r:
+                return r.value
+            return UNDEFINED
+        if callable(fn):
+            return fn(self, args)
+        raise MiniJsError("value is not callable")
+
+    def _assign(self, node, env):
+        op, target, right = node[1], node[2], node[3]
+        value = self.eval(right, env)
+        if op != "=":
+            old = self.eval(target, env)
+            base = op[0]
+            if base == "+" and (isinstance(old, str) or isinstance(value, str)):
+                value = _to_str(old) + _to_str(value)
+            else:
+                value = {"+": lambda: _num(old) + _num(value),
+                         "-": lambda: _num(old) - _num(value),
+                         "*": lambda: _num(old) * _num(value),
+                         "/": lambda: _num(old) / _num(value)}[base]()
+        self._store(target, value, env)
+        return value
+
+    def _store(self, target, value, env):
+        if target[0] == "name":
+            name = target[1]
+            e = env
+            while e is not None:
+                if name in e:
+                    e[name] = value
+                    return
+                e = e.get("__parent__")
+            env[name] = value  # implicit global (JS semantics)
+            return
+        if target[0] == "member":
+            obj = self.eval(target[1], env)
+            if not isinstance(obj, dict):
+                raise MiniJsError("cannot set property on non-object")
+            obj[target[2]] = value
+            return
+        if target[0] == "index":
+            obj = self.eval(target[1], env)
+            idx = self.eval(target[2], env)
+            if isinstance(obj, list):
+                i = int(_num(idx))
+                while len(obj) <= i:
+                    obj.append(UNDEFINED)
+                obj[i] = value
+                return
+            if isinstance(obj, dict):
+                obj[_to_str(idx)] = value
+                return
+            raise MiniJsError("cannot index-assign this value")
+        raise MiniJsError("bad assignment target")
+
+
+class _Bound:
+    def __init__(self, method, obj):
+        self.method = method
+        self.obj = obj
+
+
+def _m(fn):
+    return fn
+
+
+_METHODS = {
+    # strings
+    ("str", "toLowerCase"): _m(lambda it, s, a: s.lower()),
+    ("str", "toUpperCase"): _m(lambda it, s, a: s.upper()),
+    ("str", "trim"): _m(lambda it, s, a: s.strip()),
+    ("str", "split"): _m(lambda it, s, a: list(s.split(a[0])) if a and a[0] != ""
+                         else ([c for c in s] if a else [s])),
+    ("str", "indexOf"): _m(lambda it, s, a: float(s.find(_to_str(a[0])))),
+    ("str", "includes"): _m(lambda it, s, a: _to_str(a[0]) in s),
+    ("str", "slice"): _m(lambda it, s, a: _slice(s, a)),
+    ("str", "substring"): _m(lambda it, s, a: _substring(s, a)),
+    ("str", "replace"): _m(lambda it, s, a: s.replace(_to_str(a[0]),
+                                                      _to_str(a[1]), 1)),
+    ("str", "startsWith"): _m(lambda it, s, a: s.startswith(_to_str(a[0]))),
+    ("str", "endsWith"): _m(lambda it, s, a: s.endswith(_to_str(a[0]))),
+    ("str", "charAt"): _m(lambda it, s, a: s[int(_num(a[0]))]
+                          if 0 <= int(_num(a[0])) < len(s) else ""),
+    ("str", "repeat"): _m(lambda it, s, a: s * int(_num(a[0]))),
+    ("str", "concat"): _m(lambda it, s, a: s + "".join(_to_str(x) for x in a)),
+    # arrays
+    ("list", "push"): _m(lambda it, l, a: (l.extend(a), float(len(l)))[1]),
+    ("list", "pop"): _m(lambda it, l, a: l.pop() if l else UNDEFINED),
+    ("list", "join"): _m(lambda it, l, a: (_to_str(a[0]) if a else ",").join(
+        _to_str(x) for x in l)),
+    ("list", "indexOf"): _m(lambda it, l, a: float(l.index(a[0]))
+                            if a[0] in l else -1.0),
+    ("list", "includes"): _m(lambda it, l, a: a[0] in l),
+    ("list", "slice"): _m(lambda it, l, a: _slice(l, a)),
+    ("list", "concat"): _m(lambda it, l, a: l + [x for arg in a for x in
+                                                 (arg if isinstance(arg, list)
+                                                  else [arg])]),
+    ("list", "reverse"): _m(lambda it, l, a: (l.reverse(), l)[1]),
+    ("list", "map"): _m(lambda it, l, a: [it._invoke(a[0], [x, float(i)])
+                                          for i, x in enumerate(l)]),
+    ("list", "filter"): _m(lambda it, l, a: [x for i, x in enumerate(l)
+                                             if _truthy(it._invoke(a[0],
+                                                        [x, float(i)]))]),
+}
+
+
+def _slice(s, a):
+    start = int(_num(a[0])) if a else 0
+    end = int(_num(a[1])) if len(a) > 1 else len(s)
+    return s[slice(start if start >= 0 else max(0, len(s) + start),
+                   end if end >= 0 else max(0, len(s) + end))]
+
+
+def _substring(s, a):
+    start = max(0, int(_num(a[0]))) if a else 0
+    end = max(0, int(_num(a[1]))) if len(a) > 1 else len(s)
+    if start > end:
+        start, end = end, start
+    return s[start:end]
+
+
+_GLOBALS = {
+    "Math": {
+        "floor": lambda it, a: float(math.floor(_num(a[0]))),
+        "ceil": lambda it, a: float(math.ceil(_num(a[0]))),
+        "round": lambda it, a: float(math.floor(_num(a[0]) + 0.5)),
+        "abs": lambda it, a: abs(_num(a[0])),
+        "max": lambda it, a: max(_num(x) for x in a),
+        "min": lambda it, a: min(_num(x) for x in a),
+        "pow": lambda it, a: _num(a[0]) ** _num(a[1]),
+        "sqrt": lambda it, a: math.sqrt(_num(a[0])),
+        "PI": math.pi,
+    },
+    "JSON": {
+        "parse": lambda it, a: _json_parse(_to_str(a[0])),
+        "stringify": lambda it, a: _json_stringify(a[0]),
+    },
+    "Object": {"keys": lambda it, a: list(a[0].keys())
+               if isinstance(a[0], dict) else []},
+    "Array": {"isArray": lambda it, a: isinstance(a[0], list)},
+    "String": lambda it, a: _to_str(a[0]) if a else "",
+    "Number": lambda it, a: _num(a[0]) if a else 0.0,
+    "parseInt": lambda it, a: _parse_int(a),
+    "parseFloat": lambda it, a: _parse_float(a),
+}
+
+
+def _parse_int(a):
+    s = _to_str(a[0]).strip()
+    sign = 1
+    if s[:1] in "+-":
+        sign = -1 if s[0] == "-" else 1
+        s = s[1:]
+    digits = ""
+    for c in s:
+        if c.isdigit():
+            digits += c
+        else:
+            break
+    return float(sign * int(digits)) if digits else math.nan
+
+
+def _parse_float(a):
+    s = _to_str(a[0]).strip()
+    out = ""
+    seen_dot = False
+    for i, c in enumerate(s):
+        if c.isdigit() or (c in "+-" and i == 0):
+            out += c
+        elif c == "." and not seen_dot:
+            out += c
+            seen_dot = True
+        else:
+            break
+    try:
+        return float(out)
+    except ValueError:
+        return math.nan
+
+
+def run_script(src: str, params: dict | None = None, max_ops: int = 500_000):
+    """Public entry: run a plugin script with ``params`` bound."""
+    return Interpreter(max_ops=max_ops).run(src, params)

@@ -49,6 +49,23 @@ class PluginRegistry:
         self._plugins[name] = fn
         return self
 
+    def register_js_plugin(self, name: str, source: str,
+                           max_ops: int = 500_000) -> "PluginRegistry":
+        """Register an actual JS plugin script, executed by the bounded
+        JS-subset interpreter (``thecrowler_ray.minijs``; reference contract
+        ``plugins.go:983,2265-2299``: the script sees ``params`` = ctx and
+        exports via ``var result = …`` or its final expression). Parse
+        errors surface at registration, not at scrape time."""
+        from .minijs import Interpreter, _Parser, _tokenize
+
+        _Parser(_tokenize(source)).program()  # fail fast on bad scripts
+
+        def run(ctx: dict):
+            return Interpreter(max_ops=max_ops).run(source, ctx)
+
+        self._plugins[name] = run
+        return self
+
     def register_agent(self, name: str, fn) -> "PluginRegistry":
         self._agents[name] = fn
         return self
