@@ -123,3 +123,57 @@ def test_real_world_shape_script():
     assert run_script(src, {"raw": " $1,234.50 "}) == {
         "price": 1234.5, "currency": "USD"
     }
+
+
+REF_PLUGINS = "/root/reference/pkg/infoseed/testdata/candidate_plugins"
+REF_LIB = "/root/reference/plugins/lib"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_PLUGINS), reason="reference absent"
+)
+def test_reference_candidate_processor_plugin_runs_verbatim():
+    """Characterization: the reference's own deterministic candidate
+    processor fixture (an engine_plugin JS file) runs UNMODIFIED through
+    minijs and reproduces its documented decisions per host."""
+    src = open(f"{REF_PLUGINS}/deterministic_candidate_processor.js").read()
+
+    out = run_script(src, {"candidate": {"host": "Reject.Example.Test",
+                                         "score": 0.7}})
+    assert out["accepted"] is False
+    assert out["score"] == 0.01
+    assert out["reason"] == "rejected by deterministic fixture"
+
+    out = run_script(src, {"candidate": {"host": "accepted.example.test"}})
+    assert out["accepted"] is True and out["score"] == 0.91
+    assert out["tags"] == ["deterministic-fixture"]
+    assert out["metadata"]["input_host"] == "accepted.example.test"
+    assert "source_overrides" not in out
+
+    out = run_script(src, {"candidate": {"host": "override.example.test"}})
+    assert out["score"] == 0.97
+    assert out["source_overrides"]["priority"] == "critical"
+    assert out["source_overrides"]["source_config"]["crawling_config"][
+        "source_type"] == "website"
+
+    out = run_script(src, {"candidate": {"Host": "other.test", "Score": 0.5}})
+    assert out["accepted"] is True and out["score"] == 0.5
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_LIB), reason="reference absent"
+)
+def test_reference_math_utils_lib_plugin_runs_verbatim():
+    """The reference's math_utils lib_plugin (IIFE + typeof/isNaN +
+    throw new Error) runs unmodified; its exported API works."""
+    src = open(f"{REF_LIB}/math_utils.js").read()
+    probe = src + """
+        var result = [math_utils.add(2, 3),
+                      math_utils.subtract(10, 4),
+                      math_utils.clamp(99, 0, 10),
+                      math_utils.clamp(-5, 0, 10)];
+    """
+    assert run_script(probe) == [5, 6, 10, 0]
+    # its guard clauses throw like the original
+    with pytest.raises(MiniJsError, match="must be numbers"):
+        run_script(src + "\nvar result = math_utils.add('a', 1);")

@@ -60,7 +60,8 @@ _PUNCT = [
 ]
 _KEYWORDS = {
     "var", "let", "const", "if", "else", "while", "for", "return",
-    "function", "true", "false", "null", "undefined", "typeof",
+    "function", "true", "false", "null", "undefined", "typeof", "throw",
+    "new",
 }
 
 
@@ -213,6 +214,9 @@ class _Parser:
             upd = None if self.at("punct", ")") else self.expr()
             self.eat("punct", ")")
             return ("for", init, cond, upd, self.statement())
+        if self.at("kw", "throw"):
+            self.next()
+            return ("throw", self.expr())
         if self.at("kw", "return"):
             self.next()
             if self.at("punct", ";") or self.at("punct", "}") or self.at("eof"):
@@ -305,6 +309,12 @@ class _Parser:
         if self.at("kw", "typeof"):
             self.next()
             return ("typeof", self.unary())
+        if self.at("kw", "new"):
+            self.next()
+            target = self.postfix()
+            if target[0] != "call":
+                raise MiniJsError("new requires a constructor call")
+            return ("new", target[1], target[2])
         return self.postfix()
 
     def postfix(self):
@@ -531,6 +541,11 @@ class Interpreter:
             return UNDEFINED
         if kind == "return":
             raise _Return(self.eval(node[1], env))
+        if kind == "throw":
+            value = self.eval(node[1], env)
+            msg = value.get("message", _to_str(value)) if isinstance(value, dict) \
+                else _to_str(value)
+            raise MiniJsError(f"script threw: {msg}")
         if kind == "expr":
             return self.eval(node[1], env)
         raise MiniJsError(f"bad statement {kind}")
@@ -598,6 +613,14 @@ class Interpreter:
             raise MiniJsError("cannot index this value")
         if kind == "call":
             return self._call(node, env)
+        if kind == "new":
+            ctor = node[1]
+            args = [self.eval(a, env) for a in node[2]]
+            if ctor[0] == "name" and ctor[1] in ("Error", "TypeError",
+                                                 "RangeError"):
+                return {"name": ctor[1],
+                        "message": _to_str(args[0]) if args else ""}
+            raise MiniJsError("only Error constructors are supported")
         if kind == "assign":
             return self._assign(node, env)
         if kind == "postincr":
@@ -830,6 +853,10 @@ _GLOBALS = {
     "Number": lambda it, a: _num(a[0]) if a else 0.0,
     "parseInt": lambda it, a: _parse_int(a),
     "parseFloat": lambda it, a: _parse_float(a),
+    "isNaN": lambda it, a: isinstance(_num(a[0]), float)
+    and math.isnan(_num(a[0])),
+    "NaN": math.nan,
+    "Infinity": math.inf,
 }
 
 
