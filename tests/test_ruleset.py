@@ -168,7 +168,7 @@ def test_plugin_registry_selectors():
     """plugin_call/agent_call selectors resolve through a PluginRegistry by
     name (reference extractExternal contract): values flow into extracted
     data, empty results fall through to the next selector, missing plugins
-    raise, js_path still needs a browser."""
+    raise."""
     from thecrowler_ray.plugins import (
         PluginNotFoundError,
         PluginRegistry,
@@ -270,3 +270,32 @@ rule_groups:
 
     hosts = sorted(json.loads(s)["host"] for s in out.scraped_data)
     assert hosts == ["a.test", "b.test"]
+
+
+def test_js_path_selector_browserless_fallback():
+    """js_path resolves via the reference's browserless normalization
+    (extractor.go:271-299): bare first segment becomes an id selector."""
+    from thecrowler_ray.ruleset import (
+        ScrapingRule,
+        Selector,
+        apply_rule,
+        normalize_js_path,
+    )
+
+    assert normalize_js_path("main > p") == "#main > p"
+    assert normalize_js_path("#main > p") == "#main > p"
+    assert normalize_js_path(".cls > p") == ".cls > p"
+    assert normalize_js_path("div.x > p") == "div.x > p"  # complex first seg
+    assert normalize_js_path("p") == "p"  # no '>'
+
+    html = """<html><body>
+      <div id="main"><p>target text</p></div>
+      <div id="other"><p>decoy</p></div>
+    </body></html>"""
+    rule = ScrapingRule(
+        rule_name="r",
+        elements=[{"key": "val",
+                   "selectors": [Selector("js_path", "main > p")]}],
+    )
+    got = apply_rule(rule, html)
+    assert got == {"val": "target text"}

@@ -199,6 +199,24 @@ def _extract_value(el, selector: Selector, html: str) -> str:
     return value
 
 
+def normalize_js_path(selector: str) -> str:
+    """The reference's js_path → CSS normalization
+    (``extractor.go:285-299``): a Chrome "Copy JS path" selector whose
+    first segment is a bare token becomes an id selector (``"main > p"``
+    → ``"#main > p"``); selectors already starting with #/./[ or with a
+    complex first segment pass through unchanged."""
+    selector = selector.strip()
+    if not selector or selector[0] in "#.[":
+        return selector
+    first, sep, rest = selector.partition(">")
+    if not sep:
+        return selector
+    first = first.strip()
+    if not first or any(c in first for c in " .#:["):
+        return selector
+    return "#" + first + " >" + rest
+
+
 def apply_rule(rule: ScrapingRule, html: str, url: str = "",
                plugins=None) -> dict:
     """Run one scraping rule over a page → {key: value | [values]}.
@@ -212,14 +230,30 @@ def apply_rule(rule: ScrapingRule, html: str, url: str = "",
     for element in rule.elements:
         key = element["key"]
         for sel in element["selectors"]:
-            if sel.selector_type in ("plugin_call", "agent_call", "js_path"):
+            if sel.selector_type == "js_path":
+                # the reference's browserless fallback treats js_path as a
+                # normalized CSS selector (extractor.go:271-273 →
+                # normalizeJSPathSelector:285-299); mirror that here
+                found = select(
+                    root, "css", normalize_js_path(sel.selector), html
+                )
+                values = [
+                    v
+                    for v in (_extract_value(e, sel, html) for e in found)
+                    if v != ""
+                ]
+                if values:
+                    out[key] = values if sel.extract_all else values[0]
+                    break
+                continue
+            if sel.selector_type in ("plugin_call", "agent_call"):
                 from .plugins import UnavailableCapabilityError
 
-                if plugins is None or sel.selector_type == "js_path":
+                if plugins is None:
                     raise UnavailableCapabilityError(
                         f"selector type {sel.selector_type} requires the "
                         "plugin/agent runtime (register handlers in a "
-                        "PluginRegistry; js_path needs a live browser)"
+                        "PluginRegistry)"
                     )
                 ctx = {"url": url, "html": html,
                        "rule_name": rule.rule_name,
