@@ -537,3 +537,55 @@ def test_pop3s_fetch_over_tls(tmp_path):
         assert last == 2
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# Multi-account mail pipeline (pkg/mail/pipeline.go analog)
+# ---------------------------------------------------------------------------
+
+
+def test_mail_pipeline_multi_account_incremental(tmp_path):
+    from thecrowler_ray.sources.mail_pipeline import (
+        MailAccount,
+        MailStateStore,
+        run_mail_pipeline,
+    )
+
+    imap_srv = _FixtureImapServer(
+        {1: _rfc822("imap one", "a"), 2: _rfc822("imap two", "b")}
+    )
+    pop_srv = _FixturePop3Server([_rfc822("pop one", "c")])
+    state_path = str(tmp_path / "mail_state.json")
+    accounts = [
+        MailAccount(name="acct-imap", scheme="imap", host="127.0.0.1",
+                    port=imap_srv.port),
+        MailAccount(name="acct-pop", scheme="pop3", host="127.0.0.1",
+                    port=pop_srv.port),
+        MailAccount(name="acct-mbox", scheme="mbox", content=MBOX,
+                    mailboxes=("team",)),
+        MailAccount(name="acct-dead", scheme="imap", host="127.0.0.1",
+                    port=1, max_retries=0),  # connection refused
+    ]
+    try:
+        state = MailStateStore(state_path)
+        table, s1 = run_mail_pipeline(accounts, state)
+        assert s1.accounts == 4 and s1.mailboxes == 4
+        assert s1.messages_new == 5  # 2 imap + 1 pop + 2 mbox
+        assert len(s1.errors) == 1 and s1.errors[0]["account"] == "acct-dead"
+        df = table.to_pandas()
+        assert sorted(df.account.unique()) == ["acct-imap", "acct-mbox",
+                                               "acct-pop"]
+
+        # second pass from a FRESH store instance (state survives disk)
+        state2 = MailStateStore(state_path)
+        t2, s2 = run_mail_pipeline(accounts[:3], state2)
+        assert s2.messages_new == 0 and t2.num_rows == 0
+
+        # a new imap message arrives → only it is fetched
+        imap_srv.messages[3] = _rfc822("imap three", "d")
+        t3, s3 = run_mail_pipeline(accounts[:3], MailStateStore(state_path))
+        assert s3.messages_new == 1
+        assert t3.to_pandas().title.tolist() == ["imap three"]
+    finally:
+        imap_srv.close()
+        pop_srv.close()
