@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users": q.q_hll_users,
         "q_cms_users": q.q_cms_users,
         "q_sample_docs": q.q_sample_docs,
+        "q_infoseed": q.q_infoseed,
         "q_token_stats": q.q_token_stats,
         "q_quality": q.q_quality,
         "q_fingerprint": q.q_fingerprint,
@@ -550,6 +551,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q_doc_keywords": _doc_keywords_sql(),
+        # information-seed pipeline: constructed candidate shapes →
+        # normalization/filters/JS-processor all replayed as CASE logic
+        "q_infoseed": """
+            WITH c AS (
+                SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS v,
+                       (doc_id % 10) / 10.0 AS score
+                FROM documents
+            ), kept AS (
+                -- v=1 http fails required_schemes; v=2 ftp invalid;
+                -- v=3 spam.test denied; v=0/4 normalize to the same shape
+                SELECT doc_id, v, score,
+                       CASE WHEN v = 0
+                            THEN 'https://host' || CAST(doc_id AS VARCHAR)
+                                 || '.test/p?q=' || CAST(doc_id AS VARCHAR)
+                            ELSE 'https://host' || CAST(doc_id AS VARCHAR)
+                                 || '.test/p'
+                       END AS url,
+                       'host' || CAST(doc_id AS VARCHAR) || '.test' AS host
+                FROM c
+                WHERE v IN (0, 4) AND (doc_id % 10) / 10.0 >= 0.3
+            )
+            SELECT url, host,
+                   score >= 0.5 AS accepted,
+                   CASE WHEN score >= 0.5 THEN score + 0.1 ELSE score END
+                       AS score,
+                   CASE WHEN score >= 0.5 THEN 'score ok'
+                        ELSE 'score too low' END AS reason
+            FROM kept
+        """,
         # bottom-k hash-order sample: stable deterministic sampling,
         # literally ORDER BY md5(key) LIMIT k in SQL
         "q_sample_docs": """

@@ -403,6 +403,63 @@ def q_doc_spans_flat(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_infoseed(sf_dir: str):
+    """Information-seed candidate pipeline end-to-end (pkg/infoseed):
+    deterministic candidates derived from documents → URL normalization
+    (tracking-param strip, port/fragment drop) → built-in filters (scheme,
+    deny-list, min score) → JS candidate processor executing in minijs
+    inside an actor-pool stage. The SQL twin replays every step (the
+    candidate shapes are constructed, so normalization is expressible)."""
+    from ..infoseed import (
+        CandidateFilters,
+        CandidateProcessorStage,
+        apply_builtin_filters,
+        normalize_candidates,
+    )
+
+    docs = _rp(sf_dir, "documents", ["doc_id"]).to_pandas()
+    raw = []
+    for d in docs["doc_id"]:
+        d = int(d)
+        v = d % 5
+        score = (d % 10) / 10.0
+        if v == 0:
+            url = f"https://Host{d}.test:443/p?utm_source=x&q={d}"
+        elif v == 1:
+            url = f"http://host{d}.test/p"
+        elif v == 2:
+            url = f"ftp://host{d}.test/"
+        elif v == 3:
+            url = f"https://spam.test/{d}"
+        else:
+            url = f"https://host{d}.test/p#frag"
+        raw.append({"url": url, "score": score, "doc_id": d})
+    normalized, _ = normalize_candidates(raw)
+    filtered, _ = apply_builtin_filters(
+        normalized,
+        CandidateFilters(denied_domains=("spam.test",),
+                         required_schemes=("https",), min_score=0.3),
+    )
+    script = """
+        var c = params.candidate;
+        var accepted = c.score >= 0.5;
+        var result = {
+            accepted: accepted,
+            score: accepted ? c.score + 0.1 : c.score,
+            reason: accepted ? 'score ok' : 'score too low',
+            tags: []
+        };
+    """
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{k: v for k, v in c.items() if k != "doc_id"} for c in filtered]
+    ))
+    out = ds.map_batches(
+        CandidateProcessorStage, fn_constructor_args=(script,),
+        batch_format="pyarrow", concurrency=2,
+    )
+    return out.select_columns(["url", "host", "accepted", "score", "reason"])
+
+
 def q_sample_docs(sf_dir: str, k: int = 50):
     """Deterministic bottom-k (hash-order) sample of documents: stable
     across runs/partitionings/cluster sizes, mergeable, and SQL-checkable
