@@ -1,0 +1,150 @@
+"""Agent workflow engine (pkg/agent): step chaining with result injection,
+decision conditions ($-path expressions + switch), plugin/db/event actions,
+YAML agent registry, and event-triggered dispatch."""
+
+import pytest
+
+from thecrowler_ray.agents import AgentDefinition, JobEngine
+from thecrowler_ray.plugins import PluginRegistry, UnavailableCapabilityError
+
+
+def _engine(**kw):
+    reg = PluginRegistry()
+    reg.register_js_plugin("score_host", """
+        var h = (params.input && params.input.host)
+                ? params.input.host : params.host;
+        var result = (h && h.indexOf('good') >= 0) ? 0.9 : 0.2;
+    """)
+    reg.register_plugin("echo", lambda ctx: ctx.get("payload", "none"))
+    return JobEngine(plugins=reg, **kw)
+
+
+def test_step_chaining_and_result_injection():
+    eng = _engine()
+    eng.register_agent(AgentDefinition(name="chain", steps=[
+        {"action": "plugin", "params": {"plugin": "score_host",
+                                        "host": "good.test"}},
+        # previous result's 'response' is injected into this step's params
+        {"action": "plugin", "params": {"plugin": "echo"}},
+    ]))
+    out = eng.run_agent("chain")
+    # echo sees no 'payload', returns 'none'; injection happened silently
+    assert out["status"] == "success" and out["response"] == "none"
+
+    # reference quirk (agent.go:196-203): a key present in BOTH params and
+    # the last result becomes [result_value] — a SCALAR params value is
+    # dropped; only a LIST params value gets appended
+    eng.plugins.register_plugin("inspect", lambda ctx: ctx.get("response"))
+    out2 = eng.execute_job([
+        {"action": "plugin", "params": {"plugin": "score_host",
+                                        "host": "good.test"}},
+        {"action": "plugin", "params": {"plugin": "inspect",
+                                        "response": "mine"}},
+    ])
+    assert out2["response"] == 0.9  # [0.9] normalized to its single value
+    out3 = eng.execute_job([
+        {"action": "plugin", "params": {"plugin": "score_host",
+                                        "host": "good.test"}},
+        {"action": "plugin", "params": {"plugin": "inspect",
+                                        "response": ["mine"]}},
+    ])
+    assert out3["response"] == [0.9, "mine"]
+
+
+def test_decision_if_and_switch_with_delegation():
+    eng = _engine()
+    eng.register_agent(AgentDefinition(name="accepter", steps=[
+        {"action": "create_event",
+         "params": {"event_type": "accepted", "severity": "info"}},
+    ]))
+    eng.register_agent(AgentDefinition(name="rejecter", steps=[
+        {"action": "create_event", "params": {"event_type": "rejected"}},
+    ]))
+    eng.register_agent(AgentDefinition(name="decider", steps=[
+        {"action": "decision", "params": {
+            "input": {"response": {"success": True, "value": 42}},
+            "condition": {
+                "condition_type": "if",
+                "expression":
+                    "$response.success === true && $response.value > 10",
+                "on_true": {"agent": "accepter"},
+                "on_false": {"agent": "rejecter"},
+            },
+        }},
+    ]))
+    out = eng.run_agent("decider")
+    assert out["response"]["response"]["type"] == "accepted"
+    assert [e["type"] for e in eng.emitted_events] == ["accepted"]
+
+    # switch condition maps the expression value through cases
+    eng.register_agent(AgentDefinition(name="switcher", steps=[
+        {"action": "decision", "params": {
+            "input": {"response": {"tier": 2}},
+            "condition": {
+                "condition_type": "switch",
+                "expression": "$response.tier",
+                "cases": {"1": {"agent": "rejecter"},
+                          "2": {"agent": "accepter"},
+                          "default": {"agent": "rejecter"}},
+            },
+        }},
+    ]))
+    out2 = eng.run_agent("switcher")
+    assert out2["response"]["response"]["type"] == "accepted"
+
+
+def test_db_query_action_real_duckdb():
+    eng = _engine(tables={"documents":
+                          "/root/testdata/sf0.001/documents.parquet"})
+    out = eng.execute_job([
+        {"action": "db_query",
+         "params": {"query":
+                    "SELECT COUNT(*) AS n, MIN(doc_id) AS lo FROM documents"}},
+    ])
+    assert out["response"][0]["n"] > 0 and out["response"][0]["lo"] == 0
+
+
+def test_capability_seams_and_errors():
+    eng = _engine()
+    with pytest.raises(UnavailableCapabilityError, match="api_request"):
+        eng.execute_job([{"action": "api_request", "params": {"url": "u"}}])
+    eng2 = _engine(transport=lambda p: {"status": 200, "body": "ok"})
+    out = eng2.execute_job([{"action": "api_request", "params": {}}])
+    assert out["response"]["status"] == 200
+    with pytest.raises(UnavailableCapabilityError):
+        eng.execute_job([{"action": "run_command", "params": {"cmd": "ls"}}])
+    with pytest.raises(ValueError, match="unknown action"):
+        eng.execute_job([{"action": "teleport", "params": {}}])
+    with pytest.raises(ValueError, match="empty job"):
+        eng.execute_job([])
+
+
+def test_yaml_registry_and_event_trigger():
+    eng = _engine()
+    eng.load_agents_yaml("""
+agents:
+  - name: on-crawl-done
+    trigger: {type: event, name: crawl_completed}
+    steps:
+      - action: plugin
+        params: {plugin: score_host, host: good.test}
+  - name: on-anything
+    trigger: {type: event}
+    steps:
+      - action: create_event
+        params: {event_type: observed}
+  - name: api-only
+    trigger: {type: api}
+    steps:
+      - action: create_event
+        params: {event_type: never}
+""")
+    fired = eng.handle_event({"type": "crawl_completed", "run": "r1"})
+    names = [n for n, _ in fired]
+    assert names == ["on-crawl-done", "on-anything"]
+    # the matching agent's plugin ran over the event input
+    assert fired[0][1]["response"] == 0.9
+    # api-triggered agents don't fire on events
+    assert "api-only" not in names
+    fired2 = eng.handle_event({"type": "other_event"})
+    assert [n for n, _ in fired2] == ["on-anything"]

@@ -486,12 +486,16 @@ class Interpreter:
         self.max_ops = max_ops
         self.ops = 0
 
-    def run(self, src: str, params: dict | None = None):
+    def run(self, src: str, params: dict | None = None,
+            extra_vars: dict | None = None):
         """Execute a script. → the ``result`` global if set (non-null),
         else the last expression-statement value (the reference's export
-        convention, plugins.go:2265-2299)."""
+        convention, plugins.go:2265-2299). ``extra_vars`` binds additional
+        globals (the agent engine uses it for ``$``-prefixed step inputs)."""
         ast = _Parser(_tokenize(src)).program()
         env = {"params": _json_parse(json.dumps(params or {}))}
+        for k, v in (extra_vars or {}).items():
+            env[k] = _json_parse(json.dumps(v, default=str))
         self.ops = 0
         last = UNDEFINED
         for stmt in ast[1]:
