@@ -148,3 +148,38 @@ agents:
     assert "api-only" not in names
     fired2 = eng.handle_event({"type": "other_event"})
     assert [n for n, _ in fired2] == ["on-anything"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_bus_drives_agents_end_to_end():
+    """EventBus → drain_events → agent dispatch → agent publishes a
+    follow-up event (the reference's event-driven agent loop)."""
+    import ray
+
+    from thecrowler_ray.pipelines.handlers import (
+        HandlerRegistry,
+        drain_events,
+        make_agent_handler,
+    )
+    from thecrowler_ray.state.events import EventBus
+
+    bus = ray.remote(EventBus).remote()
+    eng = _engine(event_bus=bus)
+    eng.load_agents_yaml("""
+agents:
+  - name: crawl-auditor
+    trigger: {type: event, name: crawl_completed}
+    steps:
+      - action: create_event
+        params: {event_type: audit_done, severity: info}
+""")
+    registry = HandlerRegistry()
+    registry.register("crawl_completed", make_agent_handler(eng))
+    ray.get(bus.publish.remote("crawl", "crawl_completed", "info", {"run": "r9"}))
+    out = drain_events(bus, registry)
+    assert out["handled"] >= 1
+    assert eng.emitted_events[0]["type"] == "audit_done"
+    # the agent's follow-up event landed on the bus
+    follow = ray.get(bus.poll.remote("audit_done"))
+    assert follow and follow[0]["details"] == {}
+    ray.kill(bus)

@@ -138,11 +138,11 @@ class JobEngine:
     def handle_event(self, event: dict) -> list[tuple[str, dict]]:
         """Run every event-triggered agent matching the event type
         (reference: agents with trigger.type=event fire on Events rows)."""
+        etype = event.get("type") or event.get("event_type")
         out = []
         for agent in self.agents.values():
             if agent.trigger_type == "event" and (
-                not agent.trigger_name
-                or agent.trigger_name == event.get("type")
+                not agent.trigger_name or agent.trigger_name == etype
             ):
                 out.append((agent.name, self.run_agent(agent.name,
                                                        {"input": event})))
@@ -214,7 +214,8 @@ class JobEngine:
             import ray
 
             ray.get(self.event_bus.publish.remote(
-                event["type"], event["details"], event["severity"]))
+                params.get("action", "agent"), event["type"],
+                event["severity"], event["details"]))
         self.emitted_events.append(event)
         return {"status": "success", "response": event}
 

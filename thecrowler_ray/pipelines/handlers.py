@@ -121,3 +121,16 @@ def scheduler_router(registry: HandlerRegistry) -> None:
         return results
 
     registry.register("scheduler", route)
+
+
+def make_agent_handler(engine):
+    """Bridge an agents.JobEngine into the bus consumer: events dispatch
+    to every matching event-triggered agent (reference: agents with
+    trigger.type=event fire on Events rows)."""
+
+    def handler(event: dict) -> dict:
+        fired = engine.handle_event(event)
+        return {"agents_fired": [name for name, _ in fired],
+                "results": [r for _, r in fired]}
+
+    return handler
