@@ -36,10 +36,17 @@ def normalize_url(url: str, lowercase: bool = True) -> str:
     """Trim spaces, strip trailing ``/``, optionally lowercase.
 
     This is the seen-set key normalization: two URLs that differ only by a
-    trailing slash or by case are the same frontier entry.
+    trailing slash or by case are the same frontier entry. Trim + rstrip
+    repeat to a fixed point — a single pass (the reference's
+    TrimSpace+TrimSuffix) is not idempotent when stripping a trailing "/"
+    exposes unicode whitespace, and the seen key must be stable under
+    re-normalization (matches the reference on all real URLs; only
+    whitespace-embedded garbage differs).
     """
-    url = url.strip()
-    url = url.rstrip("/")
+    prev = None
+    while url != prev:
+        prev = url
+        url = url.strip().rstrip("/")
     if lowercase:
         url = url.lower()
     return url
