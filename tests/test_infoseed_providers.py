@@ -155,3 +155,64 @@ def test_provider_results_feed_candidate_pipeline():
     assert cands[0]["url"] == "https://news.test/a"
     assert cands[0]["score"] == 1.0
     assert rejected == {"duplicate_url": 1}
+
+
+def test_common_crawl_index_adapter():
+    import json as _json
+    import threading as _t
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    seen = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            qs = {k: v for k, v in parse_qs(u.query).items()}
+            seen.append(qs)
+            page = int(qs["page"][0])
+            if page == 0:  # NDJSON page
+                lines = [
+                    _json.dumps({"url": "https://cc1.test/", "timestamp":
+                                 "20240101000000", "mime": "text/html",
+                                 "status": "200", "digest": "D1"}),
+                    _json.dumps({"url": "https://cc2.test/",
+                                 "status": "200"}),
+                ]
+                data = "\n".join(lines).encode()
+            elif page == 1:  # JSON-array page
+                data = _json.dumps(
+                    [{"url": "https://cc3.test/", "timestamp": "2024"}]
+                ).encode()
+            else:
+                data = b""
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    _t.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        from thecrowler_ray.infoseed_providers import search_common_crawl
+
+        got = search_common_crawl(
+            f"http://127.0.0.1:{httpd.server_address[1]}/cdx",
+            "example.com", page_size=3, max_pages=3,
+            url_template="*.{query}/*", mime="text/html",
+        )
+        assert [r["url"] for r in got] == [
+            "https://cc1.test/", "https://cc2.test/", "https://cc3.test/"]
+        assert got[0]["title"] == "Common Crawl capture 20240101000000"
+        assert got[1]["title"] == "Common Crawl capture"
+        assert got[0]["digest"] == "D1" and got[0]["score"] == 1.0
+        # query construction: rendered template + output=json + mime filter
+        q0 = seen[0]
+        assert q0["url"] == ["*.example.com/*"]
+        assert q0["output"] == ["json"]
+        assert q0["filter"] == ["mime:text/html"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

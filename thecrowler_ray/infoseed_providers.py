@@ -210,3 +210,60 @@ def results_to_candidates(results: list[dict]) -> list[dict]:
     """Provider Results → infoseed candidate dicts (url + score carried)."""
     return [{"url": r["url"], "score": r["score"], "title": r["title"]}
             for r in results]
+
+
+def search_common_crawl(index_endpoint: str, query: str, *,
+                        page_size: int = 10, max_pages: int = 1,
+                        url_template: str = "", mime: str = "",
+                        http_status: str = "", filters: tuple = (),
+                        http_get=_urllib_get) -> list[dict]:
+    """Common Crawl CDX index adapter (``common_crawl_index.go``): GET
+    ``{index_endpoint}?url=<rendered query>&output=json&pageSize=N&page=P``
+    with optional ``filter=mime:…`` / ``filter=status:…`` entries; the
+    response is either a JSON array or NDJSON lines of capture records,
+    ranked in index order with reciprocal-rank scores and the capture
+    timestamp as the title."""
+    rendered = url_template.replace("{query}", query) if url_template else query
+    results: list[dict] = []
+    for page in range(0, max_pages):
+        params: list[tuple[str, str]] = [("url", rendered), ("output", "json"),
+                                         ("pageSize", str(page_size)),
+                                         ("page", str(page))]
+        for f in filters:
+            params.append(("filter", f))
+        if mime:
+            params.append(("filter", "mime:" + mime))
+        if http_status:
+            params.append(("filter", "status:" + http_status))
+        body = http_get(index_endpoint + "?" + urlencode(params),
+                        {"Accept": "application/json"})
+        text = body.decode("utf-8", "replace").strip()
+        if not text:
+            break
+        if text.startswith("["):
+            items = json.loads(text)
+        else:  # NDJSON
+            items = [json.loads(ln) for ln in text.splitlines() if ln.strip()]
+        if not items:
+            break
+        for item in items:
+            link = _first_str(item, "url")
+            if not link.strip():
+                continue
+            rank = len(results) + 1
+            ts = _first_str(item, "timestamp")
+            results.append({
+                "url": link,
+                "title": ("Common Crawl capture " + ts) if ts.strip()
+                         else "Common Crawl capture",
+                "snippet": "",
+                "rank": rank,
+                "score": reciprocal_rank(rank),
+                "timestamp": ts,
+                "mime": _first_str(item, "mime"),
+                "status": _first_str(item, "status"),
+                "digest": _first_str(item, "digest"),
+            })
+        if len(results) >= page_size * max_pages:
+            break
+    return results[: page_size * max_pages]
