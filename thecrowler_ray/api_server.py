@@ -38,7 +38,12 @@ class ApiConfig:
     host: str = "127.0.0.1"
     port: int = 0  # 0 → ephemeral (tests)
     rate_limit: str = "10,10"
-    auth_token: str = ""  # empty → auth disabled (reference: config.API.Auth)
+    auth_token: str = ""  # static bearer token (simple mode)
+    # JWT mode (reference local auth): set a secret + a UserStore on the
+    # server; POST /v1/auth/login issues HS256 tokens, bearer auth
+    # verifies signature+expiry instead of comparing the static token
+    jwt_secret: str = ""
+    token_ttl: int = 3600
 
     def rate_burst(self) -> tuple[float, float]:
         s = self.rate_limit.strip() or "10,10"
@@ -82,9 +87,11 @@ class ApiServer:
         config: ApiConfig | None = None,
         search_fn: Callable | None = None,
         timeseries_fn: Callable | None = None,
+        users=None,
     ):
         self.index_dir = index_dir
         self.cfg = config or ApiConfig()
+        self.users = users  # auth.UserStore for JWT mode
         self.search_fn = search_fn or _default_search
         self.timeseries_fn = timeseries_fn or _default_timeseries
         rate, burst = self.cfg.rate_burst()
@@ -134,9 +141,22 @@ class ApiServer:
         if not self.bucket.allow():
             return _json(req, 429, {"error": "Rate limit exceeded"})
 
-        if self.cfg.auth_token:
-            got = req.headers.get("Authorization", "")
-            if got != "Bearer " + self.cfg.auth_token:
+        if path == "/v1/auth/login" and req.command == "POST":
+            return self._login(req)
+
+        auth_header = req.headers.get("Authorization", "")
+        if self.cfg.jwt_secret:
+            from .auth import AuthError, verify_token
+
+            if not auth_header.startswith("Bearer "):
+                return _json(req, 401, {"error": "Unauthorized"})
+            try:
+                req.claims = verify_token(self.cfg.jwt_secret,
+                                          auth_header[len("Bearer "):])
+            except AuthError as e:
+                return _json(req, 401, {"error": f"Unauthorized: {e}"})
+        elif self.cfg.auth_token:
+            if auth_header != "Bearer " + self.cfg.auth_token:
                 return _json(req, 401, {"error": "Unauthorized"})
 
         try:
@@ -153,6 +173,28 @@ class ApiServer:
             return _json(req, 404, {"error": f"no such endpoint {path}"})
         except Exception as e:  # handler errors → 500, server stays up
             return _json(req, 500, {"error": f"{type(e).__name__}: {e}"})
+
+
+    def _login(self, req: BaseHTTPRequestHandler) -> None:
+        """POST /v1/auth/login (main.go:841-860): {username, password} →
+        {access_token, token_type: Bearer, expires_in}."""
+        from .auth import AuthError, login
+
+        if not self.cfg.jwt_secret or self.users is None:
+            return _json(req, 401, {"error": "local auth disabled"})
+        try:
+            length = int(req.headers.get("Content-Length", "0"))
+            body = json.loads(req.rfile.read(length) or b"{}")
+            token = login(self.users, str(body.get("username", "")),
+                          str(body.get("password", "")),
+                          self.cfg.jwt_secret, self.cfg.token_ttl)
+        except AuthError:
+            return _json(req, 401, {"error": "Unauthorized"})
+        except Exception as e:
+            return _json(req, 400, {"error": f"bad request: {e}"})
+        return _json(req, 200, {"access_token": token,
+                                "token_type": "Bearer",
+                                "expires_in": self.cfg.token_ttl})
 
 
 def _json(req: BaseHTTPRequestHandler, code: int, obj: dict) -> None:
