@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_extdetect": q.q_extdetect,
         "q_hll_users": q.q_hll_users,
         "q_cms_users": q.q_cms_users,
+        "q_value_histogram": q.q_value_histogram,
         "q_sample_docs": q.q_sample_docs,
         "q_infoseed": q.q_infoseed,
         "q_token_stats": q.q_token_stats,
@@ -589,6 +590,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR))
             LIMIT 50
+        """,
+        # fixed-bin histogram over events.value: bin = floor(v/5) clamped
+        # to [-1024, 1024] edge bins
+        "q_value_histogram": """
+            SELECT CAST(LEAST(GREATEST(floor(value / 5.0), -1024), 1024)
+                        AS BIGINT) AS bin,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1
         """,
         # Count-Min counters (d=4, w=1024): bucket_r = md5-high-64 of
         # 'r|value' mod w, counter = row count — exact integer compare

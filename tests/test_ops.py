@@ -458,3 +458,30 @@ def test_cms_sketch_query_and_merge():
                              d=4, w=256)
     np.testing.assert_array_equal(merged.counts, one.counts)
     assert merged.query("a") == one.query("a")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fixed_bin_histogram_quantiles_and_merge():
+    from thecrowler_ray.stages.sketch import (
+        FixedBinHistogram,
+        histogram_sketch,
+    )
+
+    vals = np.arange(1000, dtype=np.float64)  # 0..999
+    one = FixedBinHistogram(width=10.0)
+    one.add_values(vals)
+    # quantile error bounded by one bin width
+    assert abs(one.quantile(0.5) - 500) <= 10
+    assert abs(one.quantile(0.99) - 990) <= 10
+    assert one.quantile(0.0) <= 10
+
+    # distributed merge equals one pass
+    tbl = pa.table({"v": vals})
+    merged = histogram_sketch(ray.data.from_arrow(tbl).repartition(7),
+                              "v", width=10.0)
+    np.testing.assert_array_equal(merged.counts, one.counts)
+
+    # outliers clamp into edge bins instead of growing the array
+    edge = FixedBinHistogram(width=1.0, lo_bin=-4, hi_bin=4)
+    edge.add_values([-1e9, 1e9, 0.5])
+    assert edge.counts[0] == 1 and edge.counts[-1] == 1

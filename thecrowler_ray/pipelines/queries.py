@@ -475,6 +475,18 @@ def q_sample_docs(sf_dir: str, k: int = 50):
     )
 
 
+def q_value_histogram(sf_dir: str, width: float = 5.0):
+    """Mergeable fixed-bin histogram over events.value (the scale path for
+    percentile queries: per-batch bin counts sum-merge; quantiles read off
+    the merged counts). Bin = floor(value/width) clamped to edge bins —
+    exactly recomputable in SQL."""
+    from ..stages.sketch import histogram_sketch, histogram_table
+
+    ds = _rp(sf_dir, "events", ["value"])
+    h = histogram_sketch(ds, "value", width=width)
+    return pa.Table.from_pandas(histogram_table(h), preserve_index=False)
+
+
 def q_cms_users(sf_dir: str, d: int = 4, w: int = 1024):
     """Count-Min frequency sketch over events.user_id: per-batch counter
     partials sum-merge on the driver (d*w*8 B per batch); nonzero counters

@@ -197,3 +197,74 @@ def cms_table(cms: CountMinSketch) -> pd.DataFrame:
         {"row": r.astype(np.int64), "bucket": b.astype(np.int64),
          "cnt": cms.counts[r, b]}
     )
+
+
+class FixedBinHistogram:
+    """Mergeable fixed-width histogram — the scale path for quantiles:
+    per-batch integer bin counts sum-merge (like the CMS above), and any
+    percentile reads off the merged counts with bounded error = bin width.
+    Bin = floor(value / width), clamped to [lo_bin, hi_bin] edge bins so
+    outliers can't explode the array."""
+
+    def __init__(self, width: float, lo_bin: int = -1024, hi_bin: int = 1024):
+        self.width = float(width)
+        self.lo_bin = lo_bin
+        self.hi_bin = hi_bin
+        self.counts = np.zeros(hi_bin - lo_bin + 1, dtype=np.int64)
+
+    def _bins(self, values: np.ndarray) -> np.ndarray:
+        b = np.floor(np.asarray(values, dtype=np.float64) / self.width)
+        return np.clip(b, self.lo_bin, self.hi_bin).astype(np.int64) - self.lo_bin
+
+    def add_values(self, values) -> None:
+        np.add.at(self.counts, self._bins(np.asarray(values)), 1)
+
+    def merge(self, other: "FixedBinHistogram") -> "FixedBinHistogram":
+        assert (self.width, self.lo_bin, self.hi_bin) == (
+            other.width, other.lo_bin, other.hi_bin)
+        self.counts += other.counts
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Lower-edge quantile: the left edge of the bin containing the
+        q-th ordered element. Error ≤ one bin width."""
+        total = int(self.counts.sum())
+        if total == 0:
+            return float("nan")
+        target = max(1, int(np.ceil(q * total)))
+        cum = np.cumsum(self.counts)
+        idx = int(np.searchsorted(cum, target))
+        return (idx + self.lo_bin) * self.width
+
+
+class HistogramBatchStage:
+    def __init__(self, column: str, width: float,
+                 lo_bin: int = -1024, hi_bin: int = 1024):
+        self.column = column
+        self.args = (width, lo_bin, hi_bin)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = FixedBinHistogram(*self.args)
+        h.add_values(batch[self.column].to_numpy(zero_copy_only=False))
+        return pa.table({"counts": pa.array([h.counts.tolist()],
+                                            pa.list_(pa.int64(), len(h.counts)))})
+
+
+def histogram_sketch(ds, column: str, width: float,
+                     lo_bin: int = -1024, hi_bin: int = 1024) -> FixedBinHistogram:
+    rows = ds.map_batches(
+        HistogramBatchStage, fn_constructor_args=(column, width, lo_bin, hi_bin),
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    out = FixedBinHistogram(width, lo_bin, hi_bin)
+    for c in rows["counts"]:
+        out.counts += np.asarray(c, dtype=np.int64)
+    return out
+
+
+def histogram_table(h: FixedBinHistogram) -> pd.DataFrame:
+    nz = np.nonzero(h.counts)[0]
+    return pd.DataFrame({
+        "bin": (nz + h.lo_bin).astype(np.int64),
+        "cnt": h.counts[nz],
+    })
