@@ -136,14 +136,23 @@ class CountMinSketch:
 
     def _buckets(self, values) -> np.ndarray:
         """(d, n) bucket ids: md5-high-64 of 'r|value' mod w — the seeded
-        per-row hash family the SQL twin mirrors."""
+        per-row hash family the SQL twin mirrors. Hashes memoize per
+        unique value (real columns repeat heavily)."""
         out = np.empty((self.d, len(values)), dtype=np.int64)
-        for r in range(self.d):
-            for i, v in enumerate(values):
-                h = int.from_bytes(
-                    hashlib.md5(f"{r}|{v}".encode("utf-8")).digest()[:8], "big"
-                )
-                out[r, i] = h % self.w
+        cache: dict = {}
+        for i, v in enumerate(values):
+            cols = cache.get(v)
+            if cols is None:
+                cols = [
+                    int.from_bytes(
+                        hashlib.md5(f"{r}|{v}".encode("utf-8")).digest()[:8],
+                        "big",
+                    ) % self.w
+                    for r in range(self.d)
+                ]
+                cache[v] = cols
+            for r in range(self.d):
+                out[r, i] = cols[r]
         return out
 
     def add_values(self, values) -> None:
