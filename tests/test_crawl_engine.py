@@ -503,3 +503,70 @@ def test_wave_spill_engine_equality():
     )
     assert summary["total_fetched"] == len(oracle.pages)
     _assert_match(run, "/tmp/crowler_t_wavespill", oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_http_fetch_parse_equals_synthetic():
+    """S2/S3 live path: HttpFetchParse fetches the SAME synthetic pages
+    over a real local HTTP server and produces byte-identical page rows to
+    the in-process fetcher, including retry classification (5xx transient,
+    404 permanent)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pyarrow as pa
+    import ray.data
+
+    from thecrowler_ray.sources.synthweb import page_html, page_url, parse_page_url
+    from thecrowler_ray.stages.fetch import FetchParse, HttpFetchParse
+
+    cfg = CFG
+    flaky_hits = {"n": 0}
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            # proxy-style path: /<original url>
+            url = self.path[1:]
+            if url.endswith("/flaky5xx") and flaky_hits["n"] == 0:
+                flaky_hits["n"] += 1
+                self.send_response(503)
+                self.end_headers()
+                return
+            hp = parse_page_url(cfg, url.replace("/flaky5xx", ""))
+            if hp is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            data = page_html(cfg, *hp).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    proxy = f"http://127.0.0.1:{httpd.server_address[1]}/"
+    try:
+        urls = [page_url(cfg, h, p) for h, p in ((0, 0), (0, 1), (1, 0))]
+        batch = pa.table({
+            "url": urls + [urls[0] + "/nonexistent-page"],
+            "key": [f"k{i}" for i in range(4)],
+            "host": ["h"] * 4, "depth": [0] * 4, "ord": list(range(4)),
+            "src_url": [""] * 4, "restricted": [4] * 4,
+        })
+        via_http = HttpFetchParse(proxy_base=proxy)(batch)
+        via_synth = FetchParse(cfg)(batch)
+        assert via_http.num_rows == 3  # 404 row dropped like unknown URL
+        assert via_http.equals(via_synth)
+
+        # a 503 is transient: the retry within the budget succeeds
+        f = HttpFetchParse(proxy_base=proxy, max_retries=2)
+        html = f._fetch(urls[0] + "/flaky5xx")
+        assert html is not None and "<title>" in html
+        assert f.retry_count == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -168,3 +168,41 @@ class FetchParse:
                 ]
             )
         return pa.Table.from_pydict(cols, schema=PAGE_SCHEMA)
+
+
+class HttpFetchParse(FetchParse):
+    """The LIVE form of S2/S3: a real HTTP client in the same parse stage.
+
+    Identical parse/spans/links/retry machinery (``__call__`` is fetch-
+    agnostic); ``_fetch_once`` performs a urllib GET with a custom
+    User-Agent and timeout (the reference's non-browser fetch client,
+    ``pkg/common/fetchClient.go``). HTTP 4xx is permanent (no retry), 5xx
+    and transport errors are transient (retry within the budget) — the
+    reference's navigation-retry classification. ``proxy_base`` prefixes
+    every URL (forward-proxy style; also how tests point the fetcher at a
+    local fixture server instead of the live web)."""
+
+    def __init__(self, max_retries: int = 3, user_agent: str =
+                 "thecrowler-ray/0.1", timeout_sec: float = 10.0,
+                 proxy_base: str = "", action_rules: list | None = None):
+        super().__init__(CorpusConfig(), max_retries=max_retries,
+                         action_rules=action_rules)
+        self.user_agent = user_agent
+        self.timeout_sec = timeout_sec
+        self.proxy_base = proxy_base
+
+    def _fetch_once(self, url: str, attempt: int) -> tuple[str | None, bool]:
+        import urllib.error
+        import urllib.request
+
+        target = self.proxy_base + url if self.proxy_base else url
+        req = urllib.request.Request(
+            target, headers={"User-Agent": self.user_agent}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_sec) as r:
+                return r.read().decode("utf-8", "replace"), False
+        except urllib.error.HTTPError as e:
+            return None, e.code >= 500  # 4xx permanent, 5xx transient
+        except (urllib.error.URLError, OSError, TimeoutError):
+            return None, True
