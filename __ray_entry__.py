@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_simhash_pairs": q.q_simhash_pairs,
         "q_media_decode": q.q_media_decode,
+        "q_media_real": q.q_media_real,
+        "q_media_frames": q.q_media_frames,
         # embeddings
         "q_ann_topk": q.q_ann_topk,
         "q_ann_ivf": q.q_ann_ivf,
@@ -841,6 +843,52 @@ def oracle_sql() -> dict[str, str]:
                         GREATEST(GREATEST(width, height), 1))) AS BIGINT)
                        AS target_height
             FROM dims
+        """,
+        # q_media_real / q_media_frames: the Ray side builds REAL
+        # PNG/JPEG/WAV/MP4 payloads (pure-numpy codecs) whose dims and
+        # durations are pure formulas of doc_id, then MEASURES them from
+        # the encoded bytes; the SQL recomputes the formulas. Equality is
+        # an end-to-end encoder↔decoder round-trip gate.
+        "q_media_real": """
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   doc_id,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'image/png'
+                        WHEN 1 THEN 'image/jpeg'
+                        WHEN 2 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS mime,
+                   CASE doc_id % 4
+                        WHEN 2 THEN 'audio'
+                        WHEN 3 THEN 'video'
+                        ELSE 'image' END AS kind,
+                   CAST(CASE doc_id % 4
+                        WHEN 2 THEN 0
+                        WHEN 3 THEN 16 + (doc_id % 5) * 8
+                        ELSE 16 + (doc_id % 13) * 4 END AS BIGINT) AS width,
+                   CAST(CASE doc_id % 4
+                        WHEN 2 THEN 0
+                        WHEN 3 THEN 16 + (doc_id % 3) * 8
+                        ELSE 16 + (doc_id % 11) * 4 END AS BIGINT) AS height,
+                   CAST(CASE doc_id % 4
+                        WHEN 2 THEN 100 + (doc_id % 50) * 10
+                        WHEN 3 THEN (2 + ((doc_id // 4) % 4)) * 250
+                        ELSE 0 END AS BIGINT) AS duration_ms,
+                   CAST(CASE doc_id % 4
+                        WHEN 2 THEN 0
+                        WHEN 3 THEN 2 + ((doc_id // 4) % 4)
+                        ELSE 1 END AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id < 1000
+        """,
+        "q_media_frames": """
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   doc_id,
+                   CAST(r.i AS BIGINT) AS frame_idx,
+                   CAST(r.i * 500 AS BIGINT) AS ts_ms,
+                   CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS width,
+                   CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS height
+            FROM documents, range(3) r(i)
+            WHERE doc_id < 1000 AND doc_id % 4 = 3
+              AND r.i < (2 + ((doc_id // 4) % 4) + 1) // 2
         """,
         # Rows-only remainder: q_scrape_rules / q_tech_detect run over the
         # seeded synthweb corpus (md5-driven page generator — the

@@ -147,8 +147,9 @@ def test_wav_roundtrip_and_features():
 
 @pytest.mark.usefixtures("ray_session")
 def test_decode_stage_real_codecs():
-    """real_codec=True decodes PNG and WAV for real; JPEG falls back to the
-    deterministic fake (no codec in this container)."""
+    """real_codec=True decodes PNG and WAV for real; a CORRUPT jpeg
+    payload degrades to the deterministic fake in non-strict mode (one
+    truncated file must not kill a crawl-scale decode stage)."""
     from thecrowler_ray.stages.multimodal import DecodeStage
 
     img = _rand_img((12, 20, 3), seed=3)
@@ -176,7 +177,7 @@ def test_decode_stage_real_codecs():
     assert out.loc["p1", "width"] == 20 and out.loc["p1", "height"] == 12
     assert out.loc["a1", "duration_ms"] == 500
     assert out.loc["a1", "width"] == 0
-    # jpeg got the byte-derived fake, still kind=image with metadata
+    # truncated jpeg got the byte-derived fake, still kind=image
     assert out.loc["j1", "kind"] == "image"
     feats = np.stack(out.feature.to_numpy())
     np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)

@@ -1100,6 +1100,66 @@ def q_media_decode(sf_dir: str):
     ).map_batches(cast64, batch_format="pyarrow")
 
 
+def q_media_real(sf_dir: str):
+    """Real-codec round-trip gate: build REAL PNG/JPEG/WAV/MP4 payloads
+    whose dims/durations are pure formulas of doc_id, then decode them
+    with the pure-numpy codecs and report the MEASURED metadata. The SQL
+    twin recomputes the formulas — equality means encoder and decoder
+    agree end-to-end for all four formats. Capped at doc_id < 1000 (codec
+    work per row is real; the cap keeps the battery fast and is mirrored
+    in the SQL twin)."""
+    from ..stages.multimodal import DecodeStage, real_media_from_documents
+
+    ds = _rp(sf_dir, "documents", ["doc_id"]).filter(
+        expr="doc_id < 1000")
+    out = (
+        ds.map_batches(real_media_from_documents, batch_format="pyarrow",
+                       batch_size=128)
+        .map_batches(DecodeStage(real_codec=True, strict=True),
+                     batch_format="pyarrow", batch_size=64, concurrency=4)
+    )
+
+    def cast64(t: pa.Table) -> pa.Table:
+        for col in ("width", "height", "duration_ms", "n_frames"):
+            idx = t.schema.get_field_index(col)
+            t = t.set_column(idx, col, pc.cast(t[col], pa.int64()))
+        return t
+
+    return out.select_columns(
+        ["media_id", "doc_id", "mime", "kind", "width", "height",
+         "duration_ms", "n_frames"]
+    ).map_batches(cast64, batch_format="pyarrow")
+
+
+def q_media_frames(sf_dir: str):
+    """Real video frame sampling: MP4 rows → per-frame rows (measured
+    dims, timestamps) at 2 fps. SQL twin recomputes frame count/dims/
+    timestamps from the generator formulas (frames at 4 fps, sampled
+    every 500 ms → indices 0, 2, 4)."""
+    from ..stages.multimodal import FrameSampleStage, real_media_from_documents
+
+    ds = _rp(sf_dir, "documents", ["doc_id"]).filter(
+        expr="doc_id < 1000")
+    out = (
+        ds.map_batches(real_media_from_documents, batch_format="pyarrow",
+                       batch_size=128)
+        .map_batches(FrameSampleStage(fps=2.0), batch_format="pyarrow",
+                     batch_size=64, concurrency=4)
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": t["media_id"],
+            "doc_id": t["doc_id"],
+            "frame_idx": pc.cast(t["frame_idx"], pa.int64()),
+            "ts_ms": t["ts_ms"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def q_order_lineitem_join(sf_dir: str):
     """Large-large hash join (native Dataset.join, hash-partitioned): orders
     ⋈ lineitem → revenue per order priority. The 'both sides large' join

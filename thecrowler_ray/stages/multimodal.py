@@ -5,19 +5,24 @@ The reference stores media as screenshots / downloaded web objects
 Here media are ``binary`` columns + a MIME column; decode / feature-extract /
 resize / frame-sample are actor-pool ``map_batches`` stages.
 
-PNG and WAV are decoded/encoded for REAL via the pure-numpy codecs in
-``thecrowler_ray.codecs`` (PNG needs only stdlib zlib; WAV only stdlib
-``wave``). JPEG and MP4 genuinely need external codecs (PIL/ffmpeg, absent
-in this container), so for those ``DecodeStage(real_codec=True)`` falls back
-to the deterministic fake unless ``strict=True`` (then it raises
-``NotImplementedError`` per row). The default ``real_codec=False`` keeps the
-byte-derived fake for all mimes — that variant is SQL-recomputable, which is
-what the ``q_media_decode`` DuckDB oracle checks.
+All four battery mimes are decoded for REAL via the pure-numpy codecs:
+PNG (``thecrowler_ray.codecs``, stdlib zlib), WAV (stdlib ``wave``),
+baseline JPEG (``thecrowler_ray.codecs_jpeg``, built from public ITU-T
+T.81 with the Annex K tables), and MP4 (``thecrowler_ray.codecs_mp4``,
+ISO-BMFF box parsing with MJPEG samples). Unknown mimes under
+``DecodeStage(real_codec=True)`` fall back to the deterministic fake
+unless ``strict=True`` (then they raise ``NotImplementedError`` per
+row). The default ``real_codec=False`` keeps the byte-derived fake for
+all mimes — that variant is SQL-recomputable, which is what the
+``q_media_decode`` DuckDB oracle checks; the real-codec path is gated by
+``q_media_real`` (SQL recomputes the generator's dimension/duration
+formulas, Ray measures them from the actual encoded bytes).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -29,7 +34,10 @@ from ..codecs import (
     png_encode,
     resize_bilinear,
     wav_decode,
+    wav_encode,
 )
+from ..codecs_jpeg import jpeg_decode, jpeg_encode
+from ..codecs_mp4 import mp4_encode_mjpeg, mp4_frame_sample, mp4_info
 from ..content_type import media_kind
 
 MEDIA_SCHEMA = pa.schema(
@@ -51,6 +59,7 @@ DECODED_FIELDS = [
     ("width", pa.int32()),        # images/video (fake-decoded)
     ("height", pa.int32()),
     ("duration_ms", pa.int32()),  # audio/video
+    ("n_frames", pa.int32()),     # video sample count (1 for images)
     ("feature", pa.list_(pa.float32(), 16)),  # unit-norm feature vector
 ]
 
@@ -68,8 +77,11 @@ class DecodeStage:
         self.strict = strict
 
     def _decode_real(self, payload: bytes, mime: str) -> dict | None:
-        """Real decode for the formats whose codecs we have (PNG, WAV).
-        Returns None when the mime needs an external codec (JPEG/MP4)."""
+        """Real decode: PNG, baseline JPEG, WAV, MP4 (MJPEG samples).
+        Measurements come from the decoded bytes, not trusted metadata:
+        image dims from the pixel array shape, audio duration from the
+        sample count, video dims from decoding the first sampled frame.
+        Returns None for mimes with no codec in this container."""
         digest = hashlib.sha256(payload).digest()
         base = {
             "kind": media_kind(mime),
@@ -78,12 +90,23 @@ class DecodeStage:
             "width": 0,
             "height": 0,
             "duration_ms": 0,
+            "n_frames": 0,
         }
         if mime == "image/png":
             img = png_decode(payload)
             base.update(
                 width=img.shape[1],
                 height=img.shape[0],
+                n_frames=1,
+                feature=image_feature(img).tolist(),
+            )
+            return base
+        if mime == "image/jpeg":
+            img = jpeg_decode(payload)
+            base.update(
+                width=img.shape[1],
+                height=img.shape[0],
+                n_frames=1,
                 feature=image_feature(img).tolist(),
             )
             return base
@@ -92,6 +115,20 @@ class DecodeStage:
             base.update(
                 duration_ms=int(len(samples) * 1000 / max(rate, 1)),
                 feature=audio_feature(samples).tolist(),
+            )
+            return base
+        if mime == "video/mp4":
+            info = mp4_info(payload)
+            frames = mp4_frame_sample(payload, fps=1000.0)  # all samples
+            first = jpeg_decode(frames[0][1]) if (
+                frames and info["codec"] == "jpeg") else None
+            base.update(
+                duration_ms=info["duration_ms"],
+                n_frames=info["n_samples"],
+                width=first.shape[1] if first is not None else info["width"],
+                height=first.shape[0] if first is not None else info["height"],
+                feature=(image_feature(first).tolist() if first is not None
+                         else [0.0] * 16),
             )
             return base
         return None
@@ -116,6 +153,7 @@ class DecodeStage:
             "width": 160 + h64 % 1920 if kind in ("image", "video") else 0,
             "height": 120 + (h64 >> 16) % 1080 if kind in ("image", "video") else 0,
             "duration_ms": (h64 >> 32) % 600_000 if kind in ("audio", "video") else 0,
+            "n_frames": 0,
             "feature": (feat / norm).tolist(),
         }
 
@@ -126,7 +164,16 @@ class DecodeStage:
         for i in range(len(batch)):
             d = None
             if self.real_codec:
-                d = self._decode_real(payloads[i] or b"", mimes[i])
+                try:
+                    d = self._decode_real(payloads[i] or b"", mimes[i])
+                except (ValueError, IndexError, struct.error):
+                    # corrupt payload for a known mime: strict raises,
+                    # non-strict degrades to the byte-derived fake (a
+                    # 100 TB crawl WILL contain truncated media; one bad
+                    # row must not kill the stage)
+                    if self.strict:
+                        raise
+                    d = None
                 if d is None and self.strict:
                     raise NotImplementedError(
                         f"no codec for {mimes[i]} in this container "
@@ -138,7 +185,7 @@ class DecodeStage:
             cols["doc_id"].append(batch["doc_id"][i].as_py())
             cols["mime"].append(mimes[i])
             for k in ("kind", "byte_len", "sha256", "width", "height",
-                      "duration_ms", "feature"):
+                      "duration_ms", "n_frames", "feature"):
                 cols[k].append(d[k])
         # id columns keep the caller's types (synth media uses strings, the
         # documents-derived path carries int64 doc_ids)
@@ -201,6 +248,110 @@ class ResizeStage:
         cols["height"] = pa.array(heights, pa.int32())
         cols["resized"] = pa.array(resized, pa.bool_())
         return pa.table(cols)
+
+
+def real_media_from_documents(batch: pa.Table) -> pa.Table:
+    """documents rows → REAL media payloads, one per doc, mime by
+    ``doc_id % 4``. Every dimension/duration below is a pure formula of
+    ``doc_id`` so a DuckDB twin can recompute the *expected* metadata
+    while the Ray path *measures* it from the encoded bytes — a
+    round-trip gate over all four codecs (``q_media_real``):
+
+    - PNG:  w=16+(d%13)*4, h=16+(d%11)*4, gradient pixels seeded by d
+    - JPEG: same dims, 4:2:0, quality 85
+    - WAV:  8 kHz mono, n=800+(d%50)*80 samples → duration 100+(d%50)*10 ms
+    - MP4:  2+((d//4)%4) MJPEG frames at 4 fps, w=16+(d%5)*8,
+            h=16+(d%3)*8 → duration (2+((d//4)%4))*250 ms
+    """
+    doc_ids = batch["doc_id"].to_pylist()
+    mimes, payloads = [], []
+    for d in doc_ids:
+        d = int(d)
+        sel = d % 4
+        if sel in (0, 1):
+            w, h = 16 + (d % 13) * 4, 16 + (d % 11) * 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([
+                (xx * 3 + d) % 256, (yy * 5 + d * 7) % 256,
+                (xx + yy + d * 13) % 256,
+            ], axis=2).astype(np.uint8)
+            if sel == 0:
+                mimes.append("image/png")
+                payloads.append(png_encode(img))
+            else:
+                mimes.append("image/jpeg")
+                payloads.append(jpeg_encode(img, quality=85))
+        elif sel == 2:
+            n = 800 + (d % 50) * 80
+            t = np.arange(n, dtype=np.float64)
+            wave_f = 110.0 + (d % 20) * 55.0
+            samples = (8000 * np.sin(2 * np.pi * wave_f * t / 8000.0)
+                       ).astype(np.int16)
+            mimes.append("audio/wav")
+            payloads.append(wav_encode(samples, rate=8000))
+        else:
+            w, h = 16 + (d % 5) * 8, 16 + (d % 3) * 8
+            frames = []
+            for i in range(2 + (d // 4) % 4):
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack([
+                    (xx * 2 + i * 40 + d) % 256, (yy * 3 + i * 17) % 256,
+                    np.full_like(xx, (i * 43 + d) % 256),
+                ], axis=2).astype(np.uint8)
+                frames.append(jpeg_encode(img, quality=85))
+            mimes.append("video/mp4")
+            payloads.append(mp4_encode_mjpeg(frames, fps=4, width=w, height=h))
+    return pa.table(
+        {
+            "media_id": pa.array([f"m{d}" for d in doc_ids], pa.string()),
+            "doc_id": batch["doc_id"],
+            "mime": pa.array(mimes, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+
+
+class FrameSampleStage:
+    """REAL video frame sampling: MP4 rows → one output row per sampled
+    frame (``fps`` target), payload = the extracted sample bytes (JPEG),
+    dims measured by decoding the frame. Non-video rows are dropped —
+    compose with a union if the pipeline needs both. Actor-pool stage;
+    output rows can flow straight back through ``DecodeStage``."""
+
+    def __init__(self, fps: float = 1.0):
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "doc_id": [], "frame_idx": [], "ts_ms": [],
+               "width": [], "height": [], "payload": []}
+        mimes = batch["mime"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for i in range(len(batch)):
+            if mimes[i] != "video/mp4":
+                continue
+            for idx, (ts, sample) in enumerate(
+                    mp4_frame_sample(payloads[i] or b"", fps=self.fps)):
+                img = jpeg_decode(sample)
+                out["media_id"].append(batch["media_id"][i].as_py())
+                out["doc_id"].append(batch["doc_id"][i].as_py())
+                out["frame_idx"].append(idx)
+                out["ts_ms"].append(ts)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["payload"].append(sample)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "doc_id": pa.array(
+                    out["doc_id"],
+                    batch.schema.field("doc_id").type),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "ts_ms": pa.array(out["ts_ms"], pa.int64()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+                "payload": pa.array(out["payload"], pa.large_binary()),
+            }
+        )
 
 
 def frame_sample_plan(batch: pa.Table, fps: float = 1.0) -> pa.Table:
