@@ -177,3 +177,89 @@ def test_reference_math_utils_lib_plugin_runs_verbatim():
     # its guard clauses throw like the original
     with pytest.raises(MiniJsError, match="must be numbers"):
         run_script(src + "\nvar result = math_utils.add('a', 1);")
+
+
+# A tiny JS shim reproducing the reference's Node test harness surface
+# (plugins/lib/*.test.js call test/assert* helpers); the suites under it
+# are the reference's own files, UNMODIFIED.
+_TEST_HARNESS = """
+var __passed = 0; var __failed = [];
+function test(name, fn) {
+    try { fn(); __passed = __passed + 1; }
+    catch (e) { __failed.push(name + ': ' + e.message); }
+}
+function assertDeepEqual(a, b) {
+    if (JSON.stringify(a) !== JSON.stringify(b)) {
+        throw new Error('expected ' + JSON.stringify(b) +
+                        ' got ' + JSON.stringify(a));
+    }
+}
+function assertEqual(a, b) {
+    if (a !== b) { throw new Error('expected ' + JSON.stringify(b) +
+                                   ' got ' + JSON.stringify(a)); }
+}
+function assertTrue(v) { if (!v) { throw new Error('expected truthy'); } }
+function assertFalse(v) { if (v) { throw new Error('expected falsy'); } }
+function assertThrows(fn) {
+    var threw = false;
+    try { fn(); } catch (e) { threw = true; }
+    if (!threw) { throw new Error('did not throw'); }
+}
+"""
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_LIB), reason="reference absent"
+)
+def test_reference_json_query_full_test_suite_green():
+    """The reference's json_query lib_plugin AND its entire test file
+    (plugins/lib/json_query.test.js — 26 cases: $ root selectors, [*]
+    wildcards, recursive descent, bracket-quoted keys, queryJSON parsing,
+    first/exists/count missing-value semantics) run verbatim and all pass."""
+    src = open(f"{REF_LIB}/json_query.js").read()
+    tests = open(f"{REF_LIB}/json_query.test.js").read()
+    out = run_script(
+        src + _TEST_HARNESS + "var result = json_query;\n" + tests +
+        "\nvar result = {passed: __passed, failed: __failed};",
+        {}, max_ops=5_000_000)
+    assert out["failed"] == []
+    assert out["passed"] == 26
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_LIB), reason="reference absent"
+)
+def test_reference_math_utils_full_test_suite_green():
+    """The reference's math_utils.test.js (7 cases incl. assertThrows on
+    type guards) runs verbatim and all pass."""
+    src = open(f"{REF_LIB}/math_utils.js").read()
+    tests = open(f"{REF_LIB}/math_utils.test.js").read()
+    out = run_script(
+        src + _TEST_HARNESS + "var result = math_utils;\n" + tests +
+        "\nvar result = {passed: __passed, failed: __failed};",
+        {}, max_ops=5_000_000)
+    assert out["failed"] == []
+    assert out["passed"] == 7
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference/plugins/api"),
+    reason="reference absent",
+)
+def test_reference_api_ping_pong_plugin_runs_verbatim():
+    """The reference's api_plugin example (plugins/api/api_ping_pong.js:
+    `new Date().toISOString()` + HTTP-context echo) runs unmodified;
+    the deterministic Date seam makes the timestamp reproducible."""
+    src = open("/root/reference/plugins/api/api_ping_pong.js").read()
+    out = run_script(
+        src,
+        {"event": None,
+         "jsonData": {"input": "hi",
+                      "http": {"method": "GET", "path": "/v1/plugin/ping",
+                               "query": "x=1"}}},
+        now_ms=1755400000000)
+    assert out["pong"] is True
+    assert out["timestamp"] == "2025-08-17T03:06:40.000Z"
+    assert out["input"] == "hi"
+    assert out["http"] == {"method": "GET", "path": "/v1/plugin/ping",
+                           "query": "x=1"}

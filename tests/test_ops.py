@@ -162,7 +162,8 @@ def test_multimodal_decode_pipeline():
     feats = np.stack(out.feature.to_numpy())
     assert feats.shape[1] == 16
     np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
-    # strict real-codec mode raises on formats we have no codec for (jpeg)
+    # strict real-codec mode: JPEG now HAS a codec (codecs_jpeg), so a
+    # truncated payload is a decode error, not a missing-codec error
     jpeg = pa.table(
         {
             "media_id": ["j1"],
@@ -171,8 +172,22 @@ def test_multimodal_decode_pipeline():
             "payload": [b"\xff\xd8\xff\xe0 fake"],
         }
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         DecodeStage(real_codec=True, strict=True)(jpeg)
+    # non-strict mode degrades the corrupt row to the byte-derived fake
+    row = DecodeStage(real_codec=True, strict=False)(jpeg)
+    assert row.num_rows == 1
+    # formats with no codec in this container still raise NotImplementedError
+    webp = pa.table(
+        {
+            "media_id": ["w1"],
+            "doc_id": ["d1"],
+            "mime": ["image/webp"],
+            "payload": [b"RIFF0000WEBP"],
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        DecodeStage(real_codec=True, strict=True)(webp)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -9,34 +9,54 @@ large share of real scraping plugins are plain data transforms — so this
 module implements an honest SUBSET interpreter (tokenizer → recursive
 descent parser → tree-walking evaluator) sufficient for those:
 
-  - literals (numbers, strings, booleans, null, arrays, objects)
+  - literals (numbers incl. hex/exponent, strings, booleans, null,
+    arrays, objects, regex literals with g/i/m flags)
   - var/let/const, assignment (+=, -=, *=, /=), ++/--
-  - if/else, while, for(;;), blocks, return
-  - function declarations + function expressions (closures)
-  - operators: + - * / % comparisons && || ! ?: (===/!== and ==/!= are both
-    STRICT — the one documented semantic deviation)
-  - Math.*, JSON.parse/stringify, String(), Number(), parseInt/parseFloat,
-    Object.keys, Array.isArray
+  - if/else, while, do/while, for(;;), break, continue, blocks, return
+  - try/catch/finally + throw (thrown values are catchable; native
+    runtime errors surface as catchable {name, message} objects; the op
+    budget is NOT catchable)
+  - function declarations + function expressions (closures),
+    ``arguments``, fn.call/fn.apply
+  - operators: + - * / % comparisons && || ! ?: instanceof (===/!== and
+    ==/!= are both STRICT — the one documented semantic deviation)
+  - Math.*, JSON.parse/stringify, String()/String.fromCharCode,
+    Number(), parseInt (with radix)/parseFloat, isNaN/isFinite,
+    Object.keys, Object.prototype.hasOwnProperty/toString,
+    Array.isArray, Array.prototype.* (unbound, for .apply patterns)
+  - RegExp: literals, new RegExp(p, f), test/exec/lastIndex/source,
+    String.replace(regex, s)/match/split(regex) — translated to Python
+    ``re`` (JS and Python syntax agree on this subset; patterns outside
+    it fail loudly at construction)
   - string methods (toLowerCase/toUpperCase/trim/split/indexOf/includes/
-    slice/substring/replace/startsWith/endsWith/charAt/repeat), array
-    methods (push/pop/join/indexOf/includes/slice/concat/map/filter/
-    reverse), .length
+    slice/substring/replace/startsWith/endsWith/charAt/charCodeAt/
+    repeat), array methods (push/pop/shift/unshift/join/indexOf/
+    lastIndexOf/includes/slice/concat/map/filter/forEach/reduce/some/
+    every/sort/reverse), number.toFixed, .length
 
-Execution is bounded (``max_ops``) and has no I/O, imports, eval,
-prototypes, regex, or host access — scripts are pure functions of
-``params``, which is exactly what the data plane needs. Anything outside
-the subset raises ``MiniJsError`` at parse time, so unsupported plugins
-fail loudly rather than mis-run.
+Execution is bounded (``max_ops``) and has no I/O, imports, eval, or
+host access — scripts are pure functions of ``params``, which is exactly
+what the data plane needs. Anything outside the subset raises
+``MiniJsError`` at parse time, so unsupported plugins fail loudly rather
+than mis-run. This subset runs the reference's own plugin corpus
+verbatim: ``plugins/lib/json_query.js`` (1,075 lines),
+``plugins/lib/math_utils.js`` + its test file, and the infoseed
+candidate processors (see tests/test_minijs.py).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import re as _re
 
 
 class MiniJsError(Exception):
     pass
+
+
+class MiniJsBudgetError(MiniJsError):
+    """Op budget exceeded — deliberately NOT catchable by script code."""
 
 
 class _Undefined:
@@ -54,15 +74,33 @@ class _Undefined:
 UNDEFINED = _Undefined()
 
 _PUNCT = [
-    "===", "!==", "&&", "||", "==", "!=", "<=", ">=", "+=", "-=", "*=",
-    "/=", "++", "--", "{", "}", "(", ")", "[", "]", ",", ";", ":", "?",
-    ".", "+", "-", "*", "/", "%", "<", ">", "=", "!",
+    ">>>=", "===", "!==", ">>>", "<<=", ">>=", "&&", "||", "==", "!=",
+    "<=", ">=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "++",
+    "--", "<<", ">>", "{", "}", "(", ")", "[", "]", ",", ";", ":", "?",
+    ".", "+", "-", "*", "/", "%", "<", ">", "=", "!", "&", "|", "^", "~",
 ]
 _KEYWORDS = {
     "var", "let", "const", "if", "else", "while", "for", "return",
     "function", "true", "false", "null", "undefined", "typeof", "throw",
-    "new",
+    "new", "do", "break", "continue", "try", "catch", "finally",
+    "instanceof", "delete",
 }
+
+# a `/` starts a regex literal (not division) when the previous
+# significant token cannot end an expression
+_REGEX_PREV_KW = {"return", "typeof", "throw", "new", "else", "do",
+                  "instanceof"}
+
+
+def _regex_ok(toks: list[tuple[str, object]]) -> bool:
+    if not toks:
+        return True
+    kind, val = toks[-1]
+    if kind == "punct":
+        return val not in (")", "]", "++", "--")
+    if kind == "kw":
+        return val in _REGEX_PREV_KW
+    return False  # id / num / str / regex end an expression
 
 
 def _tokenize(src: str) -> list[tuple[str, object]]:
@@ -83,10 +121,52 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
                 raise MiniJsError("unterminated comment")
             i = j + 2
             continue
+        if c == "/" and _regex_ok(toks):
+            j = i + 1
+            in_class = False
+            while j < n:
+                ch = src[j]
+                if ch == "\\":
+                    j += 2
+                    continue
+                if ch == "[":
+                    in_class = True
+                elif ch == "]":
+                    in_class = False
+                elif ch == "/" and not in_class:
+                    break
+                elif ch == "\n":
+                    raise MiniJsError("unterminated regex literal")
+                j += 1
+            if j >= n:
+                raise MiniJsError("unterminated regex literal")
+            pattern = src[i + 1 : j]
+            j += 1
+            k = j
+            while k < n and src[k].isalpha():
+                k += 1
+            toks.append(("regex", (pattern, src[j:k])))
+            i = k
+            continue
+        if src.startswith("0x", i) or src.startswith("0X", i):
+            j = i + 2
+            while j < n and src[j] in "0123456789abcdefABCDEF":
+                j += 1
+            toks.append(("num", float(int(src[i + 2 : j], 16))))
+            i = j
+            continue
         if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
             j = i
             while j < n and (src[j].isdigit() or src[j] == "."):
                 j += 1
+            if j < n and src[j] in "eE":
+                k = j + 1
+                if k < n and src[k] in "+-":
+                    k += 1
+                if k < n and src[k].isdigit():
+                    while k < n and src[k].isdigit():
+                        k += 1
+                    j = k
             toks.append(("num", float(src[i:j])))
             i = j
             continue
@@ -202,6 +282,37 @@ class _Parser:
             cond = self.expr()
             self.eat("punct", ")")
             return ("while", cond, self.statement())
+        if self.at("kw", "do"):
+            self.next()
+            body = self.statement()
+            self.skip_semi()
+            self.eat("kw", "while")
+            self.eat("punct", "(")
+            cond = self.expr()
+            self.eat("punct", ")")
+            return ("dowhile", cond, body)
+        if self.at("kw", "break"):
+            self.next()
+            return ("break",)
+        if self.at("kw", "continue"):
+            self.next()
+            return ("continue",)
+        if self.at("kw", "try"):
+            self.next()
+            block = self.statement()
+            catch_name, catch_block, fin = None, None, None
+            if self.at("kw", "catch"):
+                self.next()
+                self.eat("punct", "(")
+                catch_name = self.eat("id")[1]
+                self.eat("punct", ")")
+                catch_block = self.statement()
+            if self.at("kw", "finally"):
+                self.next()
+                fin = self.statement()
+            if catch_block is None and fin is None:
+                raise MiniJsError("try without catch/finally")
+            return ("try", block, catch_name, catch_block, fin)
         if self.at("kw", "for"):
             self.next()
             self.eat("punct", "(")
@@ -252,7 +363,9 @@ class _Parser:
     def assignment(self):
         left = self.ternary()
         if self.at("punct", "=") or any(
-            self.at("punct", op) for op in ("+=", "-=", "*=", "/=")
+            self.at("punct", op)
+            for op in ("+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=",
+                       "<<=", ">>=", ">>>=")
         ):
             op = self.next()[1]
             right = self.assignment()
@@ -282,13 +395,34 @@ class _Parser:
         return self._binary(self.logic_and, ("||",))
 
     def logic_and(self):
-        return self._binary(self.equality, ("&&",))
+        return self._binary(self.bit_or, ("&&",))
+
+    def bit_or(self):
+        return self._binary(self.bit_xor, ("|",))
+
+    def bit_xor(self):
+        return self._binary(self.bit_and, ("^",))
+
+    def bit_and(self):
+        return self._binary(self.equality, ("&",))
 
     def equality(self):
         return self._binary(self.relational, ("===", "!==", "==", "!="))
 
     def relational(self):
-        return self._binary(self.additive, ("<", "<=", ">", ">="))
+        node = self.shift()
+        while True:
+            if any(self.at("punct", o) for o in ("<", "<=", ">", ">=")):
+                op = self.next()[1]
+                node = ("bin", op, node, self.shift())
+            elif self.at("kw", "instanceof"):
+                self.next()
+                node = ("bin", "instanceof", node, self.shift())
+            else:
+                return node
+
+    def shift(self):
+        return self._binary(self.additive, ("<<", ">>", ">>>"))
 
     def additive(self):
         return self._binary(self.multiplicative, ("+", "-"))
@@ -300,6 +434,9 @@ class _Parser:
         if self.at("punct", "!"):
             self.next()
             return ("not", self.unary())
+        if self.at("punct", "~"):
+            self.next()
+            return ("bitnot", self.unary())
         if self.at("punct", "-"):
             self.next()
             return ("neg", self.unary())
@@ -309,16 +446,35 @@ class _Parser:
         if self.at("kw", "typeof"):
             self.next()
             return ("typeof", self.unary())
+        if self.at("kw", "delete"):
+            self.next()
+            target = self.unary()
+            if target[0] not in ("member", "index"):
+                raise MiniJsError("delete requires a property reference")
+            return ("delete", target)
         if self.at("kw", "new"):
             self.next()
-            target = self.postfix()
-            if target[0] != "call":
-                raise MiniJsError("new requires a constructor call")
-            return ("new", target[1], target[2])
+            ctor = self.primary()
+            while self.at("punct", "."):  # new a.b.C(...)
+                self.next()
+                t = self.next()
+                if t[0] not in ("id", "kw"):
+                    raise MiniJsError("bad member name")
+                ctor = ("member", ctor, t[1])
+            args = []
+            if self.at("punct", "("):
+                self.next()
+                while not self.at("punct", ")"):
+                    args.append(self.assignment())
+                    if self.at("punct", ","):
+                        self.next()
+                self.eat("punct", ")")
+            # (new C(...)).member chains continue through postfix
+            return self.postfix(("new", ctor, args))
         return self.postfix()
 
-    def postfix(self):
-        node = self.primary()
+    def postfix(self, start=None):
+        node = self.primary() if start is None else start
         while True:
             if self.at("punct", "."):
                 self.next()
@@ -351,6 +507,9 @@ class _Parser:
         if t[0] == "num" or t[0] == "str":
             self.next()
             return ("lit", t[1])
+        if t[0] == "regex":
+            self.next()
+            return ("regexlit", t[1][0], t[1][1])
         if t[0] == "kw":
             if t[1] in ("true", "false"):
                 self.next()
@@ -404,11 +563,110 @@ class _Return(Exception):
         self.value = value
 
 
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Thrown(Exception):
+    """A JS ``throw`` in flight — carries the thrown value for catch."""
+
+    def __init__(self, value):
+        self.value = value
+
+
 class _Function:
     def __init__(self, params, body, env):
         self.params = params
         self.body = body
         self.env = env
+
+
+class _NativeThis:
+    """A this-aware native (Object.prototype.* / Array.prototype.*):
+    ``fn(interp, this, args)``; supports .call/.apply like JS."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+
+class _Callable:
+    """A callable builtin that also carries properties (String has
+    fromCharCode; RegExp is a constructor name for instanceof)."""
+
+    def __init__(self, fn, props=None, name=""):
+        self.fn = fn
+        self.props = props or {}
+        self.name = name
+
+
+_RE_CACHE: dict[tuple[str, str], "_re.Pattern"] = {}
+
+
+class _RegExp:
+    def __init__(self, pattern: str, flags: str):
+        self.source = pattern
+        self.flags = "".join(sorted(set(flags)))
+        for f in self.flags:
+            if f not in "gim":
+                raise _Thrown({"name": "SyntaxError",
+                               "message": f"unsupported regex flag {f!r}"})
+        key = (pattern, self.flags)
+        rx = _RE_CACHE.get(key)
+        if rx is None:
+            pyflags = 0
+            if "i" in self.flags:
+                pyflags |= _re.IGNORECASE
+            if "m" in self.flags:
+                pyflags |= _re.MULTILINE
+            try:
+                rx = _re.compile(pattern, pyflags)
+            except _re.error as exc:
+                raise _Thrown({"name": "SyntaxError",
+                               "message": f"Invalid regular expression: {exc}"})
+            _RE_CACHE[key] = rx
+        self.regex = rx
+        self.last_index = 0.0
+
+    @property
+    def is_global(self) -> bool:
+        return "g" in self.flags
+
+    def test(self, s: str) -> bool:
+        if self.is_global:
+            m = self.regex.search(s, int(self.last_index))
+            self.last_index = float(m.end()) if m else 0.0
+            return m is not None
+        return self.regex.search(s) is not None
+
+    def exec(self, s: str):
+        start = int(self.last_index) if self.is_global else 0
+        m = self.regex.search(s, start)
+        if m is None:
+            if self.is_global:
+                self.last_index = 0.0
+            return None
+        if self.is_global:
+            self.last_index = float(m.end())
+        return [m.group(0)] + [
+            (g if g is not None else UNDEFINED) for g in m.groups()
+        ]
+
+
+def _to_int32(v) -> int:
+    """JS ToInt32: truncate toward zero, wrap mod 2^32, signed."""
+    f = _num(v)
+    if math.isnan(f) or math.isinf(f):
+        return 0
+    return _as_i32(int(f) & 0xFFFFFFFF)
+
+
+def _as_i32(u: int) -> int:
+    u &= 0xFFFFFFFF
+    return u - 0x100000000 if u >= 0x80000000 else u
 
 
 def _truthy(v) -> bool:
@@ -482,9 +740,13 @@ def _json_parse(s):
 
 
 class Interpreter:
-    def __init__(self, max_ops: int = 500_000):
+    def __init__(self, max_ops: int = 500_000, now_ms: float = 0.0):
         self.max_ops = max_ops
         self.ops = 0
+        # deterministic clock: the host injects "now" (the reference's VM
+        # exposes the real clock; a data-plane plugin must be replayable,
+        # so wall time is a parameter here, never an ambient read)
+        self.now_ms = float(now_ms)
 
     def run(self, src: str, params: dict | None = None,
             extra_vars: dict | None = None):
@@ -498,8 +760,14 @@ class Interpreter:
             env[k] = _json_parse(json.dumps(v, default=str))
         self.ops = 0
         last = UNDEFINED
-        for stmt in ast[1]:
-            last = self.exec_stmt(stmt, env)
+        try:
+            for stmt in ast[1]:
+                last = self.exec_stmt(stmt, env)
+        except _Thrown as t:
+            value = t.value
+            msg = value.get("message", _to_str(value)) \
+                if isinstance(value, dict) else _to_str(value)
+            raise MiniJsError(f"script threw: {msg}")
         result = env.get("result", UNDEFINED)
         if result is not UNDEFINED and result is not None:
             return _json_ready(result)
@@ -508,7 +776,7 @@ class Interpreter:
     def _tick(self):
         self.ops += 1
         if self.ops > self.max_ops:
-            raise MiniJsError("script exceeded op budget")
+            raise MiniJsBudgetError("script exceeded op budget")
 
     # -- statements --------------------------------------------------------
     def exec_stmt(self, node, env):
@@ -532,24 +800,73 @@ class Interpreter:
         if kind == "while":
             while _truthy(self.eval(node[1], env)):
                 self._tick()
-                self.exec_stmt(node[2], env)
+                try:
+                    self.exec_stmt(node[2], env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return UNDEFINED
+        if kind == "dowhile":
+            while True:
+                self._tick()
+                try:
+                    self.exec_stmt(node[2], env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if not _truthy(self.eval(node[1], env)):
+                    break
             return UNDEFINED
         if kind == "for":
             if node[1] is not None:
                 self.exec_stmt(node[1], env)
             while node[2] is None or _truthy(self.eval(node[2], env)):
                 self._tick()
-                self.exec_stmt(node[4], env)
+                try:
+                    self.exec_stmt(node[4], env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
                 if node[3] is not None:
                     self.eval(node[3], env)
+            return UNDEFINED
+        if kind == "break":
+            raise _Break()
+        if kind == "continue":
+            raise _Continue()
+        if kind == "try":
+            _block, catch_name, catch_block, fin = node[1:]
+            try:
+                try:
+                    self.exec_stmt(_block, env)
+                except _Thrown as t:
+                    if catch_block is not None:
+                        local = {"__parent__": env, catch_name: t.value}
+                        self.exec_stmt(catch_block, local)
+                    else:
+                        raise
+                except MiniJsBudgetError:
+                    raise
+                except MiniJsError as exc:
+                    # native runtime errors are catchable, like JS
+                    if catch_block is not None:
+                        local = {"__parent__": env,
+                                 catch_name: {"name": "Error",
+                                              "message": str(exc)}}
+                        self.exec_stmt(catch_block, local)
+                    else:
+                        raise
+            finally:
+                if fin is not None:
+                    self.exec_stmt(fin, env)
             return UNDEFINED
         if kind == "return":
             raise _Return(self.eval(node[1], env))
         if kind == "throw":
-            value = self.eval(node[1], env)
-            msg = value.get("message", _to_str(value)) if isinstance(value, dict) \
-                else _to_str(value)
-            raise MiniJsError(f"script threw: {msg}")
+            raise _Thrown(self.eval(node[1], env))
         if kind == "expr":
             return self.eval(node[1], env)
         raise MiniJsError(f"bad statement {kind}")
@@ -577,8 +894,12 @@ class Interpreter:
             return {k: self.eval(v, env) for k, v in node[1]}
         if kind == "func":
             return _Function(node[1], node[2], env)
+        if kind == "regexlit":
+            return _RegExp(node[1], node[2])
         if kind == "not":
             return not _truthy(self.eval(node[1], env))
+        if kind == "bitnot":
+            return float(_as_i32(~_to_int32(self.eval(node[1], env))))
         if kind == "neg":
             return -_num(self.eval(node[1], env))
         if kind == "pos":
@@ -593,7 +914,8 @@ class Interpreter:
                 return "number"
             if isinstance(v, str):
                 return "string"
-            if isinstance(v, _Function) or callable(v):
+            if isinstance(v, (_Function, _NativeThis, _Callable, _Bound)) \
+                    or callable(v):
                 return "function"
             return "object"
         if kind == "ternary":
@@ -621,10 +943,37 @@ class Interpreter:
             ctor = node[1]
             args = [self.eval(a, env) for a in node[2]]
             if ctor[0] == "name" and ctor[1] in ("Error", "TypeError",
-                                                 "RangeError"):
+                                                 "RangeError", "SyntaxError"):
                 return {"name": ctor[1],
                         "message": _to_str(args[0]) if args else ""}
-            raise MiniJsError("only Error constructors are supported")
+            if ctor[0] == "name" and ctor[1] == "Date":
+                ms = _num(args[0]) if args else self.now_ms
+                return _date_object(ms)
+            if ctor[0] == "name" and ctor[1] == "RegExp":
+                if args and isinstance(args[0], _RegExp):
+                    return _RegExp(args[0].source,
+                                   _to_str(args[1]) if len(args) > 1
+                                   else args[0].flags)
+                return _RegExp(_to_str(args[0]) if args else "",
+                               _to_str(args[1]) if len(args) > 1 else "")
+            raise MiniJsError("only Error/RegExp constructors are supported")
+        if kind == "delete":
+            target = node[1]
+            obj = self.eval(target[1], env)
+            key = target[2] if target[0] == "member" else _to_str(
+                self.eval(target[2], env))
+            if isinstance(obj, dict):
+                obj.pop(key, None)
+                return True
+            if isinstance(obj, list):
+                try:
+                    i = int(float(key))
+                except ValueError:
+                    return True
+                if 0 <= i < len(obj):
+                    obj[i] = UNDEFINED  # JS delete leaves a hole
+                return True
+            return True
         if kind == "assign":
             return self._assign(node, env)
         if kind == "postincr":
@@ -662,6 +1011,8 @@ class Interpreter:
         if op == "%":
             d = _num(b)
             return math.nan if d == 0 else math.fmod(_num(a), d)
+        if op in ("&", "|", "^", "<<", ">>", ">>>"):
+            return self._binop_values(op, a, b)
         if op in ("==", "==="):
             return self._strict_eq(a, b)
         if op in ("!=", "!=="):
@@ -672,7 +1023,36 @@ class Interpreter:
             else:
                 a, b = _num(a), _num(b)
             return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+        if op == "instanceof":
+            name = b.name if isinstance(b, _Callable) else None
+            if name == "RegExp":
+                return isinstance(a, _RegExp)
+            if name == "Array":
+                return isinstance(a, list)
+            if name == "Function":
+                return isinstance(a, (_Function, _NativeThis, _Callable,
+                                      _Bound))
+            if name == "Object":
+                return isinstance(a, (dict, list, _RegExp))
+            raise MiniJsError("instanceof supports RegExp/Array/Function/"
+                              "Object only")
         raise MiniJsError(f"bad operator {op}")
+
+    @staticmethod
+    def _binop_values(op, a, b):
+        x, y = _to_int32(a), _to_int32(b)
+        if op == "&":
+            return float(_as_i32(x & y))
+        if op == "|":
+            return float(_as_i32(x | y))
+        if op == "^":
+            return float(_as_i32(x ^ y))
+        sh = y & 31
+        if op == "<<":
+            return float(_as_i32((x << sh) & 0xFFFFFFFF))
+        if op == ">>":
+            return float(x >> sh)
+        return float((x & 0xFFFFFFFF) >> sh)  # >>> unsigned
 
     @staticmethod
     def _strict_eq(a, b):
@@ -688,6 +1068,30 @@ class Interpreter:
         if name == "length":
             if isinstance(obj, (str, list)):
                 return float(len(obj))
+        if isinstance(obj, _Callable):
+            if name in obj.props:
+                return obj.props[name]
+            if name in ("call", "apply"):
+                return self._call_apply(obj, name)
+            raise MiniJsError(f"unsupported property {obj.name}.{name}")
+        if isinstance(obj, (_Function, _NativeThis, _Bound)) or (
+                callable(obj) and not isinstance(obj, dict)):
+            if name in ("call", "apply"):
+                return self._call_apply(obj, name)
+        if isinstance(obj, _RegExp):
+            if name == "source":
+                return obj.source
+            if name == "flags":
+                return obj.flags
+            if name == "global":
+                return obj.is_global
+            if name == "lastIndex":
+                return obj.last_index
+            if name == "test":
+                return lambda it, a: obj.test(_to_str(a[0]) if a else "")
+            if name == "exec":
+                return lambda it, a: obj.exec(_to_str(a[0]) if a else "")
+            return UNDEFINED  # unknown property reads yield undefined (JS)
         if isinstance(obj, dict):
             return obj.get(name, UNDEFINED)
         method = _METHODS.get((type(obj).__name__, name))
@@ -695,7 +1099,23 @@ class Interpreter:
             return _Bound(method, obj)
         if obj is UNDEFINED or obj is None:
             raise MiniJsError(f"cannot read property {name!r} of {_to_str(obj)}")
-        raise MiniJsError(f"unsupported property {name!r}")
+        return UNDEFINED  # unknown property reads yield undefined (JS)
+
+    @staticmethod
+    def _call_apply(fn, how):
+        """fn.call(thisArg, ...) / fn.apply(thisArg, argsArray)."""
+
+        def wrapper(it, a):
+            this = a[0] if a else UNDEFINED
+            rest = (list(a[1]) if len(a) > 1 and isinstance(a[1], list)
+                    else []) if how == "apply" else list(a[1:])
+            if isinstance(fn, _NativeThis):
+                return fn.fn(it, this, rest)
+            if isinstance(fn, _Bound):
+                return fn.method(it, this, rest)
+            return it._invoke(fn, rest)  # _Function/_Callable: this ignored
+
+        return wrapper
 
     def _call(self, node, env):
         callee_node = node[1]
@@ -707,8 +1127,12 @@ class Interpreter:
         self._tick()
         if isinstance(fn, _Bound):
             return fn.method(self, fn.obj, args)
+        if isinstance(fn, _NativeThis):
+            return fn.fn(self, UNDEFINED, args)
+        if isinstance(fn, _Callable):
+            return fn.fn(self, args)
         if isinstance(fn, _Function):
-            local = {"__parent__": fn.env}
+            local = {"__parent__": fn.env, "arguments": list(args)}
             for i, p in enumerate(fn.params):
                 local[p] = args[i] if i < len(args) else UNDEFINED
             try:
@@ -728,11 +1152,15 @@ class Interpreter:
             base = op[0]
             if base == "+" and (isinstance(old, str) or isinstance(value, str)):
                 value = _to_str(old) + _to_str(value)
+            elif op in ("&=", "|=", "^=", "<<=", ">>=", ">>>="):
+                value = self._binop_values(op[:-1], old, value)
             else:
                 value = {"+": lambda: _num(old) + _num(value),
                          "-": lambda: _num(old) - _num(value),
                          "*": lambda: _num(old) * _num(value),
-                         "/": lambda: _num(old) / _num(value)}[base]()
+                         "/": lambda: _num(old) / _num(value),
+                         "%": lambda: math.fmod(_num(old), _num(value))
+                         if _num(value) != 0 else math.nan}[base]()
         self._store(target, value, env)
         return value
 
@@ -749,6 +1177,9 @@ class Interpreter:
             return
         if target[0] == "member":
             obj = self.eval(target[1], env)
+            if isinstance(obj, _RegExp) and target[2] == "lastIndex":
+                obj.last_index = _num(value)
+                return
             if not isinstance(obj, dict):
                 raise MiniJsError("cannot set property on non-object")
             obj[target[2]] = value
@@ -784,18 +1215,20 @@ _METHODS = {
     ("str", "toLowerCase"): _m(lambda it, s, a: s.lower()),
     ("str", "toUpperCase"): _m(lambda it, s, a: s.upper()),
     ("str", "trim"): _m(lambda it, s, a: s.strip()),
-    ("str", "split"): _m(lambda it, s, a: list(s.split(a[0])) if a and a[0] != ""
-                         else ([c for c in s] if a else [s])),
+    ("str", "split"): _m(lambda it, s, a: _str_split(s, a)),
     ("str", "indexOf"): _m(lambda it, s, a: float(s.find(_to_str(a[0])))),
     ("str", "includes"): _m(lambda it, s, a: _to_str(a[0]) in s),
     ("str", "slice"): _m(lambda it, s, a: _slice(s, a)),
     ("str", "substring"): _m(lambda it, s, a: _substring(s, a)),
-    ("str", "replace"): _m(lambda it, s, a: s.replace(_to_str(a[0]),
-                                                      _to_str(a[1]), 1)),
+    ("str", "replace"): _m(lambda it, s, a: _str_replace(it, s, a)),
+    ("str", "match"): _m(lambda it, s, a: _str_match(s, a)),
     ("str", "startsWith"): _m(lambda it, s, a: s.startswith(_to_str(a[0]))),
     ("str", "endsWith"): _m(lambda it, s, a: s.endswith(_to_str(a[0]))),
     ("str", "charAt"): _m(lambda it, s, a: s[int(_num(a[0]))]
                           if 0 <= int(_num(a[0])) < len(s) else ""),
+    ("str", "charCodeAt"): _m(lambda it, s, a: float(ord(s[int(_num(a[0]) if a
+                              else 0.0)])) if 0 <= int(_num(a[0]) if a else
+                              0.0) < len(s) else math.nan),
     ("str", "repeat"): _m(lambda it, s, a: s * int(_num(a[0]))),
     ("str", "concat"): _m(lambda it, s, a: s + "".join(_to_str(x) for x in a)),
     # arrays
@@ -816,7 +1249,116 @@ _METHODS = {
     ("list", "filter"): _m(lambda it, l, a: [x for i, x in enumerate(l)
                                              if _truthy(it._invoke(a[0],
                                                         [x, float(i)]))]),
+    ("list", "shift"): _m(lambda it, l, a: l.pop(0) if l else UNDEFINED),
+    ("list", "unshift"): _m(lambda it, l, a: (l.__setitem__(slice(0, 0), a),
+                                              float(len(l)))[1]),
+    ("list", "lastIndexOf"): _m(lambda it, l, a: float(
+        len(l) - 1 - l[::-1].index(a[0])) if a[0] in l else -1.0),
+    ("list", "forEach"): _m(lambda it, l, a: ([it._invoke(a[0], [x, float(i)])
+                                               for i, x in enumerate(l)],
+                                              UNDEFINED)[1]),
+    ("list", "some"): _m(lambda it, l, a: any(
+        _truthy(it._invoke(a[0], [x, float(i)])) for i, x in enumerate(l))),
+    ("list", "every"): _m(lambda it, l, a: all(
+        _truthy(it._invoke(a[0], [x, float(i)])) for i, x in enumerate(l))),
+    ("list", "reduce"): _m(lambda it, l, a: _reduce(it, l, a)),
+    ("list", "sort"): _m(lambda it, l, a: _sort(it, l, a)),
+    # numbers
+    ("float", "toFixed"): _m(lambda it, x, a: f"{x:.{int(_num(a[0]) if a else 0)}f}"),
 }
+
+
+def _reduce(it, lst, a):
+    if len(a) > 1:
+        acc = a[1]
+        items = list(enumerate(lst))
+    else:
+        if not lst:
+            raise MiniJsError("reduce of empty array with no initial value")
+        acc = lst[0]
+        items = list(enumerate(lst))[1:]
+    for i, x in items:
+        acc = it._invoke(a[0], [acc, x, float(i)])
+    return acc
+
+
+def _sort(it, lst, a):
+    """In-place sort, JS semantics: default is string comparison; with a
+    comparator the return sign orders the pair."""
+    import functools
+
+    if a and a[0] is not UNDEFINED:
+        fn = a[0]
+
+        def cmp(x, y):
+            r = _num(it._invoke(fn, [x, y]))
+            return -1 if r < 0 else (1 if r > 0 else 0)
+
+        lst.sort(key=functools.cmp_to_key(cmp))
+    else:
+        lst.sort(key=_to_str)
+    return lst
+
+
+def _str_split(s, a):
+    if not a:
+        return [s]
+    sep = a[0]
+    if isinstance(sep, _RegExp):
+        return list(sep.regex.split(s))
+    sep = _to_str(sep)
+    if sep == "":
+        return list(s)
+    return list(s.split(sep))
+
+
+def _str_replace(it, s, a):
+    pat, repl = a[0], a[1] if len(a) > 1 else UNDEFINED
+    def do(match_text, groups=()):
+        if isinstance(repl, (_Function, _Bound)) or callable(repl):
+            return _to_str(it._invoke(repl, [match_text,
+                                             *[g or "" for g in groups]]))
+        out = []
+        i, r = 0, _to_str(repl)
+        while i < len(r):
+            if r[i] == "$" and i + 1 < len(r):
+                c = r[i + 1]
+                if c == "&":
+                    out.append(match_text)
+                    i += 2
+                    continue
+                if c == "$":
+                    out.append("$")
+                    i += 2
+                    continue
+                if c.isdigit():
+                    gi = int(c) - 1
+                    out.append(groups[gi] or "" if 0 <= gi < len(groups)
+                               else "")
+                    i += 2
+                    continue
+            out.append(r[i])
+            i += 1
+        return "".join(out)
+
+    if isinstance(pat, _RegExp):
+        count = 0 if pat.is_global else 1
+        return pat.regex.sub(lambda m: do(m.group(0), m.groups()), s,
+                             count=count)
+    return s.replace(_to_str(pat), do(_to_str(pat)), 1)
+
+
+def _str_match(s, a):
+    pat = a[0] if a else UNDEFINED
+    rx = pat if isinstance(pat, _RegExp) else _RegExp(_to_str(pat), "")
+    if rx.is_global:
+        out = [m.group(0) for m in rx.regex.finditer(s)]
+        return out or None
+    m = rx.regex.search(s)
+    if m is None:
+        return None
+    return [m.group(0)] + [(g if g is not None else UNDEFINED)
+                           for g in m.groups()]
 
 
 def _slice(s, a):
@@ -834,6 +1376,55 @@ def _substring(s, a):
     return s[start:end]
 
 
+def _js_class(v) -> str:
+    """Object.prototype.toString semantics."""
+    if isinstance(v, list):
+        return "[object Array]"
+    if isinstance(v, bool):
+        return "[object Boolean]"
+    if isinstance(v, float):
+        return "[object Number]"
+    if isinstance(v, str):
+        return "[object String]"
+    if v is None:
+        return "[object Null]"
+    if v is UNDEFINED:
+        return "[object Undefined]"
+    if isinstance(v, _RegExp):
+        return "[object RegExp]"
+    if isinstance(v, (_Function, _NativeThis, _Callable, _Bound)):
+        return "[object Function]"
+    return "[object Object]"
+
+
+def _has_own(this, key) -> bool:
+    k = _to_str(key)
+    if isinstance(this, dict):
+        return k in this
+    if isinstance(this, list):
+        if k == "length":
+            return False
+        try:
+            i = int(k)
+        except ValueError:
+            return False
+        return 0 <= i < len(this)
+    return False
+
+
+_OBJECT_PROTO = {
+    "hasOwnProperty": _NativeThis(
+        lambda it, this, a: _has_own(this, a[0] if a else UNDEFINED)),
+    "toString": _NativeThis(lambda it, this, a: _js_class(this)),
+}
+
+_ARRAY_PROTO = {
+    name: _NativeThis(
+        lambda it, this, a, _meth=meth: _meth(
+            it, this if isinstance(this, list) else [], a))
+    for (tname, name), meth in list(_METHODS.items()) if tname == "list"
+}
+
 _GLOBALS = {
     "Math": {
         "floor": lambda it, a: float(math.floor(_num(a[0]))),
@@ -850,33 +1441,94 @@ _GLOBALS = {
         "parse": lambda it, a: _json_parse(_to_str(a[0])),
         "stringify": lambda it, a: _json_stringify(a[0]),
     },
-    "Object": {"keys": lambda it, a: list(a[0].keys())
-               if isinstance(a[0], dict) else []},
-    "Array": {"isArray": lambda it, a: isinstance(a[0], list)},
-    "String": lambda it, a: _to_str(a[0]) if a else "",
-    "Number": lambda it, a: _num(a[0]) if a else 0.0,
+    "Object": _Callable(
+        lambda it, a: a[0] if a else {},
+        props={
+            "keys": lambda it, a: list(a[0].keys())
+            if isinstance(a[0], dict) else [],
+            "prototype": _OBJECT_PROTO,
+        },
+        name="Object",
+    ),
+    "Array": _Callable(
+        lambda it, a: list(a),
+        props={
+            "isArray": lambda it, a: isinstance(a[0], list),
+            "prototype": _ARRAY_PROTO,
+        },
+        name="Array",
+    ),
+    "String": _Callable(
+        lambda it, a: _to_str(a[0]) if a else "",
+        props={
+            "fromCharCode": lambda it, a: "".join(
+                chr(int(_num(x)) & 0xFFFF) for x in a),
+        },
+        name="String",
+    ),
+    "Number": _Callable(lambda it, a: _num(a[0]) if a else 0.0,
+                        name="Number"),
+    "RegExp": _Callable(
+        lambda it, a: _RegExp(_to_str(a[0]) if a else "",
+                              _to_str(a[1]) if len(a) > 1 else ""),
+        name="RegExp",
+    ),
+    "Function": _Callable(
+        lambda it, a: (_ for _ in ()).throw(
+            MiniJsError("Function constructor is not supported")),
+        name="Function",
+    ),
+    "Date": _Callable(
+        lambda it, a: _iso_ms(it.now_ms),
+        props={"now": lambda it, a: it.now_ms},
+        name="Date",
+    ),
     "parseInt": lambda it, a: _parse_int(a),
     "parseFloat": lambda it, a: _parse_float(a),
     "isNaN": lambda it, a: isinstance(_num(a[0]), float)
     and math.isnan(_num(a[0])),
+    "isFinite": lambda it, a: math.isfinite(_num(a[0])),
     "NaN": math.nan,
     "Infinity": math.inf,
 }
 
 
+def _iso_ms(ms: float) -> str:
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(ms / 1000.0, datetime.timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{int(ms) % 1000:03d}Z"
+
+
+def _date_object(ms: float) -> dict:
+    return {
+        "toISOString": lambda it, a, _ms=ms: _iso_ms(_ms),
+        "getTime": lambda it, a, _ms=ms: float(_ms),
+        "valueOf": lambda it, a, _ms=ms: float(_ms),
+    }
+
+
+_INT_DIGITS = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
 def _parse_int(a):
     s = _to_str(a[0]).strip()
+    radix = int(_num(a[1])) if len(a) > 1 and _truthy(a[1]) else 10
+    if not 2 <= radix <= 36:
+        return math.nan
     sign = 1
     if s[:1] in "+-":
         sign = -1 if s[0] == "-" else 1
         s = s[1:]
+    if radix == 16 and s[:2].lower() == "0x":
+        s = s[2:]
     digits = ""
-    for c in s:
-        if c.isdigit():
+    for c in s.lower():
+        if c in _INT_DIGITS[:radix]:
             digits += c
         else:
             break
-    return float(sign * int(digits)) if digits else math.nan
+    return float(sign * int(digits, radix)) if digits else math.nan
 
 
 def _parse_float(a):
@@ -897,6 +1549,8 @@ def _parse_float(a):
         return math.nan
 
 
-def run_script(src: str, params: dict | None = None, max_ops: int = 500_000):
-    """Public entry: run a plugin script with ``params`` bound."""
-    return Interpreter(max_ops=max_ops).run(src, params)
+def run_script(src: str, params: dict | None = None, max_ops: int = 500_000,
+               now_ms: float = 0.0):
+    """Public entry: run a plugin script with ``params`` bound.
+    ``now_ms`` seeds the deterministic Date clock."""
+    return Interpreter(max_ops=max_ops, now_ms=now_ms).run(src, params)
