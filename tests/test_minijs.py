@@ -263,3 +263,28 @@ def test_reference_api_ping_pong_plugin_runs_verbatim():
     assert out["input"] == "hi"
     assert out["http"] == {"method": "GET", "path": "/v1/plugin/ping",
                            "query": "x=1"}
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference/examples"),
+    reason="reference absent",
+)
+def test_reference_tyrell_source_config_plugin_runs_verbatim():
+    """examples/tyrell-information-seed-candidate-plugin.js (an
+    engine_plugin building nested source_overrides) runs unmodified."""
+    src = open("/root/reference/examples/"
+               "tyrell-information-seed-candidate-plugin.js").read()
+    out = run_script(src, {
+        "candidate": {"url": "https://tyrell.example/", "host":
+                      "Tyrell.Example", "score": 0.8},
+        "source_defaults": {"priority": "high"}})
+    assert out["accepted"] is True and out["score"] == 0.8
+    so = out["source_overrides"]
+    assert so["priority"] == "high" and so["restricted"] == 1
+    assert so["source_config"]["crawling_config"] == {
+        "site": "https://tyrell.example/", "source_type": "website"}
+    assert so["source_config"]["custom"]["discovery_host"] == "tyrell.example"
+    out2 = run_script(src, {"candidate": {"URL": "http://insecure.example/"}})
+    assert out2["accepted"] is False
+    assert out2["reason"] == "candidate is not an HTTPS URL"
+    assert "source_overrides" not in out2

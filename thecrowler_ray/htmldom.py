@@ -50,6 +50,43 @@ class Element:
     def get(self, name: str, default: str = "") -> str:
         return self.attrs.get(name, default)
 
+    def remove(self) -> None:
+        """Detach this element from its parent (DOM ``el.remove()``)."""
+        if self.parent is not None:
+            self.parent.children = [
+                c for c in self.parent.children if c is not self
+            ]
+            self.parent = None
+
+
+_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+
+
+def _esc_text(s: str) -> str:
+    return "".join(_ESC.get(ch, ch) for ch in s)
+
+
+def _esc_attr(s: str) -> str:
+    return _esc_text(s).replace('"', "&quot;")
+
+
+def serialize(el: "Element | str", inner: bool = False) -> str:
+    """Serialize a (possibly mutated) tree back to HTML. ``inner=True``
+    emits only the children (``innerHTML``); the synthetic ``document``
+    root always serializes inner-only."""
+    if isinstance(el, str):
+        return _esc_text(el)
+    kids = "".join(serialize(c) for c in el.children)
+    if inner or el.tag == "document":
+        return kids
+    attrs = "".join(
+        f' {k}' if v is None else f' {k}="{_esc_attr(v)}"'
+        for k, v in el.attrs.items()
+    )
+    if el.tag in _VOID and not el.children:
+        return f"<{el.tag}{attrs}>"
+    return f"<{el.tag}{attrs}>{kids}</{el.tag}>"
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self):

@@ -711,6 +711,8 @@ def _to_str(v) -> str:
 def _json_ready(v):
     if v is UNDEFINED:
         return None
+    if hasattr(v, "js_json"):
+        return v.js_json()
     if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
         return int(v)
     if isinstance(v, list):
@@ -749,15 +751,20 @@ class Interpreter:
         self.now_ms = float(now_ms)
 
     def run(self, src: str, params: dict | None = None,
-            extra_vars: dict | None = None):
+            extra_vars: dict | None = None,
+            host_vars: dict | None = None):
         """Execute a script. → the ``result`` global if set (non-null),
         else the last expression-statement value (the reference's export
         convention, plugins.go:2265-2299). ``extra_vars`` binds additional
-        globals (the agent engine uses it for ``$``-prefixed step inputs)."""
+        globals (the agent engine uses it for ``$``-prefixed step inputs);
+        ``host_vars`` binds live host objects AS-IS (no JSON round-trip) —
+        the DOM seam uses it for ``document``."""
         ast = _Parser(_tokenize(src)).program()
         env = {"params": _json_parse(json.dumps(params or {}))}
         for k, v in (extra_vars or {}).items():
             env[k] = _json_parse(json.dumps(v, default=str))
+        for k, v in (host_vars or {}).items():
+            env[k] = v
         self.ops = 0
         last = UNDEFINED
         try:
@@ -1065,6 +1072,8 @@ class Interpreter:
         return a is b
 
     def _member(self, obj, name):
+        if hasattr(obj, "js_member"):  # host objects (e.g. domjs.DomNode)
+            return obj.js_member(self, name)
         if name == "length":
             if isinstance(obj, (str, list)):
                 return float(len(obj))
@@ -1179,6 +1188,9 @@ class Interpreter:
             obj = self.eval(target[1], env)
             if isinstance(obj, _RegExp) and target[2] == "lastIndex":
                 obj.last_index = _num(value)
+                return
+            if hasattr(obj, "js_set_member"):
+                obj.js_set_member(self, target[2], value)
                 return
             if not isinstance(obj, dict):
                 raise MiniJsError("cannot set property on non-object")

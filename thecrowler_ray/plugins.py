@@ -66,6 +66,28 @@ class PluginRegistry:
         self._plugins[name] = run
         return self
 
+    def register_vdi_plugin(self, name: str, source: str,
+                            max_ops: int = 500_000) -> "PluginRegistry":
+        """Register a vdi_plugin (reference ``plugins.go:751-795``: runs in
+        the browser page via ExecuteScript). Here it runs against the parsed
+        DOM (``domjs.run_dom_plugin``); the handler returns the plugin's
+        result and leaves the mutated HTML in ``ctx["html"]`` so downstream
+        selectors see the post-plugin page."""
+        from .minijs import _Parser, _tokenize
+
+        _Parser(_tokenize(source)).program()  # fail fast on bad scripts
+
+        def run(ctx: dict):
+            from .domjs import run_dom_plugin
+
+            result, mutated = run_dom_plugin(
+                source, ctx.get("html", ""), ctx, max_ops=max_ops)
+            ctx["html"] = mutated
+            return result
+
+        self._plugins[name] = run
+        return self
+
     def register_agent(self, name: str, fn) -> "PluginRegistry":
         self._agents[name] = fn
         return self
