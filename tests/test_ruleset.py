@@ -299,3 +299,48 @@ def test_js_path_selector_browserless_fallback():
     )
     got = apply_rule(rule, html)
     assert got == {"val": "target text"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scrape_stage_vdi_plugins_preprocess_dom():
+    """vdi_plugin scripts run against the page DOM before rule
+    extraction (reference plugins.go:751-795 execute in the browser page
+    ahead of scraping), so a selector that would match boilerplate only
+    matches the cleaned page."""
+    import pyarrow as pa
+    import ray.data
+
+    from thecrowler_ray.ruleset import ScrapeStage
+
+    yaml_doc = """
+ruleset_name: "clean"
+rule_groups:
+  - group_name: "g"
+    is_enabled: true
+    scraping_rules:
+      - rule_name: "r"
+        elements:
+          - key: "first_para"
+            selectors:
+              - selector_type: "css"
+                selector: "p"
+"""
+    html = ('<div class="ad"><p>BUY NOW</p></div>'
+            '<article><p>real text</p></article>')
+    ds = ray.data.from_arrow(pa.table({
+        "url": ["http://a.test/"], "html": [html]}))
+    plain = ds.map_batches(
+        ScrapeStage, fn_constructor_args=(yaml_doc,),
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    cleaned = ds.map_batches(
+        ScrapeStage, fn_constructor_args=(yaml_doc,),
+        fn_constructor_kwargs={
+            "vdi_plugins": ["document.querySelector('div.ad').remove();"]},
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    import json as _json
+
+    assert _json.loads(plain.scraped_data[0])["first_para"] == "BUY NOW"
+    assert _json.loads(cleaned.scraped_data[0])["first_para"] == "real text"
+    # bad plugin source fails at actor construction, not per batch
+    with pytest.raises(Exception):
+        ScrapeStage(yaml_doc, vdi_plugins=["function ("])

@@ -334,7 +334,8 @@ class ScrapeStage:
     def __init__(self, ruleset_yaml: str, url_col: str = "url",
                  html_col: str = "html",
                  now: _dt.datetime | None = None,
-                 plugin_factory=None):
+                 plugin_factory=None,
+                 vdi_plugins: list[str] | None = None):
         self.rulesets = load_rulesets(ruleset_yaml)
         self.url_col = url_col
         self.html_col = html_col
@@ -342,12 +343,29 @@ class ScrapeStage:
         # plugin registry built once per actor (a factory pickles cleanly
         # where a registry holding closures might not)
         self.plugins = plugin_factory() if plugin_factory else None
+        # vdi_plugin sources applied to the page DOM before rule
+        # extraction (reference plugins.go:751-795 run in the browser page
+        # ahead of scraping); parse errors surface at actor construction
+        if vdi_plugins:
+            from .minijs import _Parser, _tokenize
+
+            for src in vdi_plugins:
+                _Parser(_tokenize(src)).program()
+        self.vdi_plugins = list(vdi_plugins or [])
 
     def __call__(self, batch):
         import pyarrow as pa
 
         urls = batch[self.url_col].to_pylist()
         htmls = batch[self.html_col].to_pylist()
+        if self.vdi_plugins:
+            from .domjs import apply_dom_plugins
+
+            htmls = [
+                apply_dom_plugins(h or "", self.vdi_plugins,
+                                  {"url": u or ""})
+                for u, h in zip(urls, htmls)
+            ]
         scraped = [
             json.dumps(
                 scrape_page(self.rulesets, h or "", u or "", self.now,
