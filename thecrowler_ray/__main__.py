@@ -201,6 +201,64 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_sources(args) -> int:
+    """Source-registry console (reference cmd/addSource, cmd/removeSource,
+    cmd/updateSourceStatus, cmd/exportSources, cmd/addCategory). Registry
+    ops are metadata-only — no Ray session needed."""
+    import time
+
+    from .source_registry import SourceRegistry, export_sources
+
+    reg = SourceRegistry(args.registry)
+    now_s = time.time()
+    if args.action == "add":
+        if args.bulk:
+            ids = reg.add_bulk_csv(args.bulk, force=args.force, now_s=now_s)
+            print(json.dumps({"inserted": ids}))
+        else:
+            if not args.url:
+                print("provide --url or --bulk", file=sys.stderr)
+                return 2
+            cfg = open(args.srccfg).read() if args.srccfg else None
+            sid = reg.add_source(
+                args.url, category_id=args.cat_id, usr_id=args.usr_id,
+                restricted=args.restricted, flags=args.flags,
+                config=cfg, now_s=now_s)
+            print(json.dumps({"source_id": sid}))
+    elif args.action == "remove":
+        resp = reg.remove_source(args.url)
+        print(json.dumps(resp))
+    elif args.action == "status":
+        n = reg.update_status(
+            args.status, url=args.url or "", source_id=args.id,
+            bulk_csv=args.bulk or "", all_sources=args.all,
+            yesterday=args.yesterday, within=args.within,
+            after=args.after, before=args.before, now_s=now_s)
+        print(json.dumps({"updated": n}))
+    elif args.action == "export":
+        out = export_sources(reg, args.index or "",
+                             exported_at=_iso_utc(now_s))
+        text = json.dumps(out, indent=1, default=str)
+        if args.out:
+            open(args.out, "w").write(text)
+        else:
+            print(text)
+        return 0  # export mutates nothing
+    elif args.action == "addcat":
+        schema = json.load(open(args.schema))
+        ids = reg.add_categories(schema)
+        print(json.dumps({"category_ids": ids}))
+    reg.save()
+    return 0
+
+
+def _iso_utc(now_s: float) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(
+        now_s, tz=_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="thecrowler_ray")
     parser.add_argument("--num-cpus", type=int, default=None)
@@ -253,6 +311,32 @@ def main(argv: list[str] | None = None) -> int:
     p_an.add_argument("--input", required=True)
     p_an.add_argument("--out", required=True)
     p_an.set_defaults(fn=cmd_analyze)
+
+    p_src = sub.add_parser("sources")
+    p_src.add_argument("action",
+                       choices=["add", "remove", "status", "export",
+                                "addcat"])
+    p_src.add_argument("--registry", required=True,
+                       help="sources parquet path")
+    p_src.add_argument("--url", default="")
+    p_src.add_argument("--bulk", default="")
+    p_src.add_argument("--cat-id", dest="cat_id", type=int, default=0)
+    p_src.add_argument("--usr-id", dest="usr_id", type=int, default=0)
+    p_src.add_argument("--restricted", type=int, default=1)
+    p_src.add_argument("--flags", type=int, default=0)
+    p_src.add_argument("--srccfg", default="")
+    p_src.add_argument("--force", action="store_true")
+    p_src.add_argument("--status", default="")
+    p_src.add_argument("--id", type=int, default=0)
+    p_src.add_argument("--all", action="store_true")
+    p_src.add_argument("--yesterday", action="store_true")
+    p_src.add_argument("--within", default="")
+    p_src.add_argument("--after", default="")
+    p_src.add_argument("--before", default="")
+    p_src.add_argument("--index", default="")
+    p_src.add_argument("--out", default="")
+    p_src.add_argument("--schema", default="")
+    p_src.set_defaults(fn=cmd_sources)
 
     args = parser.parse_args(argv)
     try:
