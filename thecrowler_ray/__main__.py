@@ -252,6 +252,38 @@ def cmd_sources(args) -> int:
     return 0
 
 
+def cmd_agents(args) -> int:
+    """Agent-file console (reference cmd/crowler-agt: agents
+    lint|validate|convert). No Ray session needed."""
+    from .agents_cli import (
+        AgentValidationError,
+        convert_agent_file,
+        lint_agent_file,
+        validate_agent_file,
+    )
+
+    try:
+        if args.action == "lint":
+            lint_agent_file(args.file)
+            print(json.dumps({"ok": True}))
+        elif args.action == "validate":
+            validate_agent_file(args.file, strict=args.strict)
+            print(json.dumps({"ok": True, "strict": args.strict}))
+        elif args.action == "convert":
+            out = convert_agent_file(args.file, args.out, args.mode)
+            if not args.out:
+                sys.stdout.write(out)
+    except AgentValidationError as exc:
+        print(json.dumps({"ok": False,
+                          "issues": [{"path": p, "message": m}
+                                     for p, m in exc.issues]}))
+        return 1
+    except (ValueError, OSError) as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    return 0
+
+
 def _iso_utc(now_s: float) -> str:
     import datetime as _dt
 
@@ -337,6 +369,15 @@ def main(argv: list[str] | None = None) -> int:
     p_src.add_argument("--out", default="")
     p_src.add_argument("--schema", default="")
     p_src.set_defaults(fn=cmd_sources)
+
+    p_agt = sub.add_parser("agents")
+    p_agt.add_argument("action", choices=["lint", "validate", "convert"])
+    p_agt.add_argument("file")
+    p_agt.add_argument("--strict", action="store_true")
+    p_agt.add_argument("--mode", default="",
+                       choices=["", "json2yaml", "yaml2json"])
+    p_agt.add_argument("--out", default="")
+    p_agt.set_defaults(fn=cmd_agents)
 
     args = parser.parse_args(argv)
     try:
