@@ -182,3 +182,32 @@ def test_event_handlers_consume_events(tmp_path):
     # not due again immediately
     res2 = run_schedules(bus, reg, now=260.5)
     assert res2["fired"] == [] and res2["handled"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_drain_events_broadcasts_to_ws_hub():
+    """Events flowing through the consumer loop surface as live "event"
+    websocket messages (services/events/main.go:1157)."""
+    import json
+
+    import ray
+
+    from thecrowler_ray.pipelines.handlers import HandlerRegistry, drain_events
+    from thecrowler_ray.state.events import event_bus
+    from thecrowler_ray.ws import OP_TEXT, Client, Hub, WSConfig
+
+    bus = event_bus("t_ws_bus")
+    reg = HandlerRegistry()
+    reg.register("content_change", lambda ev: "ok")
+    hub = Hub("events", WSConfig(enabled=True, allowed_origins=["*"]))
+    spy = Client(hub, sock=None)  # thread-less client; frames pile up in queue
+    hub._clients.add(spy)
+
+    ray.get(bus.publish.remote("recrawl", "content_change", now=100.0))
+    out = drain_events(bus, reg, now=101.0, ws_hub=hub)
+    assert out["handled"] == 1
+    frame = spy.send.get_nowait()
+    # skip the 2-byte header; payload is unmasked server->client JSON
+    msg = json.loads(frame[2 + (frame[1] & 0x7F >= 126) * 2:])
+    assert msg["type"] == "event" and msg["service"] == "events"
+    assert msg["payload"]["action"] == "recrawl"

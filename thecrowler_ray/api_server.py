@@ -88,6 +88,7 @@ class ApiServer:
         search_fn: Callable | None = None,
         timeseries_fn: Callable | None = None,
         users=None,
+        ws_config=None,
     ):
         self.index_dir = index_dir
         self.cfg = config or ApiConfig()
@@ -98,6 +99,11 @@ class ApiServer:
         self.bucket = _TokenBucket(rate, burst)
         self.httpd: ThreadingHTTPServer | None = None
         self.thread: threading.Thread | None = None
+        # /v1/ws live-update hub (main.go:808-810); disabled unless a
+        # ws.WSConfig with enabled=True is passed
+        from .ws import Hub, WSConfig
+
+        self.ws_hub = Hub("api", ws_config or WSConfig())
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> int:
@@ -123,6 +129,7 @@ class ApiServer:
         return self.httpd.server_address[1]
 
     def close(self) -> None:
+        self.ws_hub.shutdown()
         if self.httpd:
             self.httpd.shutdown()
             self.httpd.server_close()
@@ -140,6 +147,11 @@ class ApiServer:
 
         if not self.bucket.allow():
             return _json(req, 429, {"error": "Rate limit exceeded"})
+
+        # websocket upgrade sits behind the rate limiter like every other
+        # middleware-wrapped route (main.go:809 withMiddlewares)
+        if path == "/v1/ws":
+            return self.ws_hub.handle_upgrade(req)
 
         if path == "/v1/auth/login" and req.command == "POST":
             return self._login(req)

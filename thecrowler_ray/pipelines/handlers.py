@@ -36,14 +36,19 @@ class HandlerRegistry:
         return list(self._handlers.get(event_type, ()))
 
 
-def drain_events(bus, registry: HandlerRegistry, now: float | None = None) -> dict:
+def drain_events(bus, registry: HandlerRegistry, now: float | None = None,
+                 ws_hub=None) -> dict:
     """Poll the bus, dispatch each event to its type's handlers, ack the
     handled ones. Events with no handler are dropped (acked without work),
-    mirroring the reference's dropped-events counter."""
+    mirroring the reference's dropped-events counter. When a ``ws_hub``
+    is attached, every polled event is also broadcast as a live
+    ``"event"`` message (services/events/main.go:1157)."""
     events = ray.get(bus.poll.remote(None, now))
     handled = dropped = 0
     results = []
     for ev in events:
+        if ws_hub is not None:
+            ws_hub.broadcast("event", ev)
         fns = registry.handlers_for(ev["event_type"])
         if not fns:
             dropped += 1
