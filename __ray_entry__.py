@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scrape_docs": q.q_scrape_docs,
         "q_tech_detect_docs": q.q_tech_detect_docs,
         "q_xhr_requests": q.q_xhr_requests,
+        # netinfo parse plane (pkg/netinfo whois/dig parsing)
+        "q_whois": q.q_whois,
+        "q_dns_records": q.q_dns_records,
         # the crawl engine itself (rows-only; pytest gates it vs the oracle)
         "q_crawl": q_crawl,
         "q_crawl_index": q_crawl_index,
@@ -780,6 +783,59 @@ def oracle_sql() -> dict[str, str]:
                        AS resource_type,
                    CAST(200 AS BIGINT) AS status
             FROM documents WHERE doc_id % 4 IN (1, 2)
+        """,
+        "q_whois": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN '10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1'
+                        ELSE 'h' || CAST(doc_id % 41 AS VARCHAR)
+                             || '.example.com' END AS entity,
+                   CASE WHEN doc_id % 11 = 0 THEN 'IPv4'
+                        ELSE 'DOMAIN' END AS entity_type,
+                   CASE WHEN doc_id % 11 = 0 THEN 'PRIVATE'
+                        ELSE 'PUBLIC' END AS entity_status,
+                   CASE WHEN doc_id % 11 = 0 THEN ''
+                        ELSE 'Registrar ' || CAST(doc_id % 13 AS VARCHAR)
+                        END AS registrar,
+                   CASE WHEN doc_id % 11 = 0 THEN ''
+                        ELSE CAST(100 + doc_id % 10 AS VARCHAR)
+                        END AS registrar_iana_id,
+                   CASE WHEN doc_id % 11 = 0 THEN ''
+                        ELSE '19' || CAST(90 + doc_id % 10 AS VARCHAR)
+                             || '-01-02T00:00:00Z' END AS creation_date,
+                   CASE WHEN doc_id % 11 = 0 THEN ''
+                        ELSE ['US','DE','JP','BR','IN'][doc_id % 5 + 1]
+                        END AS registrant_country,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN ['US','DE','JP','BR','IN'][doc_id % 5 + 1]
+                        ELSE '' END AS country,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN 'Org ' || CAST(doc_id % 13 AS VARCHAR)
+                        ELSE '' END AS org_name,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN '\\nip block ' || CAST(doc_id AS VARCHAR)
+                        ELSE '\\ndomain ' || CAST(doc_id AS VARCHAR)
+                        END AS comment,
+                   CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+                             WHEN doc_id % 3 = 0 THEN 2
+                             ELSE 1 END AS BIGINT) AS n_name_servers
+            FROM documents
+        """,
+        "q_dns_records": """
+            SELECT doc_id,
+                   CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_records,
+                   CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_answer,
+                   '93.184.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                       || CAST(doc_id % 250 + 1 AS VARCHAR) AS a_response,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'v=spf1 include:spf' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS txt_response,
+                   'ns' || CAST(doc_id % 4 AS VARCHAR) || '.example.net.'
+                       AS ns_response,
+                   '10.0.0.' || CAST(doc_id % 9 + 1 AS VARCHAR) AS server
+            FROM documents
         """,
         "q_langid": _langid_sql(),
         "q_simhash": f"""

@@ -1204,3 +1204,30 @@ def q_simhash_pairs(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return simhash_candidate_pairs(ds, max_hamming=12)
+
+
+def q_whois(sf_dir: str):
+    """WHOIS parse plane (pkg/netinfo/whoisinfo.go:130-287): documents →
+    deterministic whois fixture text → distributed parse → field columns.
+    The SQL twin recomputes every field from doc_id arithmetic, so the
+    parser is checked against an independent formula."""
+    from ..stages.enrich import whois_parse_stage, whois_text_from_documents
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    return (
+        ds.map_batches(whois_text_from_documents, batch_format="pyarrow")
+        .map_batches(whois_parse_stage, batch_format="pyarrow")
+    )
+
+
+def q_dns_records(sf_dir: str):
+    """DNS (dig output) parse plane (pkg/netinfo/dnsinfo.go:154-268):
+    documents → deterministic dig fixture text → distributed parse →
+    per-doc record summary, SQL-twinned via doc_id arithmetic."""
+    from ..stages.enrich import dig_text_from_documents, dns_parse_stage
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    return (
+        ds.map_batches(dig_text_from_documents, batch_format="pyarrow")
+        .map_batches(dns_parse_stage, batch_format="pyarrow")
+    )
