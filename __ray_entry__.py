@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # netinfo parse plane (pkg/netinfo whois/dig parsing)
         "q_whois": q.q_whois,
         "q_dns_records": q.q_dns_records,
+        # entity-correlation upsert plane (pkg/database)
+        "q_correlations": q.q_correlations,
         # the crawl engine itself (rows-only; pytest gates it vs the oracle)
         "q_crawl": q_crawl,
         "q_crawl_index": q_crawl_index,
@@ -836,6 +838,61 @@ def oracle_sql() -> dict[str, str]:
                        AS ns_response,
                    '10.0.0.' || CAST(doc_id % 9 + 1 AS VARCHAR) AS server
             FROM documents
+        """,
+        "q_correlations": """
+            WITH raw AS (
+                SELECT CASE WHEN doc_id % 2 = 1 THEN 'lang'
+                            ELSE 'document' END AS object_type_1,
+                       CASE WHEN doc_id % 2 = 1 THEN doc_id % 5 + 1
+                            ELSE doc_id + 1 END AS object_id_1,
+                       CASE WHEN doc_id % 2 = 1 THEN 'document'
+                            ELSE 'lang' END AS object_type_2,
+                       CASE WHEN doc_id % 2 = 1 THEN doc_id + 1
+                            ELSE doc_id % 5 + 1 END AS object_id_2,
+                       CAST(1 AS BIGINT) AS rule_id,
+                       CASE WHEN doc_id % 19 = 0 THEN 1.5
+                            ELSE (doc_id % 100) / 100.0 END AS score,
+                       (doc_id % 10) / 10.0 AS confidence,
+                       CAST(2 * doc_id AS BIGINT) AS seq
+                FROM documents
+                UNION ALL
+                SELECT 'document', doc_id + 1, 'lang', doc_id % 5 + 1,
+                       1, 0.42, (doc_id % 10) / 10.0, 2 * doc_id + 1
+                FROM documents WHERE doc_id % 10 = 0
+                -- the self-correlation rows are invalid by construction,
+                -- so the generator's doc_id % 17 branch never survives
+            ), norm AS (
+                SELECT CASE WHEN object_type_1 > object_type_2
+                            OR (object_type_1 = object_type_2
+                                AND object_id_1 > object_id_2)
+                            THEN object_type_2 ELSE object_type_1 END
+                           AS object_type_1,
+                       CASE WHEN object_type_1 > object_type_2
+                            OR (object_type_1 = object_type_2
+                                AND object_id_1 > object_id_2)
+                            THEN object_id_2 ELSE object_id_1 END
+                           AS object_id_1,
+                       CASE WHEN object_type_1 > object_type_2
+                            OR (object_type_1 = object_type_2
+                                AND object_id_1 > object_id_2)
+                            THEN object_type_1 ELSE object_type_2 END
+                           AS object_type_2,
+                       CASE WHEN object_type_1 > object_type_2
+                            OR (object_type_1 = object_type_2
+                                AND object_id_1 > object_id_2)
+                            THEN object_id_1 ELSE object_id_2 END
+                           AS object_id_2,
+                       rule_id, score, confidence, seq
+                FROM raw
+                WHERE score BETWEEN 0 AND 1
+            )
+            SELECT object_type_1, object_id_1, object_type_2, object_id_2,
+                   rule_id, score, confidence
+            FROM norm
+            QUALIFY row_number() OVER (
+                PARTITION BY object_type_1, object_id_1, object_type_2,
+                             object_id_2, rule_id
+                ORDER BY seq DESC) = 1
         """,
         "q_langid": _langid_sql(),
         "q_simhash": f"""

@@ -1231,3 +1231,58 @@ def q_dns_records(sf_dir: str):
         ds.map_batches(dig_text_from_documents, batch_format="pyarrow")
         .map_batches(dns_parse_stage, batch_format="pyarrow")
     )
+
+
+def q_correlations(sf_dir: str):
+    """Object-correlation upsert plane
+    (pkg/database/entity_correlation_timeseries.go:238-293): documents →
+    deterministic correlation rows (reversed pairs exercise ordering
+    normalization, duplicate keys exercise last-win upsert, planted
+    self-pairs / out-of-range scores exercise validation) → normalize →
+    validate → sharded last-win upsert. SQL twin replays the same
+    generator with window-function dedup."""
+    import pyarrow as pa
+
+    from ..correlation import upsert_correlations, validate_correlations
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for d in batch["doc_id"].to_pylist():
+            # normal pair; odd doc_ids arrive reversed
+            t1, i1, t2, i2 = "document", d + 1, "lang", d % 5 + 1
+            if d % 2 == 1:
+                t1, i1, t2, i2 = t2, i2, t1, i1
+            score = (d % 100) / 100.0
+            if d % 19 == 0:
+                score = 1.5  # invalid → dropped by validation
+            rows.append({"object_type_1": t1, "object_id_1": i1,
+                         "object_type_2": t2, "object_id_2": i2,
+                         "rule_id": 1, "score": score,
+                         "confidence": (d % 10) / 10.0, "seq": 2 * d})
+            if d % 10 == 0:
+                # duplicate conflict key, later seq, different score →
+                # last-win keeps this one
+                rows.append({"object_type_1": "document",
+                             "object_id_1": d + 1,
+                             "object_type_2": "lang",
+                             "object_id_2": d % 5 + 1,
+                             "rule_id": 1, "score": 0.42,
+                             "confidence": (d % 10) / 10.0,
+                             "seq": 2 * d + 1})
+            if d % 17 == 0:
+                # self-correlation → dropped
+                rows.append({"object_type_1": "document",
+                             "object_id_1": d + 1,
+                             "object_type_2": "document",
+                             "object_id_2": d + 1,
+                             "rule_id": 1, "score": 0.1,
+                             "confidence": 0.1, "seq": 2 * d})
+        return pa.Table.from_pylist(rows)
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    out = upsert_correlations(
+        ds.map_batches(gen, batch_format="pyarrow")
+        .map_batches(validate_correlations, batch_format="pyarrow"))
+    return out.select_columns(
+        ["object_type_1", "object_id_1", "object_type_2", "object_id_2",
+         "rule_id", "score", "confidence"])
