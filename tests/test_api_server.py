@@ -141,3 +141,65 @@ def test_timeseries_endpoint_real_backend():
         assert isinstance(r0["bucket"], str)  # timestamps serialized
     finally:
         srv.close()
+
+
+def test_cors_middleware():
+    """pkg/common/cors.go semantics on the API server: disabled →
+    pass-through without CORS headers; enabled exact-match origin echo +
+    Vary; wildcard → '*'; preflight 204 / 403; private-network echo."""
+    import urllib.request
+
+    from thecrowler_ray.api_server import ApiConfig, ApiServer, CorsConfig
+
+    def req(port, method="GET", path="/v1/health", headers=None):
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", method=method,
+            headers=headers or {})
+        try:
+            resp = urllib.request.urlopen(r)
+            return resp.status, dict(resp.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers)
+
+    srv = ApiServer("/tmp", config=ApiConfig(rate_limit="1000,1000"))
+    port = srv.start()
+    try:
+        _, h = req(port, headers={"Origin": "https://app.example"})
+        assert "Access-Control-Allow-Origin" not in h  # disabled
+    finally:
+        srv.close()
+
+    srv = ApiServer("/tmp", config=ApiConfig(rate_limit="1000,1000"),
+                    cors=CorsConfig(enabled=True,
+                                    allowed_origins=["https://app.example"]))
+    port = srv.start()
+    try:
+        _, h = req(port, headers={"Origin": "https://app.example"})
+        assert h["Access-Control-Allow-Origin"] == "https://app.example"
+        assert "Origin" in h.get("Vary", "")
+        assert h["Access-Control-Max-Age"] == "86400"
+        # non-matching origin on a plain request: request proceeds, no
+        # Allow-Origin header (the Go middleware quirk)
+        code, h2 = req(port, headers={"Origin": "https://evil.example"})
+        assert code == 200 and "Access-Control-Allow-Origin" not in h2
+        # preflights
+        code, h3 = req(port, method="OPTIONS",
+                       headers={"Origin": "https://app.example",
+                                "Access-Control-Request-Private-Network":
+                                    "True"})
+        assert code == 204
+        assert h3["Access-Control-Allow-Private-Network"] == "true"
+        code, _ = req(port, method="OPTIONS",
+                      headers={"Origin": "https://evil.example"})
+        assert code == 403
+    finally:
+        srv.close()
+
+    srv = ApiServer("/tmp", config=ApiConfig(rate_limit="1000,1000"),
+                    cors=CorsConfig(enabled=True, allowed_origins=["*"]))
+    port = srv.start()
+    try:
+        _, h = req(port, headers={"Origin": "https://whoever.example"})
+        assert h["Access-Control-Allow-Origin"] == "*"
+    finally:
+        srv.close()

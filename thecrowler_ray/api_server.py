@@ -53,6 +53,25 @@ class ApiConfig:
         return float(rate_s or 10), float(burst_s or 10)
 
 
+@dataclass
+class CorsConfig:
+    """pkg/common/cors.go CORSOptions: disabled → no CORS headers at all;
+    enabled → exact-origin match unless the list contains ``*``."""
+
+    enabled: bool = False
+    allowed_origins: list = field(default_factory=list)
+
+    def normalized(self) -> tuple[set, bool]:
+        out = set()
+        for origin in self.allowed_origins:
+            origin = origin.strip()
+            if origin == "*":
+                return set(), True
+            if origin:
+                out.add(origin)
+        return out, False
+
+
 class _TokenBucket:
     def __init__(self, rate: float, burst: float):
         self.rate, self.burst = rate, burst
@@ -89,7 +108,9 @@ class ApiServer:
         timeseries_fn: Callable | None = None,
         users=None,
         ws_config=None,
+        cors=None,
     ):
+        self.cors = cors or CorsConfig()
         self.index_dir = index_dir
         self.cfg = config or ApiConfig()
         self.users = users  # auth.UserStore for JWT mode
@@ -119,6 +140,9 @@ class ApiServer:
             def do_POST(self):
                 server._handle(self)
 
+            def do_OPTIONS(self):
+                server._handle(self)
+
         self.httpd = ThreadingHTTPServer(
             (self.cfg.host, self.cfg.port), Handler
         )
@@ -135,10 +159,51 @@ class ApiServer:
             self.httpd.server_close()
 
     # -- request handling --------------------------------------------------
+    def _apply_cors(self, req: BaseHTTPRequestHandler) -> bool:
+        """cors.go:24-69 as a pre-step: stashes the CORS headers for
+        _json to emit, answers OPTIONS preflights itself. Returns True
+        when the request was fully handled (preflight)."""
+        req.cors_headers = []
+        if not self.cors.enabled:
+            return False
+        allowed, allow_all = self.cors.normalized()
+        origin = (req.headers.get("Origin") or "").strip()
+        origin_allowed = False
+        if allow_all:
+            req.cors_headers.append(("Access-Control-Allow-Origin", "*"))
+            origin_allowed = True
+        elif origin and origin in allowed:
+            req.cors_headers.append(("Access-Control-Allow-Origin", origin))
+            req.cors_headers.append(("Vary", "Origin"))
+            origin_allowed = True
+        req.cors_headers += [
+            ("Access-Control-Allow-Methods", "GET, POST, OPTIONS"),
+            ("Access-Control-Allow-Headers",
+             "Content-Type, Authorization, Accept"),
+            ("Access-Control-Max-Age", "86400"),
+        ]
+        if (req.headers.get("Access-Control-Request-Private-Network", "")
+                .lower() == "true"):
+            req.cors_headers.append(
+                ("Access-Control-Allow-Private-Network", "true"))
+        if req.command == "OPTIONS":
+            if origin and not origin_allowed:
+                return _json(req, 403, {"error": "CORS origin not allowed"}) \
+                    or True
+            req.send_response(204)
+            for k, v in req.cors_headers:
+                req.send_header(k, v)
+            req.end_headers()
+            return True
+        return False
+
     def _handle(self, req: BaseHTTPRequestHandler) -> None:
         parsed = urlparse(req.path)
         path = parsed.path.rstrip("/") or "/"
         qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+
+        if self._apply_cors(req):
+            return
 
         # health/ready bypass auth+rate-limit (reference: public middlewares
         # but no auth; they must answer while the service is saturated)
@@ -214,6 +279,8 @@ def _json(req: BaseHTTPRequestHandler, code: int, obj: dict) -> None:
     req.send_response(code)
     req.send_header("Content-Type", "application/json")
     req.send_header("Content-Length", str(len(body)))
+    for k, v in getattr(req, "cors_headers", ()):
+        req.send_header(k, v)
     req.end_headers()
     req.wfile.write(body)
 
