@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dns_records": q.q_dns_records,
         # entity-correlation upsert plane (pkg/database)
         "q_correlations": q.q_correlations,
+        "q_backfill": q.q_backfill,
         # the crawl engine itself (rows-only; pytest gates it vs the oracle)
         "q_crawl": q_crawl,
         "q_crawl_index": q_crawl_index,
@@ -893,6 +894,17 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY object_type_1, object_id_1, object_type_2,
                              object_id_2, rule_id
                 ORDER BY seq DESC) = 1
+        """,
+        "q_backfill": """
+            SELECT e.event_id AS observation_id,
+                   CAST(1000 + e.user_id % 50 AS BIGINT) AS entity_id,
+                   CASE WHEN e.event_id % 11 = 0 THEN 0.9
+                        ELSE (e.user_id % 5) / 5.0 END AS dim_confidence
+            FROM events e
+            WHERE e.event_id > 100
+              AND e.event_id % 7 <> 0
+              AND e.user_id % 3 <> 0
+            ORDER BY observation_id
         """,
         "q_langid": _langid_sql(),
         "q_simhash": f"""

@@ -226,33 +226,22 @@ def backfill_observation_entities(observations_ds, memberships_ds,
                                     if len(df) else df,
                                     preserve_index=False)
 
-    cand = (observations_ds
-            .map_batches(candidates, batch_format="pyarrow")
-            .sort("observation_id")
-            .limit(limit)
-            .to_pandas())
-
-    result = {"batches": 0, "scanned": 0, "updated": 0,
-              "next_observation_id": after_observation_id,
-              "done": False, "affected_start": None, "affected_end": None}
-    updated_rows = []
-    pos = 0
-    while result["batches"] < max_batches:
-        chunk = cand.iloc[pos:pos + batch_size]
-        pos += batch_size
-        result["batches"] += 1
-        result["scanned"] += len(chunk)
-        for r in chunk.itertuples(index=False):
-            result["next_observation_id"] = int(r.observation_id)
-            m = lookup[(r.object_type, int(r.object_id))]
+    def merge_updates(batch: pa.Table) -> pa.Table:
+        """The reference's per-row UPDATE body (dims merge-if-absent +
+        provenance append, :446-495) — run inside tasks so the JSON work
+        parallelizes; the driver only sees the bounded updated set."""
+        look = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        rows = []
+        for r in df.itertuples(index=False):
+            m = look[(r.object_type, int(r.object_id))]
             dims = json.loads(r.dimensions) if r.dimensions else {}
             conf = getattr(m, "confidence", None)
             if "confidence" not in dims and conf is not None \
                     and not pd.isna(conf):
                 dims["confidence"] = float(conf)
-            for dim_key, attr in (("membership_role", "membership_role"),
-                                  ("membership_type", "membership_type")):
-                v = getattr(m, attr, None)
+            for dim_key in ("membership_role", "membership_type"):
+                v = getattr(m, dim_key, None)
                 if dim_key not in dims and v:
                     dims[dim_key] = v
             prov = json.loads(r.provenance) if r.provenance else {}
@@ -270,20 +259,39 @@ def backfill_observation_entities(observations_ds, memberships_ds,
             prov["entity_membership_backfill"] = (
                 existing + [entry] if isinstance(existing, list)
                 else ([existing, entry] if existing else [entry]))
-            updated_rows.append({
+            rows.append({
                 "observation_id": int(r.observation_id),
                 "observed_at": r.observed_at,
                 "entity_id": int(m.entity_id),
                 "dimensions": json.dumps(dims, sort_keys=True),
                 "provenance": json.dumps(prov, sort_keys=True),
             })
-            result["updated"] += 1
-            ts = r.observed_at
-            if result["affected_start"] is None or ts < result["affected_start"]:
-                result["affected_start"] = ts
-            if result["affected_end"] is None or ts > result["affected_end"]:
-                result["affected_end"] = ts
-        if len(chunk) < batch_size:
-            result["done"] = True
-            break
-    return pd.DataFrame(updated_rows), result
+        return pa.Table.from_pylist(rows) if rows else pa.table({
+            "observation_id": pa.array([], pa.int64()),
+            "observed_at": pa.array([], pa.timestamp("us")),
+            "entity_id": pa.array([], pa.int64()),
+            "dimensions": pa.array([], pa.string()),
+            "provenance": pa.array([], pa.string()),
+        })
+
+    updated = (observations_ds
+               .map_batches(candidates, batch_format="pyarrow")
+               .sort("observation_id")
+               .limit(limit)
+               .map_batches(merge_updates, batch_format="pyarrow")
+               .to_pandas())
+
+    # counters replay the reference's chunk loop arithmetically: k full
+    # chunks then a short/empty one (unless the limit itself was hit)
+    n = len(updated)
+    result = {"scanned": n, "updated": n,
+              "next_observation_id": (int(updated["observation_id"].max())
+                                      if n else after_observation_id),
+              "done": n < limit,
+              "batches": (max_batches if n >= limit
+                          else n // batch_size + 1),
+              "affected_start": updated["observed_at"].min() if n else None,
+              "affected_end": updated["observed_at"].max() if n else None}
+    if n:
+        updated = updated.sort_values("observation_id").reset_index(drop=True)
+    return updated, result

@@ -1286,3 +1286,62 @@ def q_correlations(sf_dir: str):
     return out.select_columns(
         ["object_type_1", "object_id_1", "object_type_2", "object_id_2",
          "rule_id", "score", "confidence"])
+
+
+def q_backfill(sf_dir: str):
+    """Entity-observation backfill
+    (entity_correlation_timeseries.go:360-508) over events-derived
+    observations: event rows become observations (entity pre-set on
+    event_id%7==0 rows → excluded; dims pre-populated on %11==0 rows →
+    merge-if-absent visible), memberships exist for user_id%3!=0 with two
+    entities per user (MIN wins). SQL twin recomputes the join + the
+    dimension-merge rule directly."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..correlation import backfill_observation_entities
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def to_obs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.rename(columns={"event_id": "observation_id",
+                                "ts": "observed_at"})
+        df["object_type"] = "user"
+        df["object_id"] = df["user_id"]
+        df["entity_id"] = pd.array(
+            [9999.0 if o % 7 == 0 else None
+             for o in df["observation_id"]], dtype="Float64")
+        df["dimensions"] = [
+            '{"confidence": 0.9}' if o % 11 == 0 else "{}"
+            for o in df["observation_id"]]
+        df["provenance"] = "{}"
+        return pa.Table.from_pandas(
+            df.drop(columns=["user_id"]), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    obs_ds = events.map_batches(to_obs, batch_format="pyarrow")
+    # membership side: distinct users (small dimension — broadcast side)
+    users = events.select_columns(["user_id"]).to_pandas()[
+        "user_id"].drop_duplicates()
+    users = users[users % 3 != 0]
+    mem = pd.DataFrame({
+        "entity_id": pd.concat([1000 + users % 50, 2000 + users]),
+        "object_type": "user",
+        "object_id": pd.concat([users, users]),
+        "confidence": pd.concat([(users % 5) / 5.0, (users % 5) / 5.0]),
+        "evidence": None,
+        "membership_role": "member",
+        "membership_type": "auto",
+    })
+    updated, _res = backfill_observation_entities(
+        obs_ds, mem, after_observation_id=100, batch_size=10000,
+        max_batches=1000)
+    if not len(updated):
+        return pd.DataFrame({"observation_id": [], "entity_id": [],
+                             "dim_confidence": []})
+    import json as _json
+
+    updated["dim_confidence"] = [
+        _json.loads(d)["confidence"] for d in updated["dimensions"]]
+    return updated[["observation_id", "entity_id", "dim_confidence"]]
