@@ -125,6 +125,44 @@ class ApiServer:
         from .ws import Hub, WSConfig
 
         self.ws_hub = Hub("api", ws_config or WSConfig())
+        self.route_registry = self._build_route_registry()
+
+    def _build_route_registry(self):
+        """Register this server's own routes like services/api/main.go
+        does with cmn.RegisterAPIRoute; /v1/docs and /v1/openapi.json
+        serve off the registry (main.go:862-930)."""
+        from .api_docs import RouteRegistry
+
+        reg = RouteRegistry()
+        reg.register("/v1/health", ["GET"], "Service liveness check")
+        reg.register("/v1/ready", ["GET"], "Service readiness check")
+        reg.register(
+            "/v1/search/general", ["GET"],
+            "General dorking search over the crawl index",
+            query={"type": "object",
+                   "properties": {"q": {"type": "string"},
+                                  "limit": {"type": "integer"}},
+                   "required": ["q"]})
+        reg.register(
+            "/v1/timeseries", ["GET"],
+            "Bucketed time-series aggregates over the events table",
+            query={"type": "object",
+                   "properties": {"table": {"type": "string"},
+                                  "bucket": {"type": "string"},
+                                  "metric_col": {"type": "string"}}})
+        reg.register(
+            "/v1/auth/login", ["POST"], "Local login issuing an HS256 JWT",
+            body={"type": "object",
+                  "properties": {"username": {"type": "string"},
+                                 "password": {"type": "string"}},
+                  "required": ["username", "password"]})
+        reg.register("/v1/ws", ["GET"],
+                     "WebSocket live API updates endpoint",
+                     success_status=101)
+        reg.register("/v1/docs", ["GET"], "Registered API route listing")
+        reg.register("/v1/openapi.json", ["GET"],
+                     "Dynamically generated OpenAPI specification")
+        return reg
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> int:
@@ -235,6 +273,21 @@ class ApiServer:
         elif self.cfg.auth_token:
             if auth_header != "Bearer " + self.cfg.auth_token:
                 return _json(req, 401, {"error": "Unauthorized"})
+
+        if path == "/v1/docs":
+            return _json(req, 200, {
+                "service": "CROWler API", "version": "v1",
+                "endpoints": [r.to_dict()
+                              for r in self.route_registry.get_routes()]})
+        if path == "/v1/openapi.json":
+            from .api_docs import build_openapi_spec
+
+            return _json(req, 200, build_openapi_spec(
+                self.route_registry.get_routes(),
+                title="CROWler Search API", version="v1",
+                description="Dynamically generated OpenAPI spec from the "
+                            "running server route registry.",
+                server_url=f"http://{self.cfg.host}"))
 
         try:
             if path == "/v1/search/general":
