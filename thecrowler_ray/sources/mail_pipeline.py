@@ -129,13 +129,19 @@ def _fetch(account: MailAccount, mailbox: str, cursor):
 
 
 def run_mail_pipeline(
-    accounts: list[MailAccount], state: MailStateStore
+    accounts: list[MailAccount], state: MailStateStore,
+    event_bus=None, source_id: str = "mail",
 ) -> tuple[pa.Table, RunSummary]:
     """One pipeline pass over every account/mailbox → (new documents with
     an ``account`` column, RunSummary). Checkpoints advance only after a
     mailbox fetch succeeds; a failing mailbox is recorded in
     ``summary.errors`` and does not block the others (pipeline.go's
-    per-mailbox error isolation)."""
+    per-mailbox error isolation). With ``event_bus`` set, the run emits
+    an ``email.reconciliation_completed`` lifecycle event per account
+    (privacy-preserving digests only — see ``mail_events.py``)."""
+    import time as _time
+
+    t0 = _time.monotonic()
     summary = RunSummary()
     tables: list[pa.Table] = []
     for account in accounts:
@@ -168,4 +174,11 @@ def run_mail_pipeline(
         if tables
         else schema.empty_table()
     )
+    if event_bus is not None:
+        from .mail_events import emit_run_events
+
+        for account in accounts:
+            emit_run_events(event_bus, source_id, account.scheme,
+                            account.name, summary,
+                            duration_sec=_time.monotonic() - t0)
     return out, summary
