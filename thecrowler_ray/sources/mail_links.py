@@ -189,3 +189,105 @@ def classify_link(raw_uri: str) -> str:
     if _is_remote_image(path_text, query_text):
         return LINK_REMOTE_IMAGE
     return LINK_NORMAL
+
+
+# -- link policy (reference pkg/mail/link_policy.go) -------------------------
+
+DECISION_IGNORE = "ignore"
+DECISION_RECORD_ONLY = "record-only"
+DECISION_ENQUEUE = "enqueue"
+
+
+def _normalize_policy_host(host: str) -> str:
+    host = (host or "").strip().lower().rstrip(".")
+    # strip a :port suffix (net.SplitHostPort succeeds only with a port)
+    if host.count(":") == 1 and host.rsplit(":", 1)[1].isdigit():
+        host = host.rsplit(":", 1)[0]
+    return host
+
+
+def _matches_host_list(host: str, patterns: list[str]) -> bool:
+    for pattern in patterns:
+        pattern = _normalize_policy_host(pattern)
+        if not pattern:
+            continue
+        if pattern.startswith("*."):
+            root = pattern[2:]
+            if host != root and host.endswith("." + root):
+                return True
+            continue
+        if host == pattern:
+            return True
+    return False
+
+
+def _parse_safe_remote(raw_url: str):
+    """parseSafeRemoteLink (link_policy.go:108-126): absolute http(s),
+    a host, no userinfo, no unsafe characters."""
+    raw_url = (raw_url or "").strip()
+    if not raw_url or _contains_unsafe(raw_url):
+        return None
+    try:
+        parts = urlsplit(raw_url)
+    except ValueError:
+        return None
+    if not parts.netloc or parts.username is not None \
+            or "@" in parts.netloc:
+        return None
+    if parts.scheme.lower() not in ("http", "https"):
+        return None
+    if not parts.hostname:
+        return None
+    return parts
+
+
+class LinkPolicyEvaluator:
+    """Message-scoped decision engine (link_policy.go:23-105): denylists
+    and hard safety rules beat allowlists and remote-follow opt-in; links
+    that mutate account state (auth_action/unsubscribe) are at most
+    record-only; only safe remote http(s) links on an allowlisted host
+    with FollowRemote on can reach the fetch queue."""
+
+    def __init__(self, extract: bool = True, follow_remote: bool = False,
+                 suppress_unsubscribe: bool = False,
+                 max_links_per_message: int = 0,
+                 allowed_schemes: list[str] | None = None,
+                 allowlist: list[str] | None = None,
+                 denylist: list[str] | None = None):
+        self.extract = extract
+        self.follow_remote = follow_remote
+        self.suppress_unsubscribe = suppress_unsubscribe
+        self.max_links = max_links_per_message
+        self.allowed_schemes = list(allowed_schemes or [])
+        self.allowlist = list(allowlist or [])
+        self.denylist = list(denylist or [])
+        self.seen = 0
+
+    def evaluate_url(self, raw_url: str) -> str:
+        self.seen += 1
+        if self.max_links <= 0 or self.seen > self.max_links:
+            return DECISION_IGNORE
+        if not self.extract:
+            return DECISION_IGNORE
+        # reclassify from the URL — never trust caller metadata
+        classification = classify_link(raw_url)
+        parsed = _parse_safe_remote(raw_url)
+        if parsed is None:
+            return DECISION_IGNORE
+        if classification in (LINK_UNKNOWN, LINK_MAILTO, LINK_CID):
+            return DECISION_IGNORE
+        if self.suppress_unsubscribe and classification == LINK_UNSUBSCRIBE:
+            return DECISION_IGNORE
+        host = _normalize_policy_host(parsed.hostname)
+        if _matches_host_list(host, self.denylist):
+            return DECISION_IGNORE
+        if classification in (LINK_AUTH_ACTION, LINK_UNSUBSCRIBE):
+            return DECISION_RECORD_ONLY
+        if not self.follow_remote:
+            return DECISION_RECORD_ONLY
+        if not any(s.strip().lower() == parsed.scheme.lower()
+                   for s in self.allowed_schemes):
+            return DECISION_RECORD_ONLY
+        if self.allowlist and not _matches_host_list(host, self.allowlist):
+            return DECISION_RECORD_ONLY
+        return DECISION_ENQUEUE
