@@ -146,3 +146,56 @@ def test_double_listen_rejected():
     listener.stop()
     with pytest.raises(ValueError):
         listener.listen([_key("INBOX")], None)
+
+
+# -- polling listener (polling_listener.go mirrored) -------------------------
+
+from thecrowler_ray.sources.mail_idle import PollingListener
+
+
+def test_polling_serial_passes_and_failfast():
+    calls = []
+    waits = []
+
+    def scheduler(stop, interval):
+        waits.append(interval)
+        return len(waits) < 3  # stop after 3 waits
+
+    pl = PollingListener(lambda mb: calls.append(mb["mailbox"]["name"]),
+                         interval=5.0, scheduler=scheduler)
+    pl.run([_key("A"), _key("B")], threading.Event())
+    # first pass immediate, then one pass per wait; serial order kept
+    assert calls[:2] == ["A", "B"]
+    assert pl.passes == 3 and waits == [5.0, 5.0, 5.0]
+    assert pl.state == "stopped"
+
+    boom = PollingListener(
+        lambda mb: (_ for _ in ()).throw(ConnectionError("down")),
+        interval=1.0)
+    with pytest.raises(ConnectionError):
+        boom.run([_key("A")], threading.Event())
+    assert boom.state == "failed" and "down" in boom.last_error
+
+    with pytest.raises(ValueError):
+        PollingListener(None, 1.0)
+    with pytest.raises(ValueError):
+        PollingListener(lambda mb: None, 0)
+
+
+def test_polling_single_run_guard_and_bounded():
+    pl = PollingListener(lambda mb: None, interval=0.01)
+    stop = threading.Event()
+    t = threading.Thread(target=pl.run, args=([_key("A")], stop),
+                         daemon=True)
+    t.start()
+    assert _wait(lambda: pl.passes >= 1)
+    with pytest.raises(RuntimeError):
+        pl.run([_key("A")], threading.Event())
+    stop.set()
+    t.join(timeout=5)
+    assert pl.state == "stopped"
+    # max_passes bounds deterministic tests
+    pl2 = PollingListener(lambda mb: None, interval=10.0,
+                          scheduler=lambda s, i: True)
+    pl2.run([_key("A")], threading.Event(), max_passes=2)
+    assert pl2.passes == 2

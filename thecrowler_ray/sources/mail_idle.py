@@ -216,3 +216,64 @@ class _SinkError(Exception):
     def __init__(self, cause: Exception):
         super().__init__(str(cause))
         self.cause = cause
+
+
+# -- polling listener (reference pkg/mail/polling_listener.go) ---------------
+
+class PollingListener:
+    """Serial reconciliation passes: the first pass runs immediately and
+    each interval starts only after the previous pass completes (one-shot
+    waits, so a slow connector can never overlap itself,
+    polling_listener.go:28-52,96-166). The loop fails fast on the first
+    reconcile or scheduler error. ``scheduler(stop_event, interval) ->
+    bool`` returns False when stopped mid-wait (tests inject one to
+    advance time deterministically)."""
+
+    def __init__(self, reconcile, interval: float, scheduler=None):
+        if reconcile is None:
+            raise ValueError("reconciler is required")
+        if interval <= 0:
+            raise ValueError("interval must be greater than zero")
+        self.reconcile = reconcile
+        self.interval = interval
+        self.scheduler = scheduler or \
+            (lambda stop, interval: not stop.wait(interval))
+        self._mu = threading.Lock()
+        self._running = False
+        self.state = "stopped"
+        self.last_error = ""
+        self.passes = 0
+
+    def run(self, mailboxes: list[dict], stop_event: threading.Event,
+            max_passes: int = 0) -> None:
+        """Blocking loop; ``stop_event`` ends it cleanly. ``max_passes``
+        bounds the loop for tests (0 = until stopped). Raises the first
+        reconcile error after recording the failed state."""
+        with self._mu:
+            if self._running:
+                raise RuntimeError("polling listener is already running")
+            self._running = True
+        self.state = "starting"
+        mailboxes = list(mailboxes)
+        try:
+            while not stop_event.is_set():
+                for mailbox in mailboxes:
+                    if stop_event.is_set():
+                        return
+                    try:
+                        self.reconcile(mailbox)
+                    except Exception as e:
+                        self.state = "failed"
+                        self.last_error = str(e)
+                        raise
+                self.passes += 1
+                self.state = "running"
+                if max_passes and self.passes >= max_passes:
+                    return
+                if not self.scheduler(stop_event, self.interval):
+                    return
+        finally:
+            with self._mu:
+                self._running = False
+            if self.state != "failed":
+                self.state = "stopped"
