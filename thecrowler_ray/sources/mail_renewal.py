@@ -34,9 +34,11 @@ STATUS_EXPIRED = "expired"
 STATUS_FAILED = "failed"
 
 
-def _utc(dt: datetime | None) -> datetime | None:
-    if dt is None:
+def _utc(dt) -> datetime | None:
+    if dt is None or dt == "":
         return None
+    if isinstance(dt, str):  # durable stores round-trip via ISO strings
+        dt = datetime.fromisoformat(dt)
     if dt.tzinfo is None:
         return dt.replace(tzinfo=timezone.utc)
     return dt.astimezone(timezone.utc)
