@@ -905,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
               AND e.event_id % 7 <> 0
               AND e.user_id % 3 <> 0
             ORDER BY observation_id
+            LIMIT 6000
         """,
         "q_langid": _langid_sql(),
         "q_simhash": f"""

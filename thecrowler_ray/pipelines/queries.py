@@ -1334,9 +1334,11 @@ def q_backfill(sf_dir: str):
         "membership_role": "member",
         "membership_type": "auto",
     })
+    # one bounded maintenance run (the reference processes backfills in
+    # capped transactional batches, never whole-table): 3 × 2000 rows
     updated, _res = backfill_observation_entities(
-        obs_ds, mem, after_observation_id=100, batch_size=10000,
-        max_batches=1000)
+        obs_ds, mem, after_observation_id=100, batch_size=2000,
+        max_batches=3)
     if not len(updated):
         return pd.DataFrame({"observation_id": [], "entity_id": [],
                              "dim_confidence": []})
