@@ -203,3 +203,77 @@ def test_cors_middleware():
         assert h["Access-Control-Allow-Origin"] == "*"
     finally:
         srv.close()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_http_surface():
+    """/v1/event/* endpoints over the EventBus actor
+    (services/events/main.go:579-1160) incl. the forgiving
+    removeEventsBefore timestamp parse and event.created ws broadcast."""
+    import json as _json
+    import urllib.request
+
+    import ray
+
+    from thecrowler_ray.api_server import ApiConfig, ApiServer
+    from thecrowler_ray.state.events import event_bus
+    from thecrowler_ray.ws import Client as WsClient
+    from thecrowler_ray.ws import WSConfig
+
+    bus = event_bus("t_events_http_bus")
+    srv = ApiServer("/tmp", config=ApiConfig(rate_limit="1000,1000"),
+                    ws_config=WSConfig(enabled=True,
+                                       allowed_origins=["*"]),
+                    events_bus=bus)
+    port = srv.start()
+    spy = WsClient(srv.ws_hub, sock=None)
+    srv.ws_hub._clients.add(spy)
+
+    def call(op, method="GET", body=None, query=""):
+        data = _json.dumps(body).encode() if body is not None else None
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/event/{op}{query}",
+            data=data, method=method,
+            headers={"Content-Type": "application/json"})
+        try:
+            resp = urllib.request.urlopen(r)
+            return resp.status, _json.load(resp)
+        except urllib.error.HTTPError as e:
+            return e.code, _json.load(e)
+
+    try:
+        code, out = call("create", "POST",
+                         {"action": "recrawl", "type": "content_change",
+                          "severity": "medium",
+                          "details": {"url": "https://x.test"}})
+        assert code == 200 and out["msg"] == "Event created successfully"
+        eid = out["id"]
+        # ws broadcast fired
+        frame = spy.send.get_nowait()
+        assert b"event.created" in frame
+        code, out = call("check", query=f"?event_id={eid}")
+        assert code == 200 and out["event"]["action"] == "recrawl"
+        code, out = call("update", "POST",
+                         {"event_id": eid, "severity": "high"})
+        assert code == 200
+        assert ray.get(bus.get.remote(eid))["severity"] == "high"
+        code, out = call("list")
+        assert any(e["event_id"] == eid for e in out["events"])
+        code, out = call("schedule", "POST",
+                         {"name": "ts", "action": "timeseries_aggregate",
+                          "every_seconds": 60})
+        assert code == 200
+        # forgiving timestamp parse: missing/garbage → 400; date works
+        code, _ = call("removeEventsBefore", query="?timestamp=junk")
+        assert code == 400
+        code, out = call("removeEventsBefore",
+                         query="?timestamp=2999-01-01")
+        assert code == 200 and out["removed"] >= 1
+        code, _ = call("check", query=f"?event_id={eid}")
+        assert code == 404
+        code, _ = call("remove", query="?event_id=12345")
+        assert code == 200  # idempotent like the SQL DELETE
+        code, _ = call("nonsense")
+        assert code == 404
+    finally:
+        srv.close()

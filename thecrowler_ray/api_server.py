@@ -109,8 +109,10 @@ class ApiServer:
         users=None,
         ws_config=None,
         cors=None,
+        events_bus=None,
     ):
         self.cors = cors or CorsConfig()
+        self.events_bus = events_bus  # EventBus actor → /v1/event/* surface
         self.index_dir = index_dir
         self.cfg = config or ApiConfig()
         self.users = users  # auth.UserStore for JWT mode
@@ -289,6 +291,9 @@ class ApiServer:
                             "running server route registry.",
                 server_url=f"http://{self.cfg.host}"))
 
+        if path.startswith("/v1/event/") and self.events_bus is not None:
+            return self._handle_event(req, path, qs)
+
         try:
             if path == "/v1/search/general":
                 q = qs.get("q", "")
@@ -304,6 +309,86 @@ class ApiServer:
         except Exception as e:  # handler errors → 500, server stays up
             return _json(req, 500, {"error": f"{type(e).__name__}: {e}"})
 
+
+    def _handle_event(self, req: BaseHTTPRequestHandler, path: str,
+                      qs: dict) -> None:
+        """/v1/event/* surface over the EventBus actor (reference
+        services/events/main.go:579-1160: create/schedule/check/update/
+        remove/removeEventsBefore/list). Created events broadcast
+        ``event.created`` on the ws hub (main.go:1185)."""
+        import ray
+
+        bus = self.events_bus
+        op = path[len("/v1/event/"):]
+        body = {}
+        if req.command == "POST":
+            try:
+                length = int(req.headers.get("Content-Length", "0"))
+                body = json.loads(req.rfile.read(length) or b"{}")
+            except (ValueError, OSError):
+                return _json(req, 400, {"error": "invalid JSON body"})
+        try:
+            if op == "create" and req.command == "POST":
+                eid = ray.get(bus.publish.remote(
+                    body.get("action", ""), body.get("type", "event"),
+                    severity=body.get("severity", "info"),
+                    details=body.get("details") or {},
+                    ttl_seconds=body.get("ttl_seconds")))
+                self.ws_hub.broadcast("event.created",
+                                      {"event_id": eid, **body})
+                return _json(req, 200, {"id": eid,
+                                        "msg": "Event created successfully"})
+            if op == "schedule" and req.command == "POST":
+                for field_name in ("name", "action", "every_seconds"):
+                    if not body.get(field_name):
+                        return _json(req, 400,
+                                     {"error": f"missing {field_name}"})
+                ray.get(bus.add_schedule.remote(
+                    body["name"], body["action"],
+                    float(body["every_seconds"])))
+                return _json(req, 200,
+                             {"msg": "Event scheduled successfully"})
+            if op == "check":
+                if not qs.get("event_id"):
+                    return _json(req, 400,
+                                 {"error": "Missing event_id parameter"})
+                event = ray.get(bus.get.remote(int(qs["event_id"])))
+                if event is None:
+                    return _json(req, 404, {"error": "event not found"})
+                return _json(req, 200, {"event": event})
+            if op == "update" and req.command == "POST":
+                if not body.get("event_id"):
+                    return _json(req, 400,
+                                 {"error": "Missing event_id parameter"})
+                ok = ray.get(bus.update.remote(
+                    int(body["event_id"]), severity=body.get("severity"),
+                    details=body.get("details"),
+                    action=body.get("action")))
+                if not ok:
+                    return _json(req, 404, {"error": "event not found"})
+                return _json(req, 200,
+                             {"msg": "Event updated successfully"})
+            if op == "remove":
+                if not qs.get("event_id"):
+                    return _json(req, 400,
+                                 {"error": "Missing event_id parameter"})
+                ray.get(bus.ack.remote(int(qs["event_id"])))
+                return _json(req, 200, {"id": qs["event_id"],
+                                        "msg": "Event removed successfully"})
+            if op == "removeEventsBefore":
+                cutoff = _parse_event_timestamp(qs.get("timestamp", ""))
+                if cutoff is None:
+                    return _json(req, 400,
+                                 {"error": "Invalid 'timestamp' parameter"})
+                removed = ray.get(bus.remove_before.remote(cutoff))
+                return _json(req, 200, {"removed": removed,
+                                        "msg": "Events removed successfully"})
+            if op == "list":
+                events = ray.get(bus.poll.remote(None, None))
+                return _json(req, 200, {"events": events})
+            return _json(req, 404, {"error": f"no such endpoint {path}"})
+        except Exception as e:
+            return _json(req, 500, {"error": f"{type(e).__name__}: {e}"})
 
     def _login(self, req: BaseHTTPRequestHandler) -> None:
         """POST /v1/auth/login (main.go:841-860): {username, password} →
@@ -325,6 +410,29 @@ class ApiServer:
         return _json(req, 200, {"access_token": token,
                                 "token_type": "Bearer",
                                 "expires_in": self.cfg.token_ttl})
+
+
+def _parse_event_timestamp(raw: str) -> float | None:
+    """removeEventsBeforeHandler's forgiving parse (main.go:1009-1035):
+    RFC 3339, plain YYYY-MM-DD, or a unix-epoch integer."""
+    import datetime as _dt
+
+    raw = (raw or "").strip()
+    if not raw:
+        return None
+    for parser in (
+        lambda s: _dt.datetime.fromisoformat(s.replace("Z", "+00:00")),
+        lambda s: _dt.datetime.strptime(s, "%Y-%m-%d").replace(
+            tzinfo=_dt.timezone.utc),
+    ):
+        try:
+            return parser(raw).timestamp()
+        except ValueError:
+            continue
+    try:
+        return float(int(raw))
+    except ValueError:
+        return None
 
 
 def _json(req: BaseHTTPRequestHandler, code: int, obj: dict) -> None:

@@ -62,6 +62,36 @@ class EventBus:
     def ack(self, event_id: int) -> bool:
         return self._events.pop(event_id, None) is not None
 
+    def get(self, event_id: int, now: float | None = None) -> dict | None:
+        """checkEventHandler analog: one event by id, expiry applied."""
+        self._expire(time.time() if now is None else now)
+        e = self._events.get(event_id)
+        return vars(e) if e else None
+
+    def update(self, event_id: int, severity: str | None = None,
+               details: dict | None = None,
+               action: str | None = None) -> bool:
+        """updateEventHandler analog: mutate the mutable fields."""
+        e = self._events.get(event_id)
+        if e is None:
+            return False
+        if severity is not None:
+            e.severity = severity
+        if details is not None:
+            e.details = details
+        if action is not None:
+            e.action = action
+        return True
+
+    def remove_before(self, cutoff: float) -> int:
+        """RemoveEventsBeforeTime analog: drop events created before the
+        cutoff; returns the removed count (the janitor's bulk cleanup)."""
+        doomed = [eid for eid, e in self._events.items()
+                  if e.created_at < cutoff]
+        for eid in doomed:
+            del self._events[eid]
+        return len(doomed)
+
     def _expire(self, now: float) -> int:
         doomed = [
             eid for eid, e in self._events.items()
