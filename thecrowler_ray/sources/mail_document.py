@@ -23,7 +23,6 @@ from __future__ import annotations
 import email
 import hashlib
 from email.message import Message
-from html.parser import HTMLParser
 
 from .mail_attachments import (
     AttachmentPolicy,
@@ -41,54 +40,6 @@ _PROTECTED_TYPES = {
     "application/pkcs7-mime", "application/x-pkcs7-mime",
     "multipart/encrypted", "application/pgp-encrypted",
 }
-
-
-class _LinkTextExtractor(HTMLParser):
-    """<a href> + anchor text + inline text, skipping script/style."""
-
-    def __init__(self):
-        super().__init__(convert_charrefs=True)
-        self.links: list[dict] = []
-        self.text_parts: list[str] = []
-        self._href = None
-        self._anchor: list[str] = []
-        self._skip = 0
-
-    def handle_starttag(self, tag, attrs):
-        if tag in ("script", "style"):
-            self._skip += 1
-        if tag == "a":
-            href = dict(attrs).get("href")
-            if href:
-                self._href = href
-                self._anchor = []
-
-    def handle_endtag(self, tag):
-        if tag in ("script", "style") and self._skip:
-            self._skip -= 1
-        if tag == "a" and self._href is not None:
-            self.links.append({"href": self._href,
-                               "text": " ".join(
-                                   " ".join(self._anchor).split())})
-            self._href = None
-
-    def handle_data(self, data):
-        if self._skip:
-            return
-        if self._href is not None:
-            self._anchor.append(data)
-        self.text_parts.append(data)
-
-
-def _extract_static_html(html: str) -> tuple[str, list[dict]]:
-    parser = _LinkTextExtractor()
-    try:
-        parser.feed(html)
-        parser.close()
-    except Exception:
-        pass
-    text = " ".join(" ".join(parser.text_parts).split())
-    return text, parser.links
 
 
 def _decode_part(part: Message, max_bytes: int) -> tuple[str, bool]:
@@ -224,11 +175,16 @@ def process_message(source_id: str, raw: bytes | str,
     extracted_text = text_body
     links: list[dict] = []
     if html_body:
-        extracted_text, raw_links = _extract_static_html(html_body)
+        # email HTML is untrusted: static extraction only, resources
+        # stay inert (processor.go:101-129 via browser.ExtractStaticHTML)
+        from ..static_html import extract_static_html
+
+        content = extract_static_html(html_body)
+        extracted_text = content["text"]
         links = [{"url": ln["href"], "text": ln["text"], "title": "",
                   "source": "html",
                   "classification": classify_link(ln["href"])}
-                 for ln in raw_links]
+                 for ln in content["links"]]
 
     addresses = {}
     for field_name in ("From", "To", "Cc", "Bcc", "Reply-To"):
