@@ -83,6 +83,7 @@ def process_message(source_id: str, raw: bytes | str,
                     limits: Limits | None = None,
                     max_part_bytes: int = DEFAULT_MAX_PART_BYTES,
                     max_embedded_depth: int = DEFAULT_MAX_EMBEDDED_DEPTH,
+                    cleanup_html: bool = False,
                     _depth: int = 0) -> dict:
     msg = email.message_from_bytes(raw) if isinstance(raw, bytes) \
         else email.message_from_string(raw)
@@ -176,10 +177,17 @@ def process_message(source_id: str, raw: bytes | str,
     links: list[dict] = []
     if html_body:
         # email HTML is untrusted: static extraction only, resources
-        # stay inert (processor.go:101-129 via browser.ExtractStaticHTML)
+        # stay inert (processor.go:101-129 via browser.ExtractStaticHTML);
+        # cleanup strips preheaders/boilerplate/pixels from a TEMPORARY
+        # DOM — html_body itself stays archived unmodified
         from ..static_html import extract_static_html
 
-        content = extract_static_html(html_body)
+        html_for_extraction = html_body
+        if cleanup_html:
+            from .mail_html_cleanup import cleanup_email_html
+
+            html_for_extraction = cleanup_email_html(html_body)
+        content = extract_static_html(html_for_extraction)
         extracted_text = content["text"]
         links = [{"url": ln["href"], "text": ln["text"], "title": "",
                   "source": "html",
