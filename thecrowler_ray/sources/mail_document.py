@@ -64,18 +64,6 @@ def _is_attachment_part(part: Message) -> bool:
     return bool(part.get_filename()) and disposition != ""
 
 
-def _sniff_media_type(content: bytes) -> str:
-    if content.startswith(b"\x89PNG\r\n\x1a\n"):
-        return "image/png"
-    if content.startswith(b"\xff\xd8\xff"):
-        return "image/jpeg"
-    if content.startswith(b"%PDF-"):
-        return "application/pdf"
-    if content.startswith(b"PK\x03\x04"):
-        return "application/zip"
-    if content.startswith(b"GIF8"):
-        return "image/gif"
-    return ""
 
 
 def process_message(source_id: str, raw: bytes | str,
@@ -129,9 +117,14 @@ def process_message(source_id: str, raw: bytes | str,
                 payload = (inner[0].as_bytes()
                            if isinstance(inner, list) and inner else b"")
             payload = payload or b""
-            detected = _sniff_media_type(payload) or (
-                "message/rfc822" if content_type == "message/rfc822"
-                else "")
+            # declared vs sniffed (content_type.go attachmentMediaTypes):
+            # compatible declarations win, clear mismatches override
+            from .mail_content_type import attachment_media_types
+
+            declared, detected = attachment_media_types(
+                part.get_content_type(), payload)
+            if content_type == "message/rfc822":
+                detected = "message/rfc822"
             inline = (part.get_content_disposition() or "") == "inline"
             skip = evaluator.evaluate(part_id, part.get_content_type(),
                                       detected or content_type,
