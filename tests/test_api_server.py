@@ -139,6 +139,18 @@ def test_timeseries_endpoint_real_backend():
         r0 = rows[0]
         assert {"bucket", "metric", "n", "sum_value", "p50"} <= set(r0)
         assert isinstance(r0["bucket"], str)  # timestamps serialized
+        # 'table' is a logical name under index_dir, never a raw path:
+        # traversal outside the index dir is rejected, not read
+        try:
+            code, body = _get(port,
+                              "/v1/timeseries?table=../../../etc/passwd")
+        except urllib.error.HTTPError as e:
+            code, body = e.code, json.loads(e.read())
+        assert code != 200
+        assert "invalid table" in body.get("error", "")
+        # explicit logical name (with or without .parquet suffix) works
+        code, body = _get(port, "/v1/timeseries?table=events.parquet")
+        assert code == 200 and len(body["results"]) > 0
     finally:
         srv.close()
 

@@ -39,8 +39,9 @@ def test_reference_fixture_table():
 
 
 def test_sniff_bounded_and_heuristics():
-    # sniffing never inspects beyond the 64 KiB cap
-    content = b"\x00" * (64 << 10) + b"%PDF-1.7"
+    # sniffing never inspects beyond the 4 KiB cap
+    # (reference attachmentSniffBytes, content_type.go:12)
+    content = b"\x00" * 4096 + b"%PDF-1.7"
     assert sniff_attachment_media_type(content) == \
         "application/octet-stream"
     assert sniff_attachment_media_type(b"   \n\t ") == "text/plain"

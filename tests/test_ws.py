@@ -29,7 +29,7 @@ def _start_server(ws_cfg):
     return srv, port
 
 
-def _dial(port, origin=None, path="/v1/ws"):
+def _dial(port, origin=None, path="/v1/ws", extra_headers=()):
     """Minimal RFC 6455 client handshake; returns (socket, status, headers)."""
     sock = socket.create_connection(("127.0.0.1", port), timeout=5)
     key = base64.b64encode(os.urandom(16)).decode("ascii")
@@ -38,6 +38,7 @@ def _dial(port, origin=None, path="/v1/ws"):
              f"Sec-WebSocket-Key: {key}", "Sec-WebSocket-Version: 13"]
     if origin:
         lines.append(f"Origin: {origin}")
+    lines.extend(extra_headers)
     sock.sendall(("\r\n".join(lines) + "\r\n\r\n").encode("ascii"))
     # read the HTTP response head
     head = b""
@@ -180,3 +181,24 @@ def test_defaults():
     cfg = WSConfig().defaults()
     assert (cfg.heartbeat_interval, cfg.write_queue_size,
             cfg.write_timeout) == (30, 64, 5)
+
+
+def test_ws_upgrade_requires_auth_when_token_set():
+    # reference mounts /v1/ws behind withMiddlewares incl. auth.Middleware
+    # (services/api/main.go:809,1100-1110): unauthenticated upgrades 401
+    srv = ApiServer("/tmp", config=ApiConfig(rate_limit="1000,1000",
+                                             auth_token="sekrit"),
+                    ws_config=WSConfig(enabled=True, allowed_origins=["*"]))
+    port = srv.start()
+    try:
+        sock, status, _, _ = _dial(port)
+        assert status == 401
+        assert srv.ws_hub.active_connections() == 0
+        sock.close()
+        sock, status, _, _ = _dial(
+            port, extra_headers=["Authorization: Bearer sekrit"])
+        assert status == 101
+        assert _wait(lambda: srv.ws_hub.active_connections() == 1)
+        sock.close()
+    finally:
+        srv.close()

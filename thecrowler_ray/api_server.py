@@ -21,6 +21,7 @@ materializes the index.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -253,11 +254,6 @@ class ApiServer:
         if not self.bucket.allow():
             return _json(req, 429, {"error": "Rate limit exceeded"})
 
-        # websocket upgrade sits behind the rate limiter like every other
-        # middleware-wrapped route (main.go:809 withMiddlewares)
-        if path == "/v1/ws":
-            return self.ws_hub.handle_upgrade(req)
-
         if path == "/v1/auth/login" and req.command == "POST":
             return self._login(req)
 
@@ -275,6 +271,12 @@ class ApiServer:
         elif self.cfg.auth_token:
             if auth_header != "Bearer " + self.cfg.auth_token:
                 return _json(req, 401, {"error": "Unauthorized"})
+
+        # websocket upgrade sits behind rate limiter AND auth, like every
+        # other middleware-wrapped route (main.go:809,1100-1110 mounts
+        # /v1/ws behind withMiddlewares which includes auth.Middleware)
+        if path == "/v1/ws":
+            return self.ws_hub.handle_upgrade(req)
 
         if path == "/v1/docs":
             return _json(req, 200, {
@@ -460,7 +462,17 @@ def _default_timeseries(index_dir: str, params: dict) -> list[dict]:
 
     from .stages.timeseries import timeseries_aggregate
 
-    path = params.get("table", f"{index_dir}/events.parquet")
+    # 'table' is a logical name resolved under index_dir, never a raw
+    # path: a client-controlled path would let any caller read arbitrary
+    # parquet on the server filesystem (endpoint is public-middleware in
+    # the reference).
+    table = params.get("table", "events")
+    if table.endswith(".parquet"):
+        table = table[: -len(".parquet")]
+    base = os.path.realpath(index_dir)
+    path = os.path.realpath(os.path.join(base, f"{table}.parquet"))
+    if os.path.commonpath([base, path]) != base:
+        raise ValueError(f"invalid table name: {params.get('table')!r}")
     ds = ray.data.read_parquet(path)
     out = timeseries_aggregate(
         ds,

@@ -89,7 +89,9 @@ def normalize_source_url(raw: str) -> str:
 def calculate_source_uid(name: str, source_url: str) -> str:
     n = name.strip()
     u = normalize_source_url(source_url)
-    payload = f"{len(n)}:{n}{len(u)}:{u}"
+    # length prefixes are UTF-8 *byte* counts (Go len(), source.go:95),
+    # not code points — they diverge for any non-ASCII name/URL
+    payload = f"{len(n.encode('utf-8'))}:{n}{len(u.encode('utf-8'))}:{u}"
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
 

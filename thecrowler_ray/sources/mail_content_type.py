@@ -28,7 +28,7 @@ import io
 
 from .mail_attachments import normalize_media_type
 
-SNIFF_BYTES = 64 << 10
+SNIFF_BYTES = 4096  # reference attachmentSniffBytes (content_type.go:12)
 
 _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
