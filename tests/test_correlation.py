@@ -157,3 +157,47 @@ def test_backfill_checkpoint_and_merge():
     _u3, res3 = backfill_observation_entities(ods, mem, batch_size=-5,
                                               max_batches=0)
     assert res3["batches"] == 1 and res3["scanned"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_backfill_join_path_equals_broadcast_path():
+    """Above join_threshold the membership side must stay distributed
+    (groupby MIN-reduce + native Dataset.join) — same rows and counters
+    as the broadcast path, with no driver materialization of memberships."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n = 400
+    obs = pd.DataFrame({
+        "observation_id": np.arange(1, n + 1),
+        "observed_at": pd.to_datetime("2026-02-01")
+        + pd.to_timedelta(np.arange(n), unit="h"),
+        "object_type": ["user"] * n,
+        "object_id": rng.integers(0, 60, n),
+        "entity_id": [7.0 if i % 9 == 0 else None for i in range(n)],
+        "dimensions": ['{"confidence": 0.5}' if i % 13 == 0 else "{}"
+                       for i in range(n)],
+        "provenance": ["{}"] * n,
+    })
+    users = np.arange(0, 60)
+    users = users[users % 4 != 0]  # some objects have no membership
+    mem = pd.DataFrame({
+        "entity_id": np.concatenate([100 + users % 7, 500 + users]),
+        "object_type": "user",
+        "object_id": np.concatenate([users, users]),
+        "confidence": np.concatenate([users % 3 / 3.0, users % 3 / 3.0]),
+        "evidence": None,
+        "membership_role": "member",
+        "membership_type": "auto",
+    })
+    ods = ray.data.from_pandas(obs)
+    u_b, res_b = backfill_observation_entities(
+        ods, mem, batch_size=100, max_batches=5, join_threshold=10**9)
+    u_j, res_j = backfill_observation_entities(
+        ods, ray.data.from_pandas(mem), batch_size=100, max_batches=5,
+        join_threshold=0)
+    assert res_b == res_j
+    pd.testing.assert_frame_equal(
+        u_b.reset_index(drop=True), u_j.reset_index(drop=True))
+    assert len(u_b) > 0

@@ -276,7 +276,7 @@ def test_rows_only_queries_deterministic():
     # the queries that remain rows-only in oracle_sql() must at least be
     # bit-deterministic (q_minhash_pairs/q_simhash graduated to oracles but
     # stay here as regression canaries)
-    for name in ("q_crawl", "q_action_rules", "q_scrape_rules",
+    for name in ("q_crawl", "q_action_rules", "q_scrape_docs",
                  "q_minhash_pairs", "q_simhash"):
         a = canon(qs[name](sf))
         b = canon(qs[name](sf))

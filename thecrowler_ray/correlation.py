@@ -190,96 +190,176 @@ def membership_observations(batch: pa.Table) -> pa.Table:
 
 # -- resumable backfill ------------------------------------------------------
 
+def _merge_obs_row(r, m) -> dict:
+    """The reference's per-row UPDATE body (dims merge-if-absent +
+    provenance append, entity_correlation_timeseries.go:446-495).
+    ``m`` exposes ``entity_id, confidence, evidence, membership_role,
+    membership_type`` as attributes."""
+    dims = json.loads(r.dimensions) if r.dimensions else {}
+    conf = getattr(m, "confidence", None)
+    if "confidence" not in dims and conf is not None and not pd.isna(conf):
+        dims["confidence"] = float(conf)
+    for dim_key in ("membership_role", "membership_type"):
+        v = getattr(m, dim_key, None)
+        if dim_key not in dims and v:
+            dims[dim_key] = v
+    prov = json.loads(r.provenance) if r.provenance else {}
+    entry = {"entity_id": int(m.entity_id), "object_membership": True}
+    if conf is not None and not pd.isna(conf):
+        entry["confidence"] = float(conf)
+    evidence = getattr(m, "evidence", None)
+    if evidence:
+        try:
+            entry["evidence"] = json.loads(evidence)
+        except (TypeError, ValueError):
+            pass
+    existing = prov.get("entity_membership_backfill")
+    prov["entity_membership_backfill"] = (
+        existing + [entry] if isinstance(existing, list)
+        else ([existing, entry] if existing else [entry]))
+    return {
+        "observation_id": int(r.observation_id),
+        "observed_at": r.observed_at,
+        "entity_id": int(m.entity_id),
+        "dimensions": json.dumps(dims, sort_keys=True),
+        "provenance": json.dumps(prov, sort_keys=True),
+    }
+
+
+def _updates_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows) if rows else pa.table({
+        "observation_id": pa.array([], pa.int64()),
+        "observed_at": pa.array([], pa.timestamp("us")),
+        "entity_id": pa.array([], pa.int64()),
+        "dimensions": pa.array([], pa.string()),
+        "provenance": pa.array([], pa.string()),
+    })
+
+
+_MEM_COLS = ("entity_id", "confidence", "evidence", "membership_role",
+             "membership_type")
+
+
 def backfill_observation_entities(observations_ds, memberships_ds,
                                   after_observation_id: int = 0,
                                   batch_size: int = 500,
-                                  max_batches: int = 1):
+                                  max_batches: int = 1,
+                                  join_threshold: int = 100_000):
     """Returns ``(updated_rows_df, result)`` where ``result`` mirrors
     EntityObservationBackfillResult. Observation columns:
     ``observation_id, observed_at, object_type, object_id, entity_id,
     dimensions, provenance``; membership columns: ``entity_id,
     object_type, object_id, confidence, evidence, membership_role,
-    membership_type``."""
+    membership_type``.
+
+    The reference's correlated MIN-entity-per-object subquery runs over
+    *all* memberships, so that side is not small at scale: below
+    ``join_threshold`` rows it is reduced on the driver and broadcast
+    (``ray.put`` once); above it both the MIN reduce and the
+    observation⋈membership match stay distributed (groupby + native
+    ``Dataset.join`` on ``(object_type, object_id)``) — the driver never
+    materializes the membership table."""
     batch_size = 500 if batch_size <= 0 else min(batch_size, 10000)
     max_batches = 1 if max_batches <= 0 else min(max_batches, 1000)
-
-    # MIN(entity_id) membership per object (the correlated subquery)
-    mdf = memberships_ds.to_pandas() if hasattr(memberships_ds, "to_pandas") \
-        else memberships_ds
-    mdf = (mdf.sort_values("entity_id", kind="mergesort")
-           .drop_duplicates(["object_type", "object_id"], keep="first"))
-    lookup = {(r.object_type, int(r.object_id)): r
-              for r in mdf.itertuples(index=False)}
-    lookup_ref = ray.put(lookup)
-
     limit = batch_size * max_batches
 
-    def candidates(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        look = ray.get(lookup_ref)
-        mask = (df["entity_id"].isna()
-                & (df["observation_id"] > after_observation_id))
-        df = df[mask]
-        hit = [(t, int(i)) in look
-               for t, i in zip(df["object_type"], df["object_id"])]
-        return pa.Table.from_pandas(df[np.array(hit, dtype=bool)]
-                                    if len(df) else df,
-                                    preserve_index=False)
+    mem_is_ds = not isinstance(memberships_ds, pd.DataFrame)
+    n_mem = memberships_ds.count() if mem_is_ds else len(memberships_ds)
 
-    def merge_updates(batch: pa.Table) -> pa.Table:
-        """The reference's per-row UPDATE body (dims merge-if-absent +
-        provenance append, :446-495) — run inside tasks so the JSON work
-        parallelizes; the driver only sees the bounded updated set."""
-        look = ray.get(lookup_ref)
-        df = batch.to_pandas()
-        rows = []
-        for r in df.itertuples(index=False):
-            m = look[(r.object_type, int(r.object_id))]
-            dims = json.loads(r.dimensions) if r.dimensions else {}
-            conf = getattr(m, "confidence", None)
-            if "confidence" not in dims and conf is not None \
-                    and not pd.isna(conf):
-                dims["confidence"] = float(conf)
-            for dim_key in ("membership_role", "membership_type"):
-                v = getattr(m, dim_key, None)
-                if dim_key not in dims and v:
-                    dims[dim_key] = v
-            prov = json.loads(r.provenance) if r.provenance else {}
-            entry = {"entity_id": int(m.entity_id),
-                     "object_membership": True}
-            if conf is not None and not pd.isna(conf):
-                entry["confidence"] = float(conf)
-            evidence = getattr(m, "evidence", None)
-            if evidence:
-                try:
-                    entry["evidence"] = json.loads(evidence)
-                except (TypeError, ValueError):
-                    pass
-            existing = prov.get("entity_membership_backfill")
-            prov["entity_membership_backfill"] = (
-                existing + [entry] if isinstance(existing, list)
-                else ([existing, entry] if existing else [entry]))
-            rows.append({
-                "observation_id": int(r.observation_id),
-                "observed_at": r.observed_at,
-                "entity_id": int(m.entity_id),
-                "dimensions": json.dumps(dims, sort_keys=True),
-                "provenance": json.dumps(prov, sort_keys=True),
-            })
-        return pa.Table.from_pylist(rows) if rows else pa.table({
-            "observation_id": pa.array([], pa.int64()),
-            "observed_at": pa.array([], pa.timestamp("us")),
-            "entity_id": pa.array([], pa.int64()),
-            "dimensions": pa.array([], pa.string()),
-            "provenance": pa.array([], pa.string()),
-        })
+    if n_mem > join_threshold:
+        import ray.data as rd
+        import types
 
-    updated = (observations_ds
-               .map_batches(candidates, batch_format="pyarrow")
-               .sort("observation_id")
-               .limit(limit)
-               .map_batches(merge_updates, batch_format="pyarrow")
-               .to_pandas())
+        mem_ds = memberships_ds if mem_is_ds \
+            else rd.from_pandas(memberships_ds)
+
+        def first_min(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("entity_id", kind="mergesort")
+            return g.iloc[:1]
+
+        def rename_cast(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(
+                [f"m_{c}" if c in _MEM_COLS else c for c in t.column_names])
+            # all-null columns infer Arrow `null`, which the hash join
+            # rejects as a non-key field — carry them as string
+            for i, f in enumerate(t.schema):
+                if pa.types.is_null(f.type):
+                    t = t.set_column(
+                        i, pa.field(f.name, pa.string()),
+                        t.column(i).cast(pa.string()))
+            return t
+
+        mem_min = (
+            mem_ds.groupby(["object_type", "object_id"])
+            .map_groups(first_min, batch_format="pandas")
+            .map_batches(rename_cast, batch_format="pyarrow")
+        )
+
+        def cand_filter(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            mask = (df["entity_id"].isna()
+                    & (df["observation_id"] > after_observation_id))
+            return pa.Table.from_pandas(df[mask], preserve_index=False)
+
+        def merge_joined(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            rows = [
+                _merge_obs_row(r, types.SimpleNamespace(
+                    entity_id=r.m_entity_id, confidence=r.m_confidence,
+                    evidence=r.m_evidence,
+                    membership_role=r.m_membership_role,
+                    membership_type=r.m_membership_type))
+                for r in df.itertuples(index=False)
+            ]
+            return _updates_table(rows)
+
+        updated = (
+            observations_ds
+            .map_batches(cand_filter, batch_format="pyarrow")
+            .join(mem_min, join_type="inner", num_partitions=16,
+                  on=("object_type", "object_id"))
+            .sort("observation_id")
+            .limit(limit)
+            .map_batches(merge_joined, batch_format="pyarrow")
+            .to_pandas()
+        )
+    else:
+        # MIN(entity_id) membership per object (the correlated subquery),
+        # reduced on the driver while small and broadcast once
+        mdf = memberships_ds.to_pandas() if mem_is_ds else memberships_ds
+        mdf = (mdf.sort_values("entity_id", kind="mergesort")
+               .drop_duplicates(["object_type", "object_id"], keep="first"))
+        lookup = {(r.object_type, int(r.object_id)): r
+                  for r in mdf.itertuples(index=False)}
+        lookup_ref = ray.put(lookup)
+
+        def candidates(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            look = ray.get(lookup_ref)
+            mask = (df["entity_id"].isna()
+                    & (df["observation_id"] > after_observation_id))
+            df = df[mask]
+            hit = [(t, int(i)) in look
+                   for t, i in zip(df["object_type"], df["object_id"])]
+            return pa.Table.from_pandas(df[np.array(hit, dtype=bool)]
+                                        if len(df) else df,
+                                        preserve_index=False)
+
+        def merge_updates(batch: pa.Table) -> pa.Table:
+            look = ray.get(lookup_ref)
+            df = batch.to_pandas()
+            rows = [
+                _merge_obs_row(r, look[(r.object_type, int(r.object_id))])
+                for r in df.itertuples(index=False)
+            ]
+            return _updates_table(rows)
+
+        updated = (observations_ds
+                   .map_batches(candidates, batch_format="pyarrow")
+                   .sort("observation_id")
+                   .limit(limit)
+                   .map_batches(merge_updates, batch_format="pyarrow")
+                   .to_pandas())
 
     # counters replay the reference's chunk loop arithmetically: k full
     # chunks then a short/empty one (unless the limit itself was hit)

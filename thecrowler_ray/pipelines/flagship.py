@@ -81,9 +81,28 @@ def q_crawl(sf_dir: str):
     )
     run.run()
     files = sorted(glob.glob(f"{out_dir}/wave=*/pages/*.parquet"))
-    return ray.data.read_parquet(
-        files, columns=["doc_id", "url", "host", "depth", "ord", "title", "lang"]
+    ds = ray.data.read_parquet(
+        files,
+        columns=["doc_id", "url", "host", "depth", "ord", "title", "lang",
+                 "spans", "links"],
     )
+
+    def lengths(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = t.drop_columns(["spans", "links"])
+        out = out.append_column(
+            "n_spans", pc.cast(pc.list_value_length(t["spans"]), pa.int64())
+        )
+        return out.append_column(
+            "n_links", pc.cast(pc.list_value_length(t["links"]), pa.int64())
+        )
+
+    # derived per-row invariants (span/link cardinality) let the DuckDB
+    # twin recompute them from the engine's own written parquet — the
+    # driver's hash check then validates both the scalar crawl output
+    # (url/depth/ord ordering) and the nested payload consistency
+    return ds.map_batches(lengths, batch_format="pyarrow")
 
 
 def q_action_rules(sf_dir: str):
@@ -114,6 +133,41 @@ def q_action_rules(sf_dir: str):
     return ds.map_batches(
         lambda df: df.assign(via_action=df["url"].str.contains("?q=", regex=False)),
         batch_format="pandas",
+    )
+
+
+def q_doc_spans_summary(sf_dir: str):
+    """Per-doc summary derived from the REAL nested ``doc_spans_pipeline``
+    output (not a parallel scalar path): span cardinality via
+    ``list_value_length`` on the nested column + the analysis columns. The
+    DuckDB twin recomputes n_spans as 1 + per-doc keyword count and
+    ws_tokens from the raw text, so the oracle checks the nested flagship
+    output end-to-end. (n_spans is taken right after the span stage — the
+    nested column can't round-trip the pandas analysis stages.)"""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(_spanify, batch_format="pyarrow")
+
+    def span_len(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["spans"]).append_column(
+            "n_spans", pc.cast(pc.list_value_length(t["spans"]), pa.int64())
+        )
+
+    analyzed = ds.map_batches(span_len, batch_format="pyarrow").map_batches(
+        token_count_stage, batch_format="pandas"
+    )
+    return analyzed.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_spans": t["n_spans"],
+                "ws_tokens": pc.cast(t["ws_tokens"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
