@@ -570,3 +570,100 @@ def test_http_fetch_parse_equals_synthetic():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_link_explode_filter_vector_scalar_parity():
+    """The vectorized skip chain in LinkExplodeFilter must be bit-identical
+    to a per-row reference (resolve -> skip_url -> is_url_valid -> key /
+    first-win dedup) over adversarial link batches: whitespace padding,
+    relative hrefs, external hosts at every restriction level, unwanted +
+    user patterns (incl. negatives), self links, mail/invalid schemes,
+    case and trailing-slash variants, duplicate keys."""
+    import numpy as np
+    import pyarrow as pa
+
+    from thecrowler_ray.pipelines.crawl import (
+        _PACK_SHIFT,
+        EngineConfig,
+        LinkExplodeFilter,
+    )
+    from thecrowler_ray.urls import (
+        combine_urls,
+        is_url_valid,
+        skip_url,
+        url_key_hex,
+    )
+
+    rng = np.random.default_rng(17)
+    hosts = ["a.example.test", "b.example.test", "other.net", "sub.a.example.test"]
+    paths = ["/p/1", "/p/2/", "/P/3", "/q?x=1", "/img.png", "/style.css",
+             "/dup", "/dup/", ""]
+    schemes = ["http://", "https://", "ftp://", "mailto:", "imap://", ""]
+
+    def rand_href():
+        r = rng.random()
+        if r < 0.2:
+            return rng.choice(paths)  # root-relative
+        s = rng.choice(schemes)
+        h = rng.choice(hosts)
+        p = rng.choice(paths)
+        pad = rng.choice(["", " ", "\t", "  "])
+        core = f"{s}{h}{p}" if s else f"{h}{p}"
+        return pad + core + pad if rng.random() < 0.15 else core
+
+    cfg = EngineConfig(
+        unwanted=[r"\.css$", r"/img\."],
+        user_patterns=[r"!\.png$", r"example\.test", r"/q\?"],
+    )
+    source_cfgs = [
+        {"crawling_config": {"unwanted_urls": [r"/p/2\b"]}},
+        {"crawling_config": {
+            "execution_plan": {"conditions": {"url_patterns": [r"(?=x)x.*"]}},
+        }},  # Python-only lookahead -> scalar config path
+    ]
+    stage = LinkExplodeFilter(cfg, source_cfgs)
+
+    n_pages = 40
+    rows = []
+    for i in range(n_pages):
+        host = hosts[i % len(hosts)]
+        page_url = f"http://{host}/page/{i}"
+        links = [{"href": rand_href(), "element_id": "", "link_idx": j}
+                 for j in range(int(rng.integers(0, 12)))]
+        rows.append({
+            "url": page_url,
+            "ord": i,
+            "src_url": f"http://{hosts[i % 2]}",
+            "restricted": int(rng.choice([0, 1, 2, 3, 4])),
+            "cfg_idx": int(rng.choice([0, 1, 2])),
+            "links": links,
+        })
+    batch = pa.Table.from_pylist(rows)
+
+    got = stage(batch).to_pylist()
+
+    # scalar reference (the pre-vectorization loop, verbatim semantics)
+    best = {}
+    for r in rows:
+        ci = r["cfg_idx"] if r["cfg_idx"] < len(stage.unwanted_by_idx) else 0
+        for ln in r["links"]:
+            link = ln["href"]
+            if link.startswith("/"):
+                link = combine_urls(r["url"], link)
+            if skip_url(link, r["src_url"], r["restricted"],
+                        unwanted=stage.unwanted_by_idx[ci],
+                        user_patterns=stage.patterns_by_idx[ci]):
+                continue
+            if not is_url_valid(link if "://" in link else "http://" + link):
+                continue
+            key = url_key_hex(link)
+            packed = ((r["ord"] << _PACK_SHIFT)
+                      | min(ln["link_idx"], (1 << _PACK_SHIFT) - 1))
+            cur = best.get(key)
+            if cur is None or packed < cur[0]:
+                best[key] = (packed, link)
+    got_map = {r["key"]: r["packed"] for r in got}
+    assert got_map == {k: p for k, (p, _) in best.items()}
+    got_urls = {r["key"]: r["url"] for r in got}
+    assert got_urls == {k: u for k, (_, u) in best.items()}
+    assert len(got) > 0

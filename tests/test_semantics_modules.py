@@ -314,3 +314,41 @@ def test_source_claim_semantics():
     assert list(got3.created_at) == sorted(got3.created_at)
     # vectorized mask matches row count
     assert due_mask(df, now, pol).sum() == 5
+
+
+def test_due_mask_arrow_parity():
+    """due_mask_arrow (the zero-copy batch path in claim_sources_ds) is
+    bit-identical to the pandas due_mask across random source frames and
+    policy variants."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from thecrowler_ray.scheduler import ClaimPolicy, due_mask, due_mask_arrow
+
+    rng = np.random.default_rng(3)
+    now = 2_000_000.0
+    statuses = ["completed", "error", "pending", "new", "processing",
+                "", "  Completed ", None]
+    n = 500
+    df = pd.DataFrame({
+        "source_id": range(n),
+        "status": rng.choice(np.array(statuses, dtype=object), n),
+        "last_updated_at": np.where(rng.random(n) < 0.2, np.nan,
+                                    now - rng.integers(0, 10**6, n)),
+        "priority": rng.choice(["high", "medium", "low", " High", None], n),
+        "disabled": rng.choice([True, False], n),
+        "created_at": rng.integers(0, 1000, n),
+    })
+    policies = [
+        ClaimPolicy(limit=10, regular_crawling="3 days",
+                    priority="high,medium", engine_id="e"),
+        ClaimPolicy(limit=10, last_ok_update="1 days", priority=""),
+        ClaimPolicy(limit=10, priority="high",
+                    processing_timeout="2 hours", last_error="1 minutes"),
+    ]
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    for pol in policies:
+        want = due_mask(df, now, pol)
+        got = due_mask_arrow(t, now, pol).to_numpy(zero_copy_only=False)
+        np.testing.assert_array_equal(got, want)

@@ -28,11 +28,13 @@ Scale notes (10^10 frontier):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
 import time
 from dataclasses import asdict, dataclass, field
+from urllib.parse import urlparse as _urlparse
 
 import numpy as np
 import pyarrow as pa
@@ -47,6 +49,7 @@ from ..stages.politeness import PolitenessPool
 from ..stages.seen import SeenShardPool, key_u64
 from ..urls import (
     combine_urls,
+    get_domain_parts,
     host_hash,
     host_of,
     is_url_valid,
@@ -55,6 +58,44 @@ from ..urls import (
 )
 
 _PACK_SHIFT = 20  # packed = parent_rank << 20 | link_idx  (out-degree < 2^20)
+
+# -- vectorized skip-chain helpers (LinkExplodeFilter) ------------------------
+# host / domain-tail extraction equivalent to urlparse().hostname +
+# get_domain_parts on scheme-bearing URLs without brackets (bracketed
+# authorities and whitespace-padded hrefs take the per-row path)
+_HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/?#]*@)?(?P<g>[^/:?#]*)"
+_SLD_RE = r"(?P<g>[^.]*\.[^.]*)$"
+_TLD_RE = r"(?P<g>[^.]*)$"
+_WEB_SCHEME_PREFIXES = tuple(
+    s + "://" for s in ("http", "https", "ws", "wss", "ftp", "ftps"))
+
+
+def _re2_ok(pattern: str) -> bool:
+    """True when Arrow's RE2 accepts the pattern (no lookaround/backrefs)."""
+    try:
+        pc.match_substring_regex(pa.array(["x"]), pattern)
+        return True
+    except pa.ArrowInvalid:
+        return False
+
+
+def _extract_regex(arr, pattern):
+    """→ (values object-ndarray, matched bool-ndarray); "" where no match."""
+    g = pc.extract_regex(arr, pattern).field("g")
+    matched = pc.is_valid(g).to_numpy(zero_copy_only=False)
+    vals = pc.fill_null(g, "").to_numpy(zero_copy_only=False).astype(object)
+    return vals, matched
+
+
+def _normalize_urls_arrow(arr) -> np.ndarray:
+    """Arrow twin of urls.normalize_url (fixed-point strip+rstrip('/'),
+    then lower) — the seen-key canonicalization, batched."""
+    prev = None
+    cur = arr
+    while prev is None or not pc.all(pc.equal(cur, prev)).as_py():
+        prev = cur
+        cur = pc.utf8_rtrim(pc.utf8_trim_whitespace(cur), characters="/")
+    return pc.utf8_lower(cur).to_numpy(zero_copy_only=False)
 
 CANDIDATE_SCHEMA = pa.schema(
     [
@@ -160,12 +201,16 @@ class LinkExplodeFilter:
         self.n_key_buckets = cfg.n_key_buckets
         source_cfgs = source_cfgs or []
         base_unwanted = [re.compile(p) for p in cfg.unwanted]
+        base_unwanted_raw = list(cfg.unwanted)
         self.unwanted_by_idx = [base_unwanted]
+        self.unwanted_raw_by_idx = [base_unwanted_raw]
         self.patterns_by_idx = [list(cfg.user_patterns)]
         for sc in source_cfgs:
             cc = (sc or {}).get("crawling_config", {}) or {}
-            extra = [re.compile(p) for p in cc.get("unwanted_urls", []) or []]
-            self.unwanted_by_idx.append(base_unwanted + extra)
+            extra_raw = list(cc.get("unwanted_urls", []) or [])
+            self.unwanted_by_idx.append(
+                base_unwanted + [re.compile(p) for p in extra_raw])
+            self.unwanted_raw_by_idx.append(base_unwanted_raw + extra_raw)
             pats = (
                 ((cc.get("execution_plan") or {}).get("conditions") or {})
                 .get("url_patterns")
@@ -173,6 +218,15 @@ class LinkExplodeFilter:
             self.patterns_by_idx.append(
                 list(pats) if pats else list(cfg.user_patterns)
             )
+        # cfg indexes whose regexes Arrow's RE2 can't run (Python-only
+        # constructs like lookaround/backrefs) take the per-row path
+        self._scalar_cis = np.array(
+            [ci for ci in range(len(self.unwanted_by_idx))
+             if not all(_re2_ok(p) for p in
+                        self.unwanted_raw_by_idx[ci]
+                        + [q.lstrip("!") for q in self.patterns_by_idx[ci]])],
+            dtype=np.int64,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         links = batch["links"]
@@ -180,11 +234,6 @@ class LinkExplodeFilter:
             links = links.combine_chunks()
         flat = pc.list_flatten(links)
         parents = pc.list_parent_indices(links)
-        out = {
-            "url": [], "key": [], "host": [], "packed": [],
-            "src_url": [], "restricted": [], "cfg_idx": [], "score": [],
-            "kbucket": [],
-        }
         if len(flat) == 0:
             return pa.Table.from_pydict(
                 {n: [] for n in CANDIDATE_SCHEMA.names}, schema=CANDIDATE_SCHEMA
@@ -198,33 +247,137 @@ class LinkExplodeFilter:
             if "cfg_idx" in batch.column_names
             else [0] * len(page_urls)
         )
-        hrefs = flat.field("href").to_pylist()
-        link_idx = flat.field("link_idx").to_pylist()
-        par = parents.to_pylist()
-        # batch-local first-win pre-dedup (combiner): keeps only the min
-        # packed row per key within this batch, shrinking the global dedup
-        # groupby's input; min-of-mins preserves first-win semantics
-        best: dict[str, tuple[int, tuple]] = {}
-        for href, j, pi in zip(hrefs, link_idx, par):
-            link = href
-            if link.startswith("/"):
-                link = combine_urls(page_urls[pi], link)
-            ci = cfgi[pi] if cfgi[pi] < len(self.unwanted_by_idx) else 0
-            if skip_url(
-                link,
-                srcs[pi],
-                restr[pi],
-                unwanted=self.unwanted_by_idx[ci],
-                user_patterns=self.patterns_by_idx[ci],
-            ):
+        # page-level precompute (loop over pages, never over links)
+        n_cfg = len(self.unwanted_by_idx)
+        bases = np.empty(len(page_urls), dtype=object)
+        for i, pu in enumerate(page_urls):
+            p = _urlparse(pu)
+            bases[i] = f"{p.scheme}://{p.netloc}"
+        par = parents.to_numpy()
+        href_arr = flat.field("href")
+        if isinstance(href_arr, pa.ChunkedArray):
+            href_arr = href_arr.combine_chunks()
+        link_idx = flat.field("link_idx").to_numpy(zero_copy_only=False)
+        # 1. resolve root-relative hrefs against the page URL (vectorized)
+        rel = pc.starts_with(href_arr, "/").to_numpy(zero_copy_only=False)
+        link0 = href_arr.to_numpy(zero_copy_only=False).astype(object)
+        ri = np.nonzero(rel)[0]
+        if ri.size:
+            link0[ri] = bases[par[ri]] + link0[ri]
+        arr0 = pa.array(link0, pa.string())
+        arr_s = pc.utf8_trim_whitespace(arr0)
+        low = pc.utf8_lower(arr_s)
+        restr_l = np.asarray(restr, dtype=np.int64)[par]
+        ci_page = np.asarray(
+            [c if c < n_cfg else 0 for c in cfgi], dtype=np.int64)
+        ci_all = ci_page[par]
+        keep = pc.invert(pc.equal(arr_s, "")).to_numpy(zero_copy_only=False)
+        # rows the vector chain can't reproduce bit-exactly take the
+        # original per-row path: whitespace-padded hrefs (output uses the
+        # unstripped URL), restriction levels other than SLD/TLD/none
+        # (geturl()-exact compares), bracketed IPv6-ish authorities, and
+        # Python-only regex configs
+        fallback = keep & (
+            ~np.isin(restr_l, (2, 3, 4))
+            | pc.invert(pc.equal(arr0, arr_s)).to_numpy(zero_copy_only=False)
+            | pc.match_substring(arr_s, "[").to_numpy(zero_copy_only=False)
+            | (np.isin(ci_all, self._scalar_cis)
+               if self._scalar_cis.size else False)
+        )
+        vec = keep & ~fallback
+        skip = np.zeros(len(link0), dtype=bool)
+        # 2. external-link policy, levels 2 (SLD) / 3 (TLD); level 4 = none
+        host = None
+        for lvl, tail_re in ((2, _SLD_RE), (3, _TLD_RE)):
+            m = vec & (restr_l == lvl)
+            if not m.any():
+                continue
+            if host is None:
+                hv, hm = _extract_regex(low, _HOST_RE)
+                host = np.where(hm, hv, "")
+            tv, tm = _extract_regex(pa.array(host, pa.string()), tail_re)
+            tail = np.where(tm, tv, host)  # <2 labels → whole host
+            src_tail = np.empty(len(page_urls), dtype=object)
+            for i, s in enumerate(srcs):
+                try:
+                    sh = _urlparse(s).hostname or ""
+                except ValueError:
+                    sh = ""
+                src_tail[i] = get_domain_parts(sh.split("."), lvl)
+            skip |= m & (tail != src_tail[par])
+        # 3. unwanted regexes per config (RE2, checked at __init__)
+        for ci, raws in enumerate(self.unwanted_raw_by_idx):
+            m = vec & (ci_all == ci)
+            if not m.any():
+                continue
+            for pat in raws:
+                skip |= m & pc.match_substring_regex(
+                    arr_s, pat).to_numpy(zero_copy_only=False)
+        # 4. self-link
+        src_np = np.asarray(srcs, dtype=object)[par]
+        skip |= vec & (arr_s.to_numpy(zero_copy_only=False) == src_np)
+        # 5. user patterns: first match decides (`!` skips), no match skips
+        for ci, pats in enumerate(self.patterns_by_idx):
+            m = vec & (ci_all == ci)
+            if not m.any() or not pats:
+                continue
+            undecided = m & ~skip
+            for pat in pats:
+                hit = pc.match_substring_regex(
+                    arr_s, pat.lstrip("!")).to_numpy(zero_copy_only=False)
+                hit &= undecided
+                if pat.startswith("!"):
+                    skip |= hit
+                undecided &= ~hit
+            skip |= undecided
+        # 6. validity (web-scheme prefix or scheme-less + a dot, no inner
+        # whitespace; non-web schemes take the per-row path)
+        ws_bad = pc.match_substring_regex(
+            arr_s, "[ \\n\\t]").to_numpy(zero_copy_only=False)
+        has_dot = pc.match_substring(low, ".").to_numpy(zero_copy_only=False)
+        has_sep = pc.match_substring(low, "://").to_numpy(zero_copy_only=False)
+        scheme_ok = np.zeros(len(link0), dtype=bool)
+        for s in _WEB_SCHEME_PREFIXES:
+            scheme_ok |= pc.starts_with(low, s).to_numpy(zero_copy_only=False)
+        valid = ~ws_bad & has_dot & (scheme_ok | ~has_sep)
+        odd = np.nonzero(vec & ~skip & has_sep & ~scheme_ok)[0]
+        for i in odd:
+            li = link0[i]
+            valid[i] = is_url_valid(li if "://" in li else "http://" + li)
+        ok = vec & ~skip & valid
+        # per-row fallback: the original chain, bit-identical
+        for i in np.nonzero(fallback)[0]:
+            link, pi = link0[i], par[i]
+            ci = int(ci_all[i])
+            if skip_url(link, srcs[pi], restr[pi],
+                        unwanted=self.unwanted_by_idx[ci],
+                        user_patterns=self.patterns_by_idx[ci]):
                 continue
             if not is_url_valid(link if "://" in link else "http://" + link):
                 continue
-            key = url_key_hex(link)
-            packed = (ords[pi] << _PACK_SHIFT) | min(j, (1 << _PACK_SHIFT) - 1)
+            ok[i] = True
+        # 7. survivors: batch-local first-win pre-dedup (combiner): keeps
+        # only the min packed row per key within this batch, shrinking the
+        # global dedup groupby's input; min-of-mins preserves first-win
+        norm = _normalize_urls_arrow(arr0)
+        cap = (1 << _PACK_SHIFT) - 1
+        best: dict[str, tuple[int, tuple]] = {}
+        for i in np.nonzero(ok)[0]:
+            pi = par[i]
+            # fallback rows key via the scalar canonicalizer (exact parity
+            # on whitespace oddities the Arrow trim defines differently)
+            key = (url_key_hex(link0[i]) if fallback[i]
+                   else hashlib.sha1(norm[i].encode("utf-8")).hexdigest())
+            packed = (ords[pi] << _PACK_SHIFT) | min(int(link_idx[i]), cap)
             cur = best.get(key)
             if cur is None or packed < cur[0]:
-                best[key] = (packed, (link, srcs[pi], restr[pi], ci))
+                best[key] = (packed,
+                             (link0[i], srcs[pi], restr[pi], int(ci_all[i])))
+        out = {
+            "url": [], "key": [], "host": [], "packed": [],
+            "src_url": [], "restricted": [], "cfg_idx": [], "score": [],
+            "kbucket": [],
+        }
         score_fn = self.cfg.link_score_fn
         for key, (packed, (link, src, rs, ci)) in best.items():
             out["url"].append(link)

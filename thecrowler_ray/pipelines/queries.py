@@ -341,9 +341,7 @@ def q_quality(sf_dir: str):
 def q_fingerprint(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(fingerprint_stage, batch_format="pandas")
-    return out.map_batches(
-        lambda df: df[["doc_id", "fingerprint_md5"]], batch_format="pandas"
-    )
+    return out.select_columns(["doc_id", "fingerprint_md5"])
 
 
 def q_doc_keywords(sf_dir: str):
@@ -635,13 +633,13 @@ def q_langid(sf_dir: str):
     """Heuristic language ID (actor pool — marker tables in __init__)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(LangIdStage, batch_format="pandas", concurrency=2)
-    return out.map_batches(lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas")
+    return out.select_columns(["doc_id", "lang_pred"])
 
 
 def q_simhash(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(simhash_stage, batch_format="pandas")
-    return out.map_batches(lambda df: df[["doc_id", "simhash"]], batch_format="pandas")
+    return out.select_columns(["doc_id", "simhash"])
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -690,9 +688,14 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.35):
     """Same-label cosine near-dup pairs (bucketed brute force)."""
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     pairs = embedding_neardup_pairs(ds, threshold, bucket_col="label")
-    return pairs.map_batches(
-        lambda df: df.assign(cosine=df["cosine"].round(4)), batch_format="pandas"
-    )
+
+    def round4(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = t.column_names.index("cosine")
+        return t.set_column(i, "cosine", pc.round(t["cosine"], ndigits=4))
+
+    return pairs.map_batches(round4, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

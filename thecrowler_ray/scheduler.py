@@ -97,20 +97,60 @@ def claim_sources(
     return claimed.reset_index(drop=True)
 
 
+def due_mask_arrow(t, now_s: float, policy: ClaimPolicy):
+    """Arrow twin of :func:`due_mask` (zero-copy batch path — no per-batch
+    pandas round-trip). Bit-parity asserted in tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    status = pc.utf8_lower(
+        pc.utf8_trim_whitespace(pc.fill_null(t["status"], "")))
+    upd = pc.cast(t["last_updated_at"], pa.float64())
+    never = pc.is_nan(pc.fill_null(upd, float("nan")))
+    upd0 = pc.fill_null(upd, float("inf"))  # never-rows handled via `never`
+
+    ok = pa.array(np.zeros(len(t), dtype=bool))
+    if policy.last_ok_update.strip():
+        ok = pc.or_(ok, pc.or_(
+            never, pc.less(upd0, _win(now_s, policy.last_ok_update))))
+    if policy.regular_crawling.strip():
+        ok = pc.or_(ok, pc.and_(
+            pc.equal(status, "completed"),
+            pc.less(upd0, _win(now_s, policy.regular_crawling))))
+    ok = pc.or_(ok, pc.and_(
+        pc.equal(status, "error"),
+        pc.less(upd0, _win(now_s, policy.last_error or "15 minutes"))))
+    ok = pc.or_(ok, pc.is_in(
+        status, value_set=pa.array(["pending", "new", ""])))
+    ok = pc.or_(ok, pc.and_(
+        pc.equal(status, "processing"),
+        pc.less(upd0, _win(now_s, policy.processing_timeout or "1 day"))))
+
+    if policy.priority.strip():
+        wanted = sorted({p.strip().lower() for p in policy.priority.split(",")})
+        prio = pc.utf8_lower(
+            pc.utf8_trim_whitespace(pc.fill_null(t["priority"], "")))
+        ok = pc.and_(ok, pc.is_in(prio, value_set=pa.array(wanted)))
+    disabled = pc.fill_null(pc.cast(t["disabled"], pa.bool_()), False)
+    return pc.and_(ok, pc.invert(disabled))
+
+
 def claim_sources_ds(ds, now_s: float, policy: ClaimPolicy) -> pd.DataFrame:
     """Distributed form: eligibility filters inside ``map_batches`` (the
     source table can be arbitrarily large; only due rows move), then the
-    bounded global order/limit on the controller."""
+    bounded global order/limit on the controller. Both stages run on
+    zero-copy Arrow batches."""
 
-    def filt(df: pd.DataFrame) -> pd.DataFrame:
-        return df[due_mask(df, now_s, policy)]
+    def filt(t):
+        return t.filter(due_mask_arrow(t, now_s, policy))
 
-    due = ds.map_batches(filt, batch_format="pandas")
+    due = ds.map_batches(filt, batch_format="pyarrow")
+
     # per-batch partial top-limit bounds what reaches the driver
-    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            ["created_at", "source_id"], kind="mergesort"
-        ).head(policy.limit)
+    def partial_top(t):
+        return t.sort_by(
+            [("created_at", "ascending"), ("source_id", "ascending")]
+        ).slice(0, policy.limit)
 
-    slim = due.map_batches(partial_top, batch_format="pandas").to_pandas()
+    slim = due.map_batches(partial_top, batch_format="pyarrow").to_pandas()
     return claim_sources(slim, now_s, policy) if len(slim) else slim

@@ -14,12 +14,27 @@ partition-by-key + in-group ordering pattern for stream-shaped data.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _bucket(ts: pd.Series, bucket: str) -> pd.Series:
     return ts.dt.floor(bucket)
+
+
+_UNIT = {"d": "day", "h": "hour", "min": "minute", "t": "minute",
+         "s": "second", "ms": "millisecond"}
+
+
+def _parse_freq(bucket: str) -> tuple[int, str]:
+    """pandas-style fixed freq ("h", "15min", "D") → (multiple, arrow unit)."""
+    m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", bucket.strip())
+    if not m or m.group(2).lower() not in _UNIT:
+        raise ValueError(f"unsupported bucket freq: {bucket!r}")
+    return int(m.group(1) or 1), _UNIT[m.group(2).lower()]
 
 
 def timeseries_aggregate(
@@ -32,10 +47,15 @@ def timeseries_aggregate(
 ):
     """events-shaped Dataset → per-(metric, bucket) aggregate rows."""
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["bucket"] = _bucket(df[ts_col], bucket)
-        return df
+    mult, unit = _parse_freq(bucket)
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        # zero-copy Arrow floor (no per-batch pandas round-trip)
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.floor_temporal(t[ts_col], multiple=mult, unit=unit)
+        )
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col], kind="mergesort")
@@ -62,7 +82,7 @@ def timeseries_aggregate(
         return pd.DataFrame(row)
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby([metric_col, "bucket"])
         .map_groups(agg, batch_format="pandas")
     )
