@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_neardup": q.q_embedding_neardup,
         # time-series, search, attribute extraction, scrape rules, detection
         "q_timeseries": q.q_timeseries,
+        "q_ts_emitted": q.q_ts_emitted,
         "q_search": q.q_search,
         "q_attr_extract": q.q_attr_extract,
         "q_search_ranked": q.q_search_ranked,
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scrape_docs": q.q_scrape_docs,
         "q_tech_detect_docs": q.q_tech_detect_docs,
         "q_xhr_requests": q.q_xhr_requests,
+        "q_httpinfo": q.q_httpinfo,
         # netinfo parse plane (pkg/netinfo whois/dig parsing)
         "q_whois": q.q_whois,
         "q_dns_records": q.q_dns_records,
@@ -563,6 +565,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q_doc_keywords": _doc_keywords_sql(),
+        "q_ts_emitted": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                    AS kw
+                FROM documents
+            ), occ AS (
+                SELECT doc_id, kw AS keyword, COUNT(*) AS occ
+                FROM tok
+                WHERE length(kw) BETWEEN 3 AND 45
+                  AND kw NOT IN ({_stoplist_sql()})
+                GROUP BY doc_id, kw
+            )
+            SELECT keyword,
+                   date_trunc('day', TIMESTAMP '2026-01-01 00:00:00'
+                       + (doc_id % 72) * INTERVAL 1 HOUR) AS bucket_start,
+                   COUNT(*) AS n_obs,
+                   SUM(occ) AS sum_occ
+            FROM occ GROUP BY keyword, bucket_start
+        """,
         # information-seed pipeline: constructed candidate shapes →
         # normalization/filters/JS-processor all replayed as CASE logic
         "q_infoseed": """
@@ -758,6 +780,28 @@ def oracle_sql() -> dict[str, str]:
             FROM kws
         """,
         "q_minhash_pairs": _minhash_pairs_sql(),
+        "q_httpinfo": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'nginx/1.25'
+                        WHEN 1 THEN 'Apache/2.4.57'
+                        ELSE 'cloudflare' END AS server,
+                   doc_id % 2 = 0 AS has_hsts,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN 300 + (doc_id % 7) * 100
+                        ELSE 0 END AS BIGINT) AS hsts_max_age,
+                   CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_cookies,
+                   CAST(1 AS BIGINT) AS insecure_cookies,
+                   CAST((CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+                        + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS non_httponly_cookies,
+                   CASE WHEN doc_id % 3 = 0 THEN 'DENY' ELSE '' END
+                        AS x_frame_options,
+                   doc_id % 6 = 0 AS has_csp,
+                   CASE doc_id % 3 WHEN 0 THEN 'nginx' WHEN 1 THEN 'apache'
+                        ELSE 'cloudflare' END AS detected_tech
+            FROM documents
+        """,
         "q_scrape_docs": """
             SELECT doc_id,
                    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source AS title,

@@ -1350,3 +1350,113 @@ def q_backfill(sf_dir: str):
     updated["dim_confidence"] = [
         _json.loads(d)["confidence"] for d in updated["dimensions"]]
     return updated[["observation_id", "entity_id", "dim_confidence"]]
+
+
+def q_httpinfo(sf_dir: str):
+    """HTTPDetails header-analysis plane (pkg/httpinfo) over
+    documents-derived response headers: each doc gets a deterministic
+    header set (server token, HSTS policy, cookie flags, XFO/CSP — a pure
+    function of doc_id that the SQL twin re-states), which flows through
+    the REAL header parser + detection stage
+    (httpinfo.analyze_headers / parse_set_cookie / TechDetector) in an
+    actor pool."""
+    import json as _json
+
+    from ..httpinfo import HttpHeaderAnalyzeStage
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def synth_headers(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id in df["doc_id"]:
+            d = int(doc_id)
+            server = ["nginx/1.25", "Apache/2.4.57", "cloudflare"][d % 3]
+            headers = {"Server": [server], "Content-Type": ["text/html"]}
+            if d % 2 == 0:
+                v = f"max-age={300 + (d % 7) * 100}"
+                if d % 4 == 0:
+                    v += "; includeSubDomains"
+                headers["Strict-Transport-Security"] = [v]
+            cookies = [f"sid={d}; Path=/" + ("; HttpOnly" if d % 2 == 0
+                                             else "")]
+            if d % 5 == 0:
+                cookies.append("pref=1; Secure; SameSite=Lax")
+            headers["Set-Cookie"] = cookies
+            if d % 3 == 0:
+                headers["X-Frame-Options"] = ["DENY"]
+            if d % 6 == 0:
+                headers["Content-Security-Policy"] = ["default-src 'self'"]
+            rows.append({"doc_id": doc_id,
+                         "headers_json": _json.dumps(headers)})
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(synth_headers, batch_format="pandas").map_batches(
+        HttpHeaderAnalyzeStage, batch_format="pandas",
+        batch_size=256, concurrency=2,
+    )
+
+
+class _KeywordEmitStage:
+    """Actor-pool stage: metric registry + emitter config built once per
+    actor; per batch, each (doc, keyword, occurrences) triple flows through
+    the REAL emission path (ts_emitter.Emitter.emit_indexed_artifact:
+    selector match → count parse → bucket bounds → dedupe key → provenance
+    + hashes), and the prepared observations come out as rows."""
+
+    def __init__(self):
+        from datetime import datetime, timezone
+
+        from ..ts_emitter import Emitter, InMemoryRepository, Metric
+
+        self._mk = lambda: InMemoryRepository([Metric(
+            id=1, key="all_keywords", source_kind="keyword",
+            value_type="count", bucket="1d", dedupe_scope="none",
+            selector={})])
+        self._Emitter = Emitter
+        self._base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from datetime import timedelta
+
+        from ..ts_emitter import IndexedArtifactInput
+
+        repo = self._mk()
+        emitter = self._Emitter(repo, now=lambda: self._base)
+        stop = STOP_WORDS["en"]
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = [t for t in (text or "").lower().split()
+                    if 3 <= len(t) <= 45 and t not in stop]
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            observed = self._base + timedelta(hours=int(doc_id) % 72)
+            for i, (kw, occ) in enumerate(sorted(counts.items())):
+                emitter.emit_indexed_artifact(IndexedArtifactInput(
+                    source_kind="keyword", index_id=int(doc_id),
+                    row_id=i, link_id=int(doc_id), subject_key=kw,
+                    value=occ, occurrences=occ, observed_at=observed))
+        rows = [{
+            "keyword": o["provenance"]["normalized_keyword"],
+            "bucket_start": o["bucket_start"].replace(tzinfo=None),
+            "occ": int(o["value"]["integer"]),
+        } for o in repo.observations]
+        return pd.DataFrame(rows, columns=["keyword", "bucket_start", "occ"])
+
+
+def q_ts_emitted(sf_dir: str):
+    """Time-series emitter plane (pkg/timeseries/emitter.go +
+    indexed_artifact.go) fed by INDEXED artifacts, not synthetic events:
+    per-doc keyword occurrences are emitted as observations through the
+    full emission path in an actor pool, then aggregated per
+    (keyword, 1d bucket) — the SQL twin recomputes occurrences and bucket
+    arithmetic from the raw documents."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    obs = ds.map_batches(_KeywordEmitStage, batch_format="pandas",
+                         batch_size=256, concurrency=2)
+    out = (
+        obs.groupby(["keyword", "bucket_start"])
+        .aggregate(Count(alias_name="n_obs"), Sum("occ", alias_name="sum_occ"))
+        .to_pandas()
+    )
+    out["sum_occ"] = out["sum_occ"].astype("int64")
+    return out
