@@ -289,3 +289,88 @@ def test_events_http_surface():
         assert code == 404
     finally:
         srv.close()
+
+
+def test_source_console_roundtrip(tmp_path):
+    """/v1/source/* admin surface (services/api/main.go:706-725) over the
+    parquet registry on a real socket: add (GET q + POST body) -> status ->
+    statuses/filter -> update -> remove -> vacuum, with console status
+    codes (201/200/204) and persistence across server instances."""
+    import urllib.request
+
+    def call(port, path, method="GET", body=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", method=method,
+            data=json.dumps(body).encode() if body is not None else None)
+        if body is not None:
+            req.add_header("Content-Type", "application/json")
+        try:
+            with urllib.request.urlopen(req, timeout=5) as r:
+                raw = r.read()
+                return r.status, json.loads(raw) if raw else None
+        except urllib.error.HTTPError as e:
+            raw = e.read()
+            return e.code, json.loads(raw) if raw else None
+
+    srv = ApiServer(str(tmp_path), ApiConfig(rate_limit="1000,1000"))
+    port = srv.start()
+    try:
+        # GET add with console defaults (restricted=2, pending)
+        code, body = call(port, "/v1/source/add?q=https://A.example.test/")
+        assert code == 201 and body["source_id"] == 1
+        # POST add with explicit fields
+        code, body = call(port, "/v1/source/add", "POST",
+                          {"url": "https://b.example.test", "priority":
+                           "high", "restricted": 1, "category_id": 3})
+        assert code == 201 and body["source_id"] == 2
+        # missing q -> 400
+        code, body = call(port, "/v1/source/add")
+        assert code == 400 and "Missing parameter 'q'" in body["message"]
+
+        code, body = call(port,
+                          "/v1/source/status?q=https://a.example.test")
+        assert code == 200 and body["message"] == "All Sources status"
+        assert len(body["items"]) == 1
+        row = body["items"][0]
+        assert row["url"] == "https://a.example.test"  # normalized
+        assert row["status"] == "pending" and row["restricted"] == 2
+        assert len(row["source_uid"]) == 64
+
+        code, body = call(port, "/v1/source/statuses")
+        assert code == 200 and len(body["items"]) == 2
+        code, body = call(port, "/v1/source/statuses/filter?q=b.example")
+        assert len(body["items"]) == 1 and body["items"][0]["restricted"] == 1
+
+        code, _ = call(port, "/v1/source/update", "POST",
+                       {"url": "https://a.example.test",
+                        "status": "completed"})
+        assert code == 204
+        code, body = call(port,
+                          "/v1/source/status?q=https://a.example.test")
+        assert body["items"][0]["status"] == "completed"
+
+        code, _ = call(port, "/v1/source/remove?q=https://b.example.test")
+        assert code == 204
+        # removing again fails with the console message
+        code, body = call(port, "/v1/source/remove?q=https://b.example.test")
+        assert code == 500 and body["message"] == \
+            "Failed to remove the source"
+        code, _ = call(port, "/v1/source/vacuum")
+        assert code == 204
+    finally:
+        srv.close()
+
+    # registry persisted: a fresh server over the same index_dir sees it
+    srv2 = ApiServer(str(tmp_path), ApiConfig(rate_limit="1000,1000"))
+    port2 = srv2.start()
+    try:
+        code, body = call(port2, "/v1/source/statuses")
+        assert code == 200 and [r["url"] for r in body["items"]] == \
+            ["https://a.example.test"]
+        # export round-trip through /v1/docs registry (routes registered)
+        code, body = call(port2, "/v1/docs")
+        paths = {r["path"] for r in body["endpoints"]}
+        assert {"/v1/source/add", "/v1/source/remove", "/v1/source/status",
+                "/v1/source/statuses"} <= paths
+    finally:
+        srv2.close()

@@ -9,8 +9,10 @@ Here the handlers call the repo's own Ray-Data pipelines
 (``pipelines/search_api.search_pages``, ``stages/timeseries``), so the
 server is a thin stdlib ``ThreadingHTTPServer`` front over the data plane —
 no web framework needed, and tests drive it over a real local socket.
-The DB-admin endpoints (``/v1/source/*``) are out of scope: this engine's
-source state lives in parquet manifests, not a Postgres console.
+The DB-admin endpoints (``/v1/source/*``: add/remove/update/vacuum/status/
+statuses, ``main.go:706-725``) run over the parquet-backed
+``source_registry.SourceRegistry`` instead of the reference's Postgres
+console.
 
 Deployment note (100 TB): the server is a *driver-side* query facade; the
 heavy lifting stays in Ray Data tasks. Run one per head node; queries
@@ -111,7 +113,12 @@ class ApiServer:
         ws_config=None,
         cors=None,
         events_bus=None,
+        source_registry=None,
     ):
+        # /v1/source/* admin surface (main.go:706-725) over the parquet
+        # registry; created lazily under index_dir when not injected
+        self._source_registry = source_registry
+        self._source_lock = threading.Lock()
         self.cors = cors or CorsConfig()
         self.events_bus = events_bus  # EventBus actor → /v1/event/* surface
         self.index_dir = index_dir
@@ -165,6 +172,32 @@ class ApiServer:
         reg.register("/v1/docs", ["GET"], "Registered API route listing")
         reg.register("/v1/openapi.json", ["GET"],
                      "Dynamically generated OpenAPI specification")
+        # /v1/source/* console (main.go:706-725)
+        q_schema = {"type": "object",
+                    "properties": {"q": {"type": "string"}},
+                    "required": ["q"]}
+        reg.register("/v1/source/add", ["GET", "POST"],
+                     "Add source endpoint (console)", query=q_schema,
+                     success_status=201)
+        reg.register("/v1/source/remove", ["GET"],
+                     "Remove source endpoint (console)", query=q_schema,
+                     success_status=204)
+        reg.register("/v1/source/update", ["POST"],
+                     "Update source endpoint (console)",
+                     body={"type": "object",
+                           "properties": {"url": {"type": "string"},
+                                          "status": {"type": "string"}},
+                           "required": ["url", "status"]},
+                     success_status=204)
+        reg.register("/v1/source/vacuum", ["GET"],
+                     "Vacuum source endpoint (console)", success_status=204)
+        reg.register("/v1/source/status", ["GET"],
+                     "Single URL status endpoint (console)", query=q_schema)
+        reg.register("/v1/source/statuses", ["GET"],
+                     "All URLs status endpoint (console)")
+        reg.register("/v1/source/statuses/filter", ["GET"],
+                     "Filtered URLs status endpoint (console)",
+                     query=q_schema)
         return reg
 
     # -- lifecycle ---------------------------------------------------------
@@ -296,6 +329,15 @@ class ApiServer:
         if path.startswith("/v1/event/") and self.events_bus is not None:
             return self._handle_event(req, path, qs)
 
+        if path.startswith("/v1/source/"):
+            try:
+                return self._handle_source(req, path, qs)
+            except ValueError as e:
+                return _json(req, 400, {"message": str(e)})
+            except Exception as e:
+                return _json(req, 500,
+                             {"message": f"{type(e).__name__}: {e}"})
+
         try:
             if path == "/v1/search/general":
                 q = qs.get("q", "")
@@ -311,6 +353,137 @@ class ApiServer:
         except Exception as e:  # handler errors → 500, server stays up
             return _json(req, 500, {"error": f"{type(e).__name__}: {e}"})
 
+
+    # -- /v1/source/* admin surface (services/api/main.go:706-725) ----------
+
+    def _registry(self):
+        if self._source_registry is None:
+            from .source_registry import SourceRegistry
+
+            self._source_registry = SourceRegistry(
+                os.path.join(self.index_dir, "sources.parquet"))
+        return self._source_registry
+
+    @staticmethod
+    def _read_body(req: BaseHTTPRequestHandler) -> dict:
+        n = int(req.headers.get("Content-Length") or 0)
+        raw = req.rfile.read(n) if n else b""
+        return json.loads(raw) if raw.strip() else {}
+
+    @staticmethod
+    def _status_row(r) -> dict:
+        import math
+
+        def ts(v):
+            return "" if v is None or (isinstance(v, float)
+                                       and math.isnan(v)) else str(v)
+
+        return {
+            "source_id": int(r["source_id"]),
+            "source_uid": r["source_uid"],
+            "url": r["url"], "status": r["status"],
+            "priority": r["priority"] or "",
+            "engine": r.get("engine", "") or "",
+            "created_at": ts(r["created_at"]),
+            "last_updated_at": ts(r["last_updated_at"]),
+            "last_crawled_at": ts(r["last_crawled_at"]),
+            "restricted": int(r["restricted"]),
+            "disabled": bool(r["disabled"]),
+            "flags": int(r["flags"]),
+        }
+
+    def _handle_source(self, req: BaseHTTPRequestHandler, path: str,
+                       qs: dict) -> None:
+        """add/remove/update/vacuum/status/statuses[/filter] console over
+        the parquet-backed SourceRegistry (console.go:715-1057: GET takes
+        'q', POST takes a JSON body; add defaults restricted=2 status=
+        'pending'; statuses respond {message, items})."""
+        from .source_registry import normalize_source_url
+        from .urls import normalize_url
+
+        op = path[len("/v1/source/"):]
+        reg = self._registry()
+        q = qs.get("q", "")
+
+        if op == "add":
+            with self._source_lock:
+                if req.command == "POST":
+                    body = self._read_body(req)
+                    url = normalize_url(str(body.get("url", "")).strip())
+                    if not url:
+                        return _json(req, 400, {"message": "Invalid URL"})
+                    sid = reg.add_source(
+                        url, name=str(body.get("name", "")),
+                        priority=str(body.get("priority", "")),
+                        category_id=int(body.get("category_id", 0)),
+                        usr_id=int(body.get("usr_id", 0)),
+                        restricted=int(body.get("restricted", 2)),
+                        flags=int(body.get("flags", 0)),
+                        config=body.get("config"),
+                        status=str(body.get("status", "pending")),
+                        now_s=time.time())
+                else:
+                    if not q:
+                        return _json(req, 400, {
+                            "message": "Missing parameter 'q' in addSource "
+                                       "request"})
+                    # console GET defaults (console.go:718-729)
+                    sid = reg.add_source(normalize_url(q.strip()),
+                                         restricted=2, status="pending",
+                                         now_s=time.time())
+                reg.save()
+            return _json(req, 201, {
+                "message": "Source added successfully", "source_id": sid})
+
+        if op == "remove":
+            if not q:
+                return _json(req, 400, {
+                    "message": "Missing parameter 'q' in removeSource "
+                               "request"})
+            with self._source_lock:
+                res = reg.remove_source(normalize_source_url(q))
+                reg.save()
+            if "successfully" not in res.message:
+                return _json(req, 500, dict(res))
+            return _no_content(req)
+
+        if op == "update":
+            body = self._read_body(req) if req.command == "POST" else {}
+            status = str(body.get("status", qs.get("status", "")))
+            url = str(body.get("url", q))
+            if not status or not url:
+                return _json(req, 400,
+                             {"message": "missing url or status"})
+            with self._source_lock:
+                n = reg.update_status(status, url=url)
+                reg.save()
+            return _no_content(req)
+
+        if op == "vacuum":
+            with self._source_lock:
+                reg.save()
+            return _no_content(req)
+
+        if op in ("status", "statuses", "statuses/filter"):
+            df = reg.df
+            if op == "status":
+                if not q:
+                    return _json(req, 400, {
+                        "message": "Missing parameter 'q' in status "
+                                   "request"})
+                df = df[df["url"] == normalize_source_url(q)]
+            elif op == "statuses/filter":
+                if not q:
+                    return _json(req, 400, {
+                        "message": "Missing parameter 'q' in status "
+                                   "request"})
+                df = df[df["url"].str.contains(q, regex=False)]
+            items = [self._status_row(r) for _, r in
+                     df.sort_values("source_id").iterrows()]
+            return _json(req, 200,
+                         {"message": "All Sources status", "items": items})
+
+        return _json(req, 404, {"error": f"no such endpoint {path}"})
 
     def _handle_event(self, req: BaseHTTPRequestHandler, path: str,
                       qs: dict) -> None:
@@ -446,6 +619,15 @@ def _json(req: BaseHTTPRequestHandler, code: int, obj: dict) -> None:
         req.send_header(k, v)
     req.end_headers()
     req.wfile.write(body)
+
+
+def _no_content(req) -> None:
+    """RFC 7231: 204 responses carry no body (console remove/update/vacuum
+    success codes, main.go:710-716)."""
+    req.send_response(204)
+    for k, v in getattr(req, "cors_headers", ()):
+        req.send_header(k, v)
+    req.end_headers()
 
 
 def _default_search(index_dir: str, dork: str, k: int) -> list[dict]:
