@@ -288,3 +288,61 @@ def test_reference_tyrell_source_config_plugin_runs_verbatim():
     assert out2["accepted"] is False
     assert out2["reason"] == "candidate is not an HTTPS URL"
     assert "source_overrides" not in out2
+
+
+REF_ROOT = "/root/reference"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(f"{REF_ROOT}/plugins/lib"),
+                    reason="reference checkout missing")
+def test_reference_plugin_unit_tests_pass_verbatim():
+    """The reference's OWN JS unit-test files (plugins/lib/*.test.js) run
+    through the ported test harness (plugins.go PlgTestHarness +
+    ExecEnginePluginTest) on minijs — every test must pass, pinning
+    lib-plugin semantics AND the new/prototype/this support the harness's
+    `throw new Error(...)` paths exercise."""
+    from thecrowler_ray.plugins import exec_plugin_test
+
+    for lib_name in ("math_utils", "json_query"):
+        lib = open(f"{REF_ROOT}/plugins/lib/{lib_name}.js").read()
+        tst = open(f"{REF_ROOT}/plugins/lib/{lib_name}.test.js").read()
+        results = exec_plugin_test(lib, tst)
+        assert len(results) >= 7
+        failed = [r for r in results if not r["passed"]]
+        assert not failed, failed
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(f"{REF_ROOT}/plugins"),
+                    reason="reference checkout missing")
+def test_reference_plugin_load_census():
+    """Every reference plugin/candidate-processor script loads: plain
+    plugins run bare; test_plugin files run under the harness; the DOM
+    plugin runs with a document (domjs). Count must not regress."""
+    import glob
+
+    from thecrowler_ray.domjs import run_dom_plugin
+    from thecrowler_ray.minijs import run_script
+    from thecrowler_ray.plugins import exec_plugin_test
+
+    files = (sorted(glob.glob(f"{REF_ROOT}/plugins/**/*.js", recursive=True))
+             + sorted(glob.glob(
+                 f"{REF_ROOT}/pkg/infoseed/testdata/candidate_plugins/*.js"))
+             + [f"{REF_ROOT}/examples/"
+                "tyrell-information-seed-candidate-plugin.js"])
+    loaded = []
+    for f in files:
+        src = open(f).read()
+        try:
+            if f.endswith(".test.js"):
+                lib = open(f.replace(".test.js", ".js")).read()
+                assert all(r["passed"] for r in exec_plugin_test(lib, src))
+            elif "document" in src:
+                run_dom_plugin(src, "<html><body><div class="
+                               "'article-content'><p>x</p></div>"
+                               "</body></html>")
+            else:
+                run_script(src)
+            loaded.append(f)
+        except Exception as e:  # pragma: no cover - report which file
+            raise AssertionError(f"{f} failed to load: {e}") from e
+    assert len(loaded) == len(files) >= 8

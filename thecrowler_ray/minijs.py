@@ -583,6 +583,37 @@ class _Function:
         self.params = params
         self.body = body
         self.env = env
+        self.props: dict = {}  # function-object properties (.prototype, …)
+
+    def prototype(self) -> dict:
+        proto = self.props.get("prototype")
+        if not isinstance(proto, dict):
+            proto = _JsObject()
+            self.props["prototype"] = proto
+        return proto
+
+
+class _JsObject(dict):
+    """A plain JS object carrying a [[Prototype]] link outside its own
+    keys (so Object.keys / for..in / JSON never see it)."""
+
+    __slots__ = ("proto",)
+
+    def __init__(self, *a, proto=None, **kw):
+        super().__init__(*a, **kw)
+        self.proto = proto
+
+
+def _proto_lookup(obj, name: str):
+    """Own property, else walk the prototype chain. → (value, found)."""
+    if name in obj:
+        return obj[name], True
+    p = getattr(obj, "proto", None)
+    while isinstance(p, dict):
+        if name in p:
+            return p[name], True
+        p = getattr(p, "proto", None)
+    return UNDEFINED, False
 
 
 class _NativeThis:
@@ -949,21 +980,45 @@ class Interpreter:
         if kind == "new":
             ctor = node[1]
             args = [self.eval(a, env) for a in node[2]]
-            if ctor[0] == "name" and ctor[1] in ("Error", "TypeError",
-                                                 "RangeError", "SyntaxError"):
-                return {"name": ctor[1],
-                        "message": _to_str(args[0]) if args else ""}
-            if ctor[0] == "name" and ctor[1] == "Date":
-                ms = _num(args[0]) if args else self.now_ms
-                return _date_object(ms)
-            if ctor[0] == "name" and ctor[1] == "RegExp":
+            if ctor[0] == "name" and not self._resolvable(ctor[1], env):
+                # built-in constructors (only when the name is not a
+                # user-defined function shadowing them)
+                if ctor[1] in ("Error", "TypeError", "RangeError",
+                               "SyntaxError"):
+                    return {"name": ctor[1],
+                            "message": _to_str(args[0]) if args else ""}
+                if ctor[1] == "Date":
+                    ms = _num(args[0]) if args else self.now_ms
+                    return _date_object(ms)
+                if ctor[1] == "RegExp":
+                    if args and isinstance(args[0], _RegExp):
+                        return _RegExp(args[0].source,
+                                       _to_str(args[1]) if len(args) > 1
+                                       else args[0].flags)
+                    return _RegExp(_to_str(args[0]) if args else "",
+                                   _to_str(args[1]) if len(args) > 1 else "")
+                if ctor[1] == "Object":
+                    return _JsObject()
+                if ctor[1] == "Array":
+                    if len(args) == 1 and isinstance(args[0], float):
+                        return [UNDEFINED] * int(args[0])
+                    return list(args)
+            fn = self.eval(ctor, env)
+            if isinstance(fn, _Callable) and fn.name == "RegExp":
                 if args and isinstance(args[0], _RegExp):
                     return _RegExp(args[0].source,
                                    _to_str(args[1]) if len(args) > 1
                                    else args[0].flags)
                 return _RegExp(_to_str(args[0]) if args else "",
                                _to_str(args[1]) if len(args) > 1 else "")
-            raise MiniJsError("only Error/RegExp constructors are supported")
+            if isinstance(fn, _Function):
+                # general ES5 construction: fresh object linked to
+                # fn.prototype, constructor body with this=obj; an
+                # explicit object return wins (ES5 13.2.2)
+                obj = _JsObject(proto=fn.prototype())
+                ret = self._invoke(fn, args, this_val=obj)
+                return ret if isinstance(ret, (dict, list)) else obj
+            raise MiniJsError("value is not a constructor")
         if kind == "delete":
             target = node[1]
             obj = self.eval(target[1], env)
@@ -1031,6 +1086,14 @@ class Interpreter:
                 a, b = _num(a), _num(b)
             return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
         if op == "instanceof":
+            if isinstance(b, _Function):  # user constructor: walk [[Proto]]
+                proto = b.props.get("prototype")
+                p = getattr(a, "proto", None)
+                while isinstance(p, dict):
+                    if p is proto:
+                        return True
+                    p = getattr(p, "proto", None)
+                return False
             name = b.name if isinstance(b, _Callable) else None
             if name == "RegExp":
                 return isinstance(a, _RegExp)
@@ -1083,6 +1146,11 @@ class Interpreter:
             if name in ("call", "apply"):
                 return self._call_apply(obj, name)
             raise MiniJsError(f"unsupported property {obj.name}.{name}")
+        if isinstance(obj, _Function):
+            if name == "prototype":
+                return obj.prototype()
+            if name in obj.props:
+                return obj.props[name]
         if isinstance(obj, (_Function, _NativeThis, _Bound)) or (
                 callable(obj) and not isinstance(obj, dict)):
             if name in ("call", "apply"):
@@ -1102,7 +1170,13 @@ class Interpreter:
                 return lambda it, a: obj.exec(_to_str(a[0]) if a else "")
             return UNDEFINED  # unknown property reads yield undefined (JS)
         if isinstance(obj, dict):
-            return obj.get(name, UNDEFINED)
+            v, found = _proto_lookup(obj, name)
+            if found:
+                return v
+            m = _OBJECT_PROTO.get(name)
+            if m is not None:  # Object.prototype.* fallback, this-bound
+                return _Bound(m.fn, obj)
+            return UNDEFINED
         method = _METHODS.get((type(obj).__name__, name))
         if method is not None:
             return _Bound(method, obj)
@@ -1122,26 +1196,58 @@ class Interpreter:
                 return fn.fn(it, this, rest)
             if isinstance(fn, _Bound):
                 return fn.method(it, this, rest)
-            return it._invoke(fn, rest)  # _Function/_Callable: this ignored
+            return it._invoke(fn, rest, this_val=this)
 
         return wrapper
+
+    @staticmethod
+    def _resolvable(name, env) -> bool:
+        e = env
+        while e is not None:
+            if name in e:
+                return True
+            e = e.get("__parent__")
+        return False
 
     def _call(self, node, env):
         callee_node = node[1]
         args = [self.eval(a, env) for a in node[2]]
+        # method call: o.f(...) / o["f"](...) binds this=o for user
+        # functions and this-aware natives found directly or through the
+        # prototype chain (the obj expression is evaluated exactly once)
+        if callee_node[0] in ("member", "index"):
+            obj = self.eval(callee_node[1], env)
+            if callee_node[0] == "member":
+                name = callee_node[2]
+                fn = self._member(obj, name)
+            else:
+                idx = self.eval(callee_node[2], env)
+                if isinstance(obj, dict):
+                    fn = self._member(obj, _to_str(idx))
+                elif isinstance(obj, list):
+                    i = int(_num(idx))
+                    fn = obj[i] if 0 <= i < len(obj) else UNDEFINED
+                else:
+                    fn = self._member(obj, _to_str(idx))
+            if isinstance(fn, _Function):
+                return self._invoke(fn, args, this_val=obj)
+            if isinstance(fn, _NativeThis):
+                return fn.fn(self, obj, args)
+            return self._invoke(fn, args)
         fn = self.eval(callee_node, env)
         return self._invoke(fn, args)
 
-    def _invoke(self, fn, args):
+    def _invoke(self, fn, args, this_val=UNDEFINED):
         self._tick()
         if isinstance(fn, _Bound):
             return fn.method(self, fn.obj, args)
         if isinstance(fn, _NativeThis):
-            return fn.fn(self, UNDEFINED, args)
+            return fn.fn(self, this_val, args)
         if isinstance(fn, _Callable):
             return fn.fn(self, args)
         if isinstance(fn, _Function):
-            local = {"__parent__": fn.env, "arguments": list(args)}
+            local = {"__parent__": fn.env, "arguments": list(args),
+                     "this": this_val}
             for i, p in enumerate(fn.params):
                 local[p] = args[i] if i < len(args) else UNDEFINED
             try:
@@ -1191,6 +1297,9 @@ class Interpreter:
                 return
             if hasattr(obj, "js_set_member"):
                 obj.js_set_member(self, target[2], value)
+                return
+            if isinstance(obj, _Function):
+                obj.props[target[2]] = value
                 return
             if not isinstance(obj, dict):
                 raise MiniJsError("cannot set property on non-object")

@@ -105,3 +105,135 @@ class PluginRegistry:
         except KeyError:
             raise PluginNotFoundError(f"agent not found: {name!r}") from None
         return normalize_external_value(fn(ctx))
+
+
+# ---------------------------------------------------------------------------
+# Plugin unit-test harness (pkg/plugin/plugins.go:1124-1407 PlgTestHarness +
+# ExecEnginePluginTest). Original JS implementing the documented assertion
+# contract — test() collects {name, ok, error} rows, the runner composes
+# harness + plugin + tests and reads __crowler_test_results back.
+# ---------------------------------------------------------------------------
+
+PLG_TEST_HARNESS = r"""
+var __crowler_test_results = [];
+
+function test(name, fn) {
+    try {
+        fn();
+        __crowler_test_results.push({ name: name, ok: true });
+    } catch (e) {
+        __crowler_test_results.push({ name: name, ok: false,
+                                      error: String(e) });
+    }
+}
+
+function assertTrue(cond, msg) {
+    if (!cond) throw new Error(msg || "assertTrue failed");
+}
+function assertFalse(cond, msg) {
+    if (cond) throw new Error(msg || "assertFalse failed");
+}
+function assertEqual(a, b, msg) {
+    if (a !== b) {
+        throw new Error(msg || ("assertEqual failed: " + a + " !== " + b));
+    }
+}
+function assertNotEqual(a, b, msg) {
+    if (a === b) {
+        throw new Error(msg || ("assertNotEqual failed: " + a + " === " + b));
+    }
+}
+function assertThrows(fn, msg) {
+    var threw = false;
+    try { fn(); } catch (e) { threw = true; }
+    if (!threw) throw new Error(msg || "assertThrows failed");
+}
+function assertDeepEqual(a, b, msg) {
+    var sa = JSON.stringify(a);
+    var sb = JSON.stringify(b);
+    if (sa !== sb) {
+        throw new Error(msg ||
+            ("assertDeepEqual failed: " + sa + " !== " + sb));
+    }
+}
+function assertType(val, type, msg) {
+    if (typeof val !== type) {
+        throw new Error(msg || ("assertType failed: expected " + type +
+                                ", got " + typeof val));
+    }
+}
+function assertDefined(val, msg) {
+    if (typeof val === "undefined") {
+        throw new Error(msg || "assertDefined failed");
+    }
+}
+function assertUndefined(val, msg) {
+    if (typeof val !== "undefined") {
+        throw new Error(msg || "assertUndefined failed");
+    }
+}
+function assertIsObject(val, msg) {
+    if (val === null || typeof val !== "object" || Array.isArray(val)) {
+        throw new Error(msg || "assertIsObject failed");
+    }
+}
+function assertIsArray(val, msg) {
+    if (!Array.isArray(val)) {
+        throw new Error(msg || "assertIsArray failed");
+    }
+}
+function __normalizeJSON(value) {
+    if (Array.isArray(value)) {
+        var arr = [];
+        for (var i = 0; i < value.length; i++) {
+            arr.push(__normalizeJSON(value[i]));
+        }
+        return arr;
+    }
+    if (value && typeof value === "object") {
+        var keys = Object.keys(value).sort();
+        var out = {};
+        for (var j = 0; j < keys.length; j++) {
+            out[keys[j]] = __normalizeJSON(value[keys[j]]);
+        }
+        return out;
+    }
+    return value;
+}
+function assertJSONEqual(a, b, msg) {
+    var sa = JSON.stringify(__normalizeJSON(a));
+    var sb = JSON.stringify(__normalizeJSON(b));
+    if (sa !== sb) {
+        throw new Error(msg ||
+            ("assertJSONEqual failed: " + sa + " !== " + sb));
+    }
+}
+function assertArrayLength(arr, expected, msg) {
+    if (!Array.isArray(arr)) {
+        throw new Error(msg || "assertArrayLength failed: not an array");
+    }
+    if (arr.length !== expected) {
+        throw new Error(msg || ("assertArrayLength failed: " + arr.length +
+                                " !== " + expected));
+    }
+}
+"""
+
+
+def exec_plugin_test(plugin_script: str, test_script: str,
+                     params: dict | None = None,
+                     max_ops: int = 5_000_000) -> list[dict]:
+    """ExecEnginePluginTest (plugins.go:1410-1470): compose
+    harness + plugin + tests, run in one minijs VM, return
+    ``[{"name", "passed", "error"}, ...]`` parsed from
+    ``__crowler_test_results``."""
+    from .minijs import run_script
+
+    full = (PLG_TEST_HARNESS + "\n\n" + plugin_script + "\n\n"
+            + test_script + "\n\nresult = __crowler_test_results;")
+    raw = run_script(full, params=params or {}, max_ops=max_ops)
+    import json as _json
+
+    rows = _json.loads(raw) if isinstance(raw, str) else raw
+    return [{"name": r.get("name", ""), "passed": bool(r.get("ok")),
+             "error": r.get("error", "")} for r in rows]
