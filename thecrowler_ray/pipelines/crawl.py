@@ -857,11 +857,16 @@ class CrawlRun:
                 # overlaps the links phase and is joined before the wave
                 # manifest commits
                 fetched = fetched.materialize()
-                wt = threading.Thread(
-                    target=write_table,
-                    args=(fetched, pages_dir, cfg.storage_format),
-                    daemon=True,
-                )
+                wt_err: list[BaseException] = []
+
+                def _write_bg(ds=fetched, path=pages_dir,
+                              fmt=cfg.storage_format, sink=wt_err):
+                    try:
+                        write_table(ds, path, fmt)
+                    except BaseException as e:  # re-raised at join
+                        sink.append(e)
+
+                wt = threading.Thread(target=_write_bg, daemon=True)
                 wt.start()
                 n_fetched = fetched.count()
             m["t_fetch"] = round(time.perf_counter() - tw - m["t_admission"], 3)
@@ -1012,6 +1017,8 @@ class CrawlRun:
             if wt is not None:
                 wt.join()  # pages durable before the manifest commits
                 # (spill waves already wrote synchronously)
+                if wt_err:  # a failed wave write must fail the run
+                    raise wt_err[0]
             self.metrics.append(m)
             self._checkpoint(wave_dir, ckpt_obj, m)
             m["t_checkpoint"] = round(time.perf_counter() - tc, 3)
