@@ -130,6 +130,8 @@ def test_root_relative_resolves_against_page_url():
     from thecrowler_ray.pipelines import crawl
 
     assert 'combine_urls(r["url"], link)' in inspect.getsource(oracle.crawl_oracle)
-    assert "combine_urls(page_urls[pi], link)" in inspect.getsource(
-        crawl.LinkExplodeFilter.__call__
-    )
+    # the vectorized explode resolves against per-PAGE bases
+    # (scheme://netloc of page_urls), not srcs
+    src = inspect.getsource(crawl.LinkExplodeFilter.__call__)
+    assert "for i, pu in enumerate(page_urls):" in src
+    assert "bases[par[ri]] + link0[ri]" in src

@@ -315,9 +315,13 @@ def extract_http_info(
                for k, v in headers.items()}
 
     if config.follow_redirects and 300 <= status < 400:
+        from urllib.parse import urljoin
+
         loc = _hget(headers, "Location")
         new_cfg = HTTPInfoConfig(
-            url=loc[0] if loc else "",
+            # relative Locations resolve against the current URL (the
+            # reference's Go http.Client does this inside CheckRedirect)
+            url=urljoin(config.url, loc[0]) if loc else "",
             custom_header={"User-Agent": _DEFAULT_UA},
             follow_redirects=True,
             timeout=config.timeout,

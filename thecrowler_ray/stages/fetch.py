@@ -192,17 +192,20 @@ class HttpFetchParse(FetchParse):
         self.proxy_base = proxy_base
 
     def _fetch_once(self, url: str, attempt: int) -> tuple[str | None, bool]:
-        import urllib.error
-        import urllib.request
+        from ..fetch_client import FetchError, FetchOpts, fetch_remote_bytes
 
         target = self.proxy_base + url if self.proxy_base else url
-        req = urllib.request.Request(
-            target, headers={"User-Agent": self.user_agent}
-        )
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout_sec) as r:
-                return r.read().decode("utf-8", "replace"), False
-        except urllib.error.HTTPError as e:
-            return None, e.code >= 500  # 4xx permanent, 5xx transient
-        except (urllib.error.URLError, OSError, TimeoutError):
+            body, _ctype = fetch_remote_bytes(target, FetchOpts(
+                user_agent=self.user_agent, timeout=self.timeout_sec,
+                retries=0))  # the stage owns retry classification
+            return body.decode("utf-8", "replace"), False
+        except FetchError as e:
+            msg = str(e)
+            if msg.startswith("non-2xx status:"):
+                return None, int(msg.rsplit(" ", 1)[1]) >= 500
+            # transport failures are transient; size/MIME/scheme rejections
+            # and redirect loops are permanent
+            return None, msg.startswith("request failed")
+        except OSError:
             return None, True
