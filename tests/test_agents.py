@@ -1,14 +1,16 @@
 """Agent workflow engine (pkg/agent): step chaining with result injection,
 decision conditions ($-path expressions + switch), plugin/db/event actions,
-YAML agent registry, and event-triggered dispatch."""
+YAML agent registry, and event-triggered dispatch. Results use the
+reference envelope (agent.go:31-54): output/config/status/message."""
 
 import pytest
 
 from thecrowler_ray.agents import AgentDefinition, JobEngine
-from thecrowler_ray.plugins import PluginRegistry, UnavailableCapabilityError
 
 
 def _engine(**kw):
+    from thecrowler_ray.plugins import PluginRegistry
+
     reg = PluginRegistry()
     reg.register_js_plugin("score_host", """
         var h = (params.input && params.input.host)
@@ -22,33 +24,35 @@ def _engine(**kw):
 def test_step_chaining_and_result_injection():
     eng = _engine()
     eng.register_agent(AgentDefinition(name="chain", steps=[
-        {"action": "plugin", "params": {"plugin": "score_host",
+        {"action": "plugin", "params": {"plugin_name": "score_host",
                                         "host": "good.test"}},
-        # previous result's 'response' is injected into this step's params
-        {"action": "plugin", "params": {"plugin": "echo"}},
+        # previous result's envelope is injected into this step's params
+        {"action": "plugin", "params": {"plugin_name": "echo"}},
     ]))
     out = eng.run_agent("chain")
     # echo sees no 'payload', returns 'none'; injection happened silently
-    assert out["status"] == "success" and out["response"] == "none"
+    assert out["status"] == "success"
+    assert out["output"] == [{"plugin_name": "echo", "response": "none"}]
 
     # reference quirk (agent.go:196-203): a key present in BOTH params and
     # the last result becomes [result_value] — a SCALAR params value is
     # dropped; only a LIST params value gets appended
-    eng.plugins.register_plugin("inspect", lambda ctx: ctx.get("response"))
+    eng.plugins.register_plugin("inspect", lambda ctx: ctx.get("output"))
+    score = [{"plugin_name": "score_host", "response": 0.9}]
     out2 = eng.execute_job([
-        {"action": "plugin", "params": {"plugin": "score_host",
+        {"action": "plugin", "params": {"plugin_name": "score_host",
                                         "host": "good.test"}},
-        {"action": "plugin", "params": {"plugin": "inspect",
-                                        "response": "mine"}},
+        {"action": "plugin", "params": {"plugin_name": "inspect",
+                                        "output": "mine"}},
     ])
-    assert out2["response"] == 0.9  # [0.9] normalized to its single value
+    assert out2["output"][0]["response"] == [score]  # scalar 'mine' dropped
     out3 = eng.execute_job([
-        {"action": "plugin", "params": {"plugin": "score_host",
+        {"action": "plugin", "params": {"plugin_name": "score_host",
                                         "host": "good.test"}},
-        {"action": "plugin", "params": {"plugin": "inspect",
-                                        "response": ["mine"]}},
+        {"action": "plugin", "params": {"plugin_name": "inspect",
+                                        "output": ["mine"]}},
     ])
-    assert out3["response"] == [0.9, "mine"]
+    assert out3["output"][0]["response"] == [score, "mine"]
 
 
 def test_decision_if_and_switch_with_delegation():
@@ -73,7 +77,7 @@ def test_decision_if_and_switch_with_delegation():
         }},
     ]))
     out = eng.run_agent("decider")
-    assert out["response"]["response"]["type"] == "accepted"
+    assert out["output"]["output"]["type"] == "accepted"
     assert [e["type"] for e in eng.emitted_events] == ["accepted"]
 
     # switch condition maps the expression value through cases
@@ -90,7 +94,7 @@ def test_decision_if_and_switch_with_delegation():
         }},
     ]))
     out2 = eng.run_agent("switcher")
-    assert out2["response"]["response"]["type"] == "accepted"
+    assert out2["output"]["output"]["type"] == "accepted"
 
 
 def test_db_query_action_real_duckdb():
@@ -101,18 +105,14 @@ def test_db_query_action_real_duckdb():
          "params": {"query":
                     "SELECT COUNT(*) AS n, MIN(doc_id) AS lo FROM documents"}},
     ])
-    assert out["response"][0]["n"] > 0 and out["response"][0]["lo"] == 0
+    assert out["output"][0]["n"] > 0 and out["output"][0]["lo"] == 0
+    assert out["message"] == "database operation successful"
 
 
-def test_capability_seams_and_errors():
+def test_errors_abort_the_job():
     eng = _engine()
-    with pytest.raises(UnavailableCapabilityError, match="api_request"):
-        eng.execute_job([{"action": "api_request", "params": {"url": "u"}}])
-    eng2 = _engine(transport=lambda p: {"status": 200, "body": "ok"})
-    out = eng2.execute_job([{"action": "api_request", "params": {}}])
-    assert out["response"]["status"] == 200
-    with pytest.raises(UnavailableCapabilityError):
-        eng.execute_job([{"action": "run_command", "params": {"cmd": "ls"}}])
+    with pytest.raises(ValueError, match="missing 'url'"):
+        eng.execute_job([{"action": "api_request", "params": {}}])
     with pytest.raises(ValueError, match="unknown action"):
         eng.execute_job([{"action": "teleport", "params": {}}])
     with pytest.raises(ValueError, match="empty job"):
@@ -127,7 +127,7 @@ agents:
     trigger: {type: event, name: crawl_completed}
     steps:
       - action: plugin
-        params: {plugin: score_host, host: good.test}
+        params: {plugin_name: score_host, host: good.test}
   - name: on-anything
     trigger: {type: event}
     steps:
@@ -143,7 +143,7 @@ agents:
     names = [n for n, _ in fired]
     assert names == ["on-crawl-done", "on-anything"]
     # the matching agent's plugin ran over the event input
-    assert fired[0][1]["response"] == 0.9
+    assert fired[0][1]["output"][0]["response"] == 0.9
     # api-triggered agents don't fire on events
     assert "api-only" not in names
     fired2 = eng.handle_event({"type": "other_event"})

@@ -93,11 +93,16 @@ class PluginRegistry:
         return self
 
     def run_plugin(self, name: str, ctx: dict) -> list:
+        return normalize_external_value(self.run_plugin_raw(name, ctx))
+
+    def run_plugin_raw(self, name: str, ctx: dict):
+        """The plugin's return value verbatim (the reference's ``pRval``,
+        action_run_plugin.go:154-177) — no list normalization."""
         try:
             fn = self._plugins[name]
         except KeyError:
             raise PluginNotFoundError(f"plugin not found: {name!r}") from None
-        return normalize_external_value(fn(ctx))
+        return fn(ctx)
 
     def run_agent(self, name: str, ctx: dict) -> list:
         try:
