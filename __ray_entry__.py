@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and detection engines under the DuckDB-oracle gate)
         "q_scrape_docs": q.q_scrape_docs,
         "q_tech_detect_docs": q.q_tech_detect_docs,
+        "q_screenshots": q.q_screenshots,
         "q_xhr_requests": q.q_xhr_requests,
         "q_httpinfo": q.q_httpinfo,
         # netinfo parse plane (pkg/netinfo whois/dig parsing)
@@ -780,6 +781,27 @@ def oracle_sql() -> dict[str, str]:
             FROM kws
         """,
         "q_minhash_pairs": _minhash_pairs_sql(),
+        # screenshot capture geometry (web.go:308-488): page lines =
+        # header + one <p> per 2-word chunk + footer, capped at 300;
+        # height = max(viewport 120, 24 + 6*lines); slices = ceil(h/120)
+        "q_screenshots": """
+            WITH geom AS (
+                SELECT doc_id,
+                       LEAST(300, 2 + CASE WHEN TRIM(COALESCE(text,'')) = ''
+                            THEN 0 ELSE CAST(CEIL(
+                              LEN(regexp_split_to_array(
+                                  TRIM(text), '\\s+')) / 2.0) AS BIGINT)
+                            END) AS n_lines
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(256 AS BIGINT) AS width,
+                   GREATEST(120, 24 + 6 * n_lines) AS height,
+                   CAST(CEIL(GREATEST(120, 24 + 6 * n_lines) / 120.0)
+                        AS BIGINT) AS n_slices,
+                   TRUE AS png_ok
+            FROM geom ORDER BY doc_id
+        """,
         "q_httpinfo": """
             SELECT doc_id,
                    CASE doc_id % 3 WHEN 0 THEN 'nginx/1.25'

@@ -225,11 +225,18 @@ def test_screenshot_render_is_real_png(tmp_path):
     from thecrowler_ray.stages.multimodal import ScreenshotStage
 
     st = ScreenshotStage(str(tmp_path))
-    html = "<html><body>\n<p>hello</p>\n<p>world wide row</p>\n</body></html>"
-    payload = st._render_fake(html)
+    html = "<html><body>\n" + "\n".join(
+        f"<p>row {i} of content</p>" for i in range(40)) + "\n</body></html>"
+    out = st(pa.table({"url": ["http://a.test/p"], "html": [html]}))
+    payload = open(out["screenshot_path"][0].as_py(), "rb").read()
     img = png_decode(payload)
     assert img.shape[1] == ScreenshotStage.WIDTH
-    assert img.shape[0] > 24  # height scales with content
+    # page spans >1 viewport: the scroll-stitch path really ran
+    assert img.shape[0] == out["height"][0].as_py() > st.VIEWPORT_H
+    assert out["byte_len"][0].as_py() == len(payload)
     # deterministic
-    assert st._render_fake(html) == payload
-    assert st._render_fake(html + "<p>x</p>") != payload
+    out2 = st(pa.table({"url": ["http://a.test/p"], "html": [html]}))
+    assert out2["sha256"][0].as_py() == out["sha256"][0].as_py()
+    out3 = st(pa.table({"url": ["http://a.test/q"],
+                        "html": [html + "<p>x</p>"]}))
+    assert out3["sha256"][0].as_py() != out["sha256"][0].as_py()

@@ -1460,3 +1460,86 @@ def q_ts_emitted(sf_dir: str):
     )
     out["sum_occ"] = out["sum_occ"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# S6 screenshot plane: full scroll-stitch capture over documents-derived
+# pages (pkg/crawler/web.go:308-706). The geometry the SQL twin recomputes
+# — page height, slice count — falls out of the deterministic layout
+# (title band + one 6-px row band per HTML line); the PNG stitch, byte
+# sizes, hashes and storage writes are real and pinned by pytest
+# (tests/test_screenshot.py).
+
+
+class _ScreenshotRenderStage:
+    """Actor-pool stage: per page, drive the real take_screenshot path
+    (scroll scripts → viewport slices → stitch → PNG encode → local store)
+    against the deterministic SyntheticDriver paint."""
+
+    VIEWPORT = (120, 256)
+
+    def __init__(self, out_dir: str | None = None):
+        import os
+        import tempfile
+
+        from ..screenshot import FileStorageAPI
+
+        self.out_dir = out_dir or tempfile.mkdtemp(prefix="crowler_ss_")
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.storage = FileStorageAPI(path=self.out_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..screenshot import SyntheticDriver, take_screenshot
+
+        doc_ids, widths, heights, slices, sizes = [], [], [], [], []
+        for d, html in zip(batch["doc_id"].to_pylist(),
+                           batch["html"].to_pylist()):
+            drv = SyntheticDriver(html or "", viewport=self.VIEWPORT)
+            ss = take_screenshot(drv, f"{int(d)}.png", storage=self.storage)
+            doc_ids.append(int(d))
+            widths.append(ss.width)
+            heights.append(ss.height)
+            slices.append(-(-ss.height // self.VIEWPORT[0]))
+            sizes.append(ss.byte_size)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "n_slices": pa.array(slices, pa.int64()),
+            "png_ok": pa.array([s > 8 for s in sizes], pa.bool_()),
+        })
+
+
+def _doc_multiline_pages(sf_dir: str):
+    """documents → multi-line HTML (one <p> line per 2-word chunk — narrow
+    enough that page heights actually spread over multiple viewports) so
+    page height is a pure function of the word count the oracle can
+    recompute."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        htmls = []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = (x or "").split()
+            chunks = [" ".join(words[i:i + 2])
+                      for i in range(0, len(words), 2)]
+            lines = [f"<html><head><title>Doc {int(d)}</title></head>"]
+            lines += [f"<p>{c}</p>" for c in chunks]
+            lines.append("</body></html>")
+            htmls.append("\n".join(lines))
+        return pa.table({"doc_id": t["doc_id"],
+                         "html": pa.array(htmls, pa.string())})
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def q_screenshots(sf_dir: str):
+    """Screenshot capture geometry over documents-derived pages: height =
+    max(viewport, 24 + 6 * line_count), slices = ceil(height / viewport) —
+    both SQL-recomputable from the text word count; the real scroll-stitch
+    PNG path runs per row in the actor pool."""
+    out = _doc_multiline_pages(sf_dir).map_batches(
+        _ScreenshotRenderStage, batch_format="pyarrow", batch_size=128,
+        concurrency=2,
+    )
+    return out.sort("doc_id").to_pandas()

@@ -393,63 +393,67 @@ class ScreenshotStage:
     """Screenshot capture + storage plumbing (reference
     ``pkg/crawler/web.go:163-517``: viewport-slice stitch → PNG → store to
     file/HTTP/S3 under a deterministic name, recording path/size on the
-    page). The PNG encoder needs a browser+codec, so the payload here is a
-    deterministic fake (PNG magic + sha256-derived bytes sized by the page);
-    everything storage-side — per-actor output dir, url-hash naming, real
-    file writes, the (url, path, byte_len, sha256) record — is real. Swap
-    ``_render_fake`` for the browser screenshot hook on a live cluster."""
+    page). Only the browser *paint* is faked (a deterministic layout
+    rasterizer); the full capture path — scroll scripts, viewport slices,
+    stitch incl. the last-slice bottom-crop, real PNG encode, storage
+    dispatch — is the real implementation in
+    :mod:`thecrowler_ray.screenshot` (``take_screenshot``). Swap
+    ``SyntheticDriver`` for the browser webdriver hook on a live cluster,
+    and pass a ``FileStorageAPI`` with a host for the HTTP/S3 backends."""
 
     MAGIC = b"\x89PNG\r\n\x1a\n"
     WIDTH = 256
+    VIEWPORT_H = 120
 
     def __init__(self, out_dir: str, url_col: str = "url",
-                 html_col: str = "html"):
+                 html_col: str = "html", max_height: int = 0,
+                 storage=None, driver_factory=None):
         import os
+
+        from ..screenshot import FileStorageAPI
 
         self.out_dir = out_dir
         self.url_col = url_col
         self.html_col = html_col
-        os.makedirs(out_dir, exist_ok=True)
+        self.max_height = max_height
+        self.storage = storage or FileStorageAPI(path=out_dir)
+        # driver_factory(html) -> webdriver; defaults to the deterministic
+        # layout rasterizer — swap for the real browser hook on a cluster
+        self.driver_factory = driver_factory
+        if not self.storage.host:
+            os.makedirs(out_dir, exist_ok=True)
 
-    def _render_fake(self, html: str) -> bytes:
-        """Deterministic page rasterization → REAL PNG bytes (the codec is
-        ours, `codecs.png_encode`; only the *browser paint* is faked): a
-        title band colored from the content hash, then one text band per
-        line with width ∝ line length. Height scales with content like a
-        real full-page screenshot stitch (``web.go:163-517``)."""
-        lines = [ln for ln in (html or "").splitlines() if ln.strip()][:120]
-        digest = hashlib.sha256((html or "").encode("utf-8")).digest()
-        h = 24 + 4 * max(len(lines), 1)
-        img = np.full((h, self.WIDTH, 3), 245, np.uint8)
-        img[:16] = digest[0], digest[1], digest[2]  # title band
-        for i, ln in enumerate(lines):
-            y = 24 + 4 * i
-            bar = min(self.WIDTH - 8, 4 + len(ln))
-            shade = 40 + (digest[(3 + i) % 32] % 80)
-            img[y : y + 3, 4 : 4 + bar] = shade
-        return png_encode(img)
+    def _driver(self, html: str):
+        if self.driver_factory is not None:
+            return self.driver_factory(html)
+        from ..screenshot import SyntheticDriver
+
+        return SyntheticDriver(html, viewport=(self.VIEWPORT_H, self.WIDTH))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import os
+        from ..screenshot import take_screenshot
 
         urls = batch[self.url_col].to_pylist()
         htmls = batch[self.html_col].to_pylist()
-        paths, sizes, hashes = [], [], []
+        paths, sizes, hashes, widths, heights = [], [], [], [], []
         for u, h in zip(urls, htmls):
             name = hashlib.sha1((u or "").encode("utf-8")).hexdigest()
-            path = os.path.join(self.out_dir, f"{name}.png")
-            payload = self._render_fake(h or "")
-            with open(path, "wb") as f:
-                f.write(payload)
-            paths.append(path)
-            sizes.append(len(payload))
-            hashes.append(hashlib.sha256(payload).hexdigest())
+            ss = take_screenshot(self._driver(h or ""), f"{name}.png",
+                                 max_height=self.max_height,
+                                 storage=self.storage)
+            paths.append(ss.screenshot_link)
+            sizes.append(ss.byte_size)
+            hashes.append(ss.content_hash)
+            widths.append(ss.width)
+            heights.append(ss.height)
         return pa.table(
             {
                 "url": batch[self.url_col],
                 "screenshot_path": pa.array(paths, pa.string()),
                 "byte_len": pa.array(sizes, pa.int64()),
                 "sha256": pa.array(hashes, pa.string()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
             }
         )
 
