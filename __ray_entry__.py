@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": q.q_langid,
         "q_simhash": q.q_simhash,
         "q_minhash_pairs": q.q_minhash_pairs,
+        "q_dedup_clusters": q.q_dedup_clusters,
         "q_simhash_pairs": q.q_simhash_pairs,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
@@ -781,6 +782,22 @@ def oracle_sql() -> dict[str, str]:
             FROM kws
         """,
         "q_minhash_pairs": _minhash_pairs_sql(),
+        # connected-components closure of the same bit-exact pair set:
+        # component label = min doc_id, via recursive min propagation
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                {_minhash_pairs_sql()}
+            ), edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), walk(node, label) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+            )
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node ORDER BY doc_id
+        """,
         # screenshot capture geometry (web.go:308-488): page lines =
         # header + one <p> per 2-word chunk + footer, capped at 300;
         # height = max(viewport 120, 24 + 6*lines); slices = ceil(h/120)

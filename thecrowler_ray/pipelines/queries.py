@@ -1543,3 +1543,23 @@ def q_screenshots(sf_dir: str):
         concurrency=2,
     )
     return out.sort("doc_id").to_pandas()
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTER assignment: MinHash-LSH candidate pairs →
+    distributed connected components (large-star/small-star,
+    ``stages/cluster.py``) → (doc_id, cluster_id = component min). This is
+    the operator that turns pairwise candidates into keep/drop decisions —
+    chains (A~B, B~C) collapse into one cluster even when A and C never
+    share a bucket. The SQL twin recomputes the same pairs bit-exactly and
+    closes them with a recursive CTE."""
+    from ..stages.cluster import connected_components
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds)
+    out = connected_components(pairs).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"node": "doc_id", "label": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
