@@ -1451,8 +1451,10 @@ def q_ts_emitted(sf_dir: str):
     (keyword, 1d bucket) — the SQL twin recomputes occurrences and bucket
     arithmetic from the raw documents."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    # autoscaling pool: the emission path is pure-Python per keyword, the
+    # heaviest per-row stage in the battery — 2 actors starve at 32 CPUs
     obs = ds.map_batches(_KeywordEmitStage, batch_format="pandas",
-                         batch_size=256, concurrency=2)
+                         batch_size=128, concurrency=(2, 8))
     out = (
         obs.groupby(["keyword", "bucket_start"])
         .aggregate(Count(alias_name="n_obs"), Sum("occ", alias_name="sum_occ"))
@@ -1539,8 +1541,8 @@ def q_screenshots(sf_dir: str):
     both SQL-recomputable from the text word count; the real scroll-stitch
     PNG path runs per row in the actor pool."""
     out = _doc_multiline_pages(sf_dir).map_batches(
-        _ScreenshotRenderStage, batch_format="pyarrow", batch_size=128,
-        concurrency=2,
+        _ScreenshotRenderStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(2, 8),
     )
     return out.sort("doc_id").to_pandas()
 
