@@ -657,12 +657,16 @@ class CrawlRun:
                     .to_arrow_refs()
                 ) if t.num_rows]
             ).to_pandas()
-            for h, g in constrained.items():
-                rows = sorted(
-                    zip(tops.loc[tops.host == h, "depth"],
-                        tops.loc[tops.host == h, "ord"])
-                )
-                thresholds[h] = rows[g - 1]
+            # one sorted pass: the g-th best (depth, ord) per host is the row
+            # whose within-host rank equals grant-1 (no per-host re-filter)
+            tops = tops.sort_values(["host", "depth", "ord"], kind="mergesort")
+            rank = tops.groupby("host", sort=False).cumcount().to_numpy()
+            want = tops["host"].map(constrained).to_numpy() - 1
+            sel = tops[rank == want]
+            thresholds = {
+                h: (int(d), int(o))
+                for h, d, o in zip(sel["host"], sel["depth"], sel["ord"])
+            }
 
         # --- round C: label -----------------------------------------------
         bc = ray.put((grants, {h: ok_counts[h] for h in grants}, thresholds))
