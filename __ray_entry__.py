@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_dedup_clusters": q.q_dedup_clusters,
         "q_simhash_pairs": q.q_simhash_pairs,
+        "q_pii_redact": q.q_pii_redact,
+        "q_line_dedup": q.q_line_dedup,
+        "q_asof_attribution": q.q_asof_attribution,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -355,6 +358,27 @@ _SIMHASH_CTE = """
             FROM documents d LEFT JOIN shu ON d.doc_id = shu.doc_id
         )
 """
+
+
+def _pii_sql() -> str:
+    from thecrowler_ray.stages.pii import pii_sql_exprs
+
+    e = pii_sql_exprs("t")
+    return f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or +1 555 013 '
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' ssn 123-45-6789 host 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS t
+            FROM documents
+        )
+        SELECT doc_id, {e['n_email']} AS n_email, {e['n_ssn']} AS n_ssn,
+               {e['n_ip']} AS n_ip, {e['n_phone']} AS n_phone,
+               {e['redacted_len']} AS redacted_len
+        FROM injected ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -797,6 +821,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(label) AS cluster_id
             FROM walk GROUP BY node ORDER BY doc_id
+        """,
+        # PII scrub: the oracle derives the identical injected text and
+        # replays the SAME RE2 patterns in the SAME order (DuckDB regexps
+        # are RE2 too) — see stages/pii.py:pii_sql_exprs
+        "q_pii_redact": _pii_sql(),
+        # intra-doc repetition removal: chunk doubled text into 6-word
+        # lines, first-win dedupe, md5 of the kept lines in first-seen order
+        "q_line_dedup": """
+            WITH d AS (
+                SELECT doc_id, text || ' ' || text AS t FROM documents
+            ), words AS (
+                SELECT doc_id,
+                       unnest(string_split(t, ' ')) AS w,
+                       unnest(generate_series(1, len(string_split(t, ' ')))) AS ord
+                FROM d
+            ), lines AS (
+                SELECT doc_id, (ord - 1) // 6 AS line_no,
+                       string_agg(w, ' ' ORDER BY ord) AS line
+                FROM words GROUP BY doc_id, (ord - 1) // 6
+            ), firsts AS (
+                SELECT doc_id, line, MIN(line_no) AS first_no
+                FROM lines GROUP BY doc_id, line
+            ), stats AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM lines GROUP BY doc_id
+            ), dstats AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+                       md5(string_agg(line, chr(10) ORDER BY first_no))
+                           AS dedup_md5
+                FROM firsts GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_lines, ds.n_distinct_lines,
+                   ROUND((s.n_lines - ds.n_distinct_lines)
+                         / GREATEST(s.n_lines, 1), 6) AS dup_line_ratio,
+                   ds.dedup_md5
+            FROM stats s JOIN dstats ds USING (doc_id) ORDER BY s.doc_id
+        """,
+        # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+        # co-partitioned groupby+searchsorted merge in ops/asof.py
+        "q_asof_attribution": """
+            WITH p AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts,
+                   COALESCE(c.event_id, -1) AS click_event_id,
+                   COALESCE(c.ts, TIMESTAMP '1970-01-01') AS click_ts,
+                   COALESCE(date_diff('microsecond', c.ts, p.ts), -1) AS lag_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
         """,
         # screenshot capture geometry (web.go:308-488): page lines =
         # header + one <p> per 2-word chunk + footer, capped at 300;

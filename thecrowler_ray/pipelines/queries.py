@@ -1565,3 +1565,89 @@ def q_dedup_clusters(sf_dir: str):
                              "cluster_id": pd.Series([], dtype="int64")})
     out = out.rename(columns={"node": "doc_id", "label": "cluster_id"})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub over documents with deterministic injected PII (each doc
+    gets an email / ssn / ip / phone derived from its doc_id — the SQL twin
+    derives the identical text): RE2 detection counts + ordered redaction,
+    all via Arrow compute kernels (``stages/pii.py``). No pandas, no Python
+    loop; at 100 TB this is a pure streaming map."""
+    from ..stages.pii import pii_stage
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        text = pc.binary_join_element_wise(
+            t["text"], " contact user",
+            pc.cast(t["doc_id"], pa.string()),
+            "@mail.example.com or +1 555 013 ",
+            pa.array(np.char.zfill((did % 10000).astype("U4"), 4)),
+            " ssn 123-45-6789 host 10.0.",
+            pa.array((did % 256).astype("U3")), ".7 end",
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    out = ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        pii_stage, batch_format="pyarrow"
+    )
+    return out.select_columns(
+        ["doc_id", "n_email", "n_ssn", "n_ip", "n_phone", "redacted_len"]
+    )
+
+
+def q_line_dedup(sf_dir: str):
+    """Intra-document repetition removal over documents with the text
+    doubled (text + ' ' + text — deterministic, SQL-derivable) so repeated
+    6-word lines actually occur: first-win line dedup, repetition ratio,
+    md5 of the deduped text (``stages/text_analysis.py:line_dedup_stage``)."""
+    from ..stages.text_analysis import line_dedup_stage
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def double(t: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(t["text"], t["text"], " ")
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    out = ds.map_batches(double, batch_format="pyarrow").map_batches(
+        line_dedup_stage, batch_format="pandas"
+    )
+    return out.select_columns(
+        ["doc_id", "n_lines", "n_distinct_lines", "dup_line_ratio",
+         "dedup_md5"]
+    )
+
+
+def q_asof_attribution(sf_dir: str):
+    """As-of join (``ops/asof.py``): attribute each purchase event to the
+    user's most recent click at-or-before it — one co-partitioning
+    ``groupby(user_id)`` over the tagged union of both sides, sorted
+    searchsorted merge per key. Left-join semantics (unattributed purchases
+    keep null click columns); lag in exact microseconds. DuckDB twin is a
+    native ASOF LEFT JOIN."""
+    from ..ops.asof import asof_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "ts", "user_id"])
+
+    joined = asof_join(
+        purchases, clicks, by="user_id", on="ts",
+        direction="backward", allow_equal=True, suffix="_click",
+    ).to_pandas()
+    joined = joined.rename(columns={"event_id_click": "click_event_id",
+                                    "ts_click": "click_ts"})
+    # left-join nulls → sentinels (coalesced identically in the SQL twin)
+    # so the driver's int64 canonicalization never sees NA
+    lag = (joined["ts"] - joined["click_ts"]) // pd.Timedelta(microseconds=1)
+    joined["lag_us"] = lag.fillna(-1).astype("int64")
+    joined["click_event_id"] = (
+        pd.to_numeric(joined["click_event_id"]).fillna(-1).astype("int64")
+    )
+    joined["click_ts"] = joined["click_ts"].fillna(pd.Timestamp(0))
+    return joined[["event_id", "user_id", "ts", "click_event_id",
+                   "click_ts", "lag_us"]].sort_values("event_id").reset_index(drop=True)

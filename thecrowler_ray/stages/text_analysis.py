@@ -214,6 +214,40 @@ def simhash_batch(texts) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def line_dedup_stage(
+    batch: pd.DataFrame, text_col: str = "text", line_words: int = 6
+) -> pd.DataFrame:
+    """Intra-document repetition removal (the within-doc half of corpus
+    dedup): chunk the text into fixed-width ``line_words``-word lines, keep
+    the FIRST occurrence of each repeated line, report the repetition
+    ratio and an md5 of the deduped text. Splits on single spaces (not
+    whitespace runs) so the SQL twin's ``string_split(text, ' ')`` sees
+    identical tokens. Inherently per-document (order-preserving first-win),
+    but each doc's work is O(lines) over small arrays inside the batch."""
+    n_lines_l, n_dist_l, hashes = [], [], []
+    for x in batch[text_col].fillna(""):
+        words = x.split(" ") if x else []
+        lines = [
+            " ".join(words[i : i + line_words])
+            for i in range(0, len(words), line_words)
+        ]
+        seen: dict[str, None] = {}
+        for ln in lines:
+            if ln not in seen:
+                seen[ln] = None
+        n_lines_l.append(len(lines))
+        n_dist_l.append(len(seen))
+        hashes.append(hashlib.md5("\n".join(seen).encode()).hexdigest())
+    batch["n_lines"] = pd.array(n_lines_l, dtype="int64")
+    batch["n_distinct_lines"] = pd.array(n_dist_l, dtype="int64")
+    batch["dup_line_ratio"] = (
+        (batch["n_lines"] - batch["n_distinct_lines"])
+        / batch["n_lines"].clip(lower=1)
+    ).round(6)
+    batch["dedup_md5"] = hashes
+    return batch
+
+
 def simhash_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     batch["simhash"] = simhash_batch(batch[text_col].tolist())
     return batch
