@@ -103,6 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pii_redact": q.q_pii_redact,
         "q_line_dedup": q.q_line_dedup,
         "q_asof_attribution": q.q_asof_attribution,
+        "q_range_join": q.q_range_join,
+        "q_seq_packing": q.q_seq_packing,
+        "q_topk_per_group": q.q_topk_per_group,
+        "q_stratified_sample": q.q_stratified_sample,
+        "q_group_quantiles": q.q_group_quantiles,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -872,6 +877,71 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.event_id
+        """,
+        # range join: BETWEEN join is the oracle for the bucketized
+        # interval-replication groupby in ops/range_join.py
+        "q_range_join": """
+            WITH p AS (SELECT event_id AS purchase_id, ts AS pts, user_id
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+                       FROM events WHERE event_type = 'click')
+            SELECT p.purchase_id, c.click_id, p.user_id, c.click_ts,
+                   date_diff('microsecond', c.click_ts, p.pts) AS lag_us
+            FROM p JOIN c ON p.user_id = c.user_id
+              AND c.click_ts BETWEEN p.pts - INTERVAL 24 HOUR AND p.pts
+            ORDER BY p.purchase_id, c.click_id
+        """,
+        # sequence packing: running-sum window is the oracle for the
+        # two-level distributed scan in ops/prefix.py
+        "q_seq_packing": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS ws_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, ws_tokens,
+                       CAST(COALESCE(SUM(ws_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum_before
+                FROM t
+            )
+            SELECT doc_id, ws_tokens, cum_before,
+                   cum_before // 2048 AS bin
+            FROM s ORDER BY doc_id
+        """,
+        "q_topk_per_group": """
+            SELECT c_nationkey, rn, c_custkey, c_name, c_acctbal
+            FROM (
+                SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                       c_custkey, c_name, c_acctbal,
+                       CAST(row_number() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey
+                       ) AS BIGINT) AS rn
+                FROM customer
+            ) WHERE rn <= 3 ORDER BY c_nationkey, rn
+        """,
+        # deterministic stratified sample: md5(doc_id) is the salted-hash
+        # total order both engines compute
+        "q_stratified_sample": """
+            SELECT lang, rn, doc_id, h
+            FROM (
+                SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS BIGINT) AS rn
+                FROM documents
+            ) WHERE rn <= 20 ORDER BY lang, rn
+        """,
+        "q_group_quantiles": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.5) AS p50,
+                   quantile_disc(l_quantity, 0.9) AS p90,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # screenshot capture geometry (web.go:308-488): page lines =
         # header + one <p> per 2-word chunk + footer, capped at 300;

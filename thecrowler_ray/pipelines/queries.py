@@ -1651,3 +1651,155 @@ def q_asof_attribution(sf_dir: str):
     joined["click_ts"] = joined["click_ts"].fillna(pd.Timestamp(0))
     return joined[["event_id", "user_id", "ts", "click_event_id",
                    "click_ts", "lag_us"]].sort_values("event_id").reset_index(drop=True)
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join (``ops/range_join.py``): every click in the
+    24 h window before each purchase, per user — bucketized interval
+    replication + one co-partitioning ``groupby([user, bucket])``, sorted
+    searchsorted sweep in-group. DuckDB twin is a BETWEEN join."""
+    from ..ops.range_join import range_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "ts", "user_id"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"])
+
+    H24 = 24 * 3600 * 1_000_000  # µs
+
+    def to_intervals(t: pa.Table) -> pa.Table:
+        end = t["ts"]
+        start = pc.cast(
+            pc.subtract(pc.cast(end, pa.int64()), pa.scalar(H24, pa.int64())),
+            pa.timestamp("us"),
+        )
+        return pa.table({
+            "user_id": t["user_id"], "purchase_id": t["event_id"],
+            "w_start": start, "w_end": end,
+        })
+
+    iv = purchases.map_batches(to_intervals, batch_format="pyarrow")
+    joined = range_join(
+        clicks, iv, by="user_id", on="ts",
+        start="w_start", end="w_end", bucket_width=H24,
+    ).to_pandas()
+    if joined.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("purchase_id", "click_id", "user_id",
+                                       "lag_us")}).assign(
+            click_ts=pd.Series([], dtype="datetime64[us]"))
+    out = joined.rename(columns={"event_id": "click_id"})
+    out["click_ts"] = pd.to_datetime(out["ts"])
+    out["purchase_id"] = pd.to_numeric(out["purchase_id"]).astype("int64")
+    out["click_id"] = pd.to_numeric(out["click_id"]).astype("int64")
+    out["user_id"] = pd.to_numeric(out["user_id"]).astype("int64")
+    out["lag_us"] = (
+        (pd.to_datetime(out["w_end"]) - out["click_ts"])
+        // pd.Timedelta(microseconds=1)
+    ).astype("int64")
+    return out[["purchase_id", "click_id", "user_id", "click_ts", "lag_us"]] \
+        .sort_values(["purchase_id", "click_id"]).reset_index(drop=True)
+
+
+def q_seq_packing(sf_dir: str, window: int = 2048):
+    """Sequence packing for context-window assembly: exclusive global
+    prefix sum of whitespace token counts in doc_id order
+    (``ops/prefix.py`` two-level scan — per-batch combiner, driver scan of
+    ≤64 bucket totals, one groupby), then ``bin = cum_before // window``.
+    SQL twin is a window-function running sum."""
+    from ..ops.prefix import exclusive_prefix_sum
+    from ..stages.text_analysis import token_count_stage
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(token_count_stage, batch_format="pandas") \
+        .select_columns(["doc_id", "ws_tokens"])
+    scanned = exclusive_prefix_sum(
+        toks, order_col="doc_id", value_col="ws_tokens")
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = pc.divide(t["cum_before"], pa.scalar(window, pa.int64()))
+        return t.append_column("bin", pc.cast(b, pa.int64()))
+
+    return scanned.map_batches(binify, batch_format="pyarrow") \
+        .select_columns(["doc_id", "ws_tokens", "cum_before", "bin"])
+
+
+def q_topk_per_group(sf_dir: str, k: int = 3):
+    """Top-k per group (``ops/topk.py``): the k highest-balance customers
+    per nation with in-group rank — per-batch partial head(k) combiner
+    before the one groupby shuffle. SQL twin is a row_number() window."""
+    from ..ops.topk import topk_per_group
+
+    cust = _rp(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    out = topk_per_group(
+        cust, group_cols=["c_nationkey"],
+        order_cols=["c_acctbal", "c_custkey"], ascending=[False, True],
+        k=k, rank_col="rn",
+    )
+    return out.to_pandas().astype({"c_nationkey": "int64"}) \
+        [["c_nationkey", "rn", "c_custkey", "c_name", "c_acctbal"]] \
+        .sort_values(["c_nationkey", "rn"]).reset_index(drop=True)
+
+
+def q_stratified_sample(sf_dir: str, k: int = 20):
+    """Deterministic stratified corpus sample: k docs per language, ranked
+    by md5(doc_id) — a salted-hash total order both sides can compute, so
+    the 'random' sample is reproducible and SQL-verifiable. Same
+    ``ops/topk.py`` partial-combiner shape."""
+    from ..ops.topk import topk_per_group
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df["h"] = [
+            hashlib.md5(str(d).encode()).hexdigest()
+            for d in df["doc_id"].tolist()
+        ]
+        return df
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    out = topk_per_group(
+        hashed, group_cols=["lang"], order_cols=["h", "doc_id"],
+        k=k, rank_col="rn",
+    )
+    return out.to_pandas()[["lang", "rn", "doc_id", "h"]] \
+        .sort_values(["lang", "rn"]).reset_index(drop=True)
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles over a BOUNDED-cardinality value
+    column (l_quantity has ≤50 distinct values): per-batch (group, value)
+    count combiner → one small groupby → driver-side cumulative pick of
+    the ceil(p·n)-th value. The documented assumption is bounded
+    group×value cardinality — the scale path for unbounded values is the
+    histogram/bottom-k sketch family (``stages/sketch.py``). SQL twin:
+    quantile_disc."""
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_quantity"], sort=False) \
+            .size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("cnt"))
+        .to_pandas()  # ≤ groups × distinct-values rows, bounded
+        .rename(columns={"sum(cnt)": "cnt"})
+        .sort_values(["l_returnflag", "l_quantity"])
+    )
+    rows = []
+    for flag, g in counts.groupby("l_returnflag", sort=True):
+        vals = g["l_quantity"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"l_returnflag": flag, "n_rows": n}
+        for p, name in ((0.5, "p50"), (0.9, "p90")):
+            target = int(np.ceil(p * n))
+            row[name] = float(vals[np.searchsorted(cum, target, side="left")])
+        rows.append(row)
+    return pd.DataFrame(rows)[["l_returnflag", "p50", "p90", "n_rows"]]
