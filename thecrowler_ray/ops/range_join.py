@@ -115,16 +115,20 @@ def range_join(
     it = intervals.map_batches(tag_intervals, batch_format="pandas")
     unioned = pt.union(it)
 
-    empty_cols = pnames + [out_names[c] for c in carry]
+    def empty_out(g: pd.DataFrame) -> pd.DataFrame:
+        # zero-row slice keeps the union block's dtypes, so empty groups
+        # emit schema-compatible blocks
+        out = g.iloc[:0][pnames].copy()
+        for c in carry:
+            out[out_names[c]] = g.iloc[:0]["__i_" + c]
+        return out
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         side = g[_SIDE].to_numpy()
         prows = g[side == 0].sort_values(_S, kind="mergesort")
         irows = g[side == 1]
         if not len(prows) or not len(irows):
-            return pd.DataFrame(
-                {c: pd.Series([], dtype="object") for c in empty_cols}
-            )
+            return empty_out(g)
         ts = prows[_S].to_numpy().astype("int64")
         s = irows[_S].to_numpy().astype("int64")
         e = irows[_E].to_numpy().astype("int64")
@@ -133,9 +137,7 @@ def range_join(
         cnt = np.maximum(hi - lo, 0)
         total = int(cnt.sum())
         if not total:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype="object") for c in empty_cols}
-            )
+            return empty_out(g)
         iidx = np.repeat(np.arange(len(irows)), cnt)
         pidx = (
             np.arange(total)

@@ -1638,19 +1638,27 @@ def q_asof_attribution(sf_dir: str):
     joined = asof_join(
         purchases, clicks, by="user_id", on="ts",
         direction="backward", allow_equal=True, suffix="_click",
-    ).to_pandas()
-    joined = joined.rename(columns={"event_id_click": "click_event_id",
-                                    "ts_click": "click_ts"})
-    # left-join nulls → sentinels (coalesced identically in the SQL twin)
-    # so the driver's int64 canonicalization never sees NA
-    lag = (joined["ts"] - joined["click_ts"]) // pd.Timedelta(microseconds=1)
-    joined["lag_us"] = lag.fillna(-1).astype("int64")
-    joined["click_event_id"] = (
-        pd.to_numeric(joined["click_event_id"]).fillna(-1).astype("int64")
     )
-    joined["click_ts"] = joined["click_ts"].fillna(pd.Timestamp(0))
-    return joined[["event_id", "user_id", "ts", "click_event_id",
-                   "click_ts", "lag_us"]].sort_values("event_id").reset_index(drop=True)
+
+    # left-join nulls → sentinels (coalesced identically in the SQL twin)
+    # so the driver's int64 canonicalization never sees NA; per-batch so
+    # the result streams — no driver materialization
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"event_id_click": "click_event_id",
+                                "ts_click": "click_ts"})
+        ct = pd.to_datetime(df["click_ts"])
+        lag = (df["ts"] - ct) // pd.Timedelta(microseconds=1)
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"],
+            "click_event_id": pd.to_numeric(df["click_event_id"])
+                .fillna(-1).astype("int64"),
+            "click_ts": ct.fillna(pd.Timestamp(0)),
+            "lag_us": lag.fillna(-1).astype("int64"),
+        })
+
+    return joined.map_batches(finalize, batch_format="pandas")
 
 
 def q_range_join(sf_dir: str):
@@ -1683,23 +1691,20 @@ def q_range_join(sf_dir: str):
     joined = range_join(
         clicks, iv, by="user_id", on="ts",
         start="w_start", end="w_end", bucket_width=H24,
-    ).to_pandas()
-    if joined.empty:
-        return pd.DataFrame({c: pd.Series([], dtype="int64")
-                             for c in ("purchase_id", "click_id", "user_id",
-                                       "lag_us")}).assign(
-            click_ts=pd.Series([], dtype="datetime64[us]"))
-    out = joined.rename(columns={"event_id": "click_id"})
-    out["click_ts"] = pd.to_datetime(out["ts"])
-    out["purchase_id"] = pd.to_numeric(out["purchase_id"]).astype("int64")
-    out["click_id"] = pd.to_numeric(out["click_id"]).astype("int64")
-    out["user_id"] = pd.to_numeric(out["user_id"]).astype("int64")
-    out["lag_us"] = (
-        (pd.to_datetime(out["w_end"]) - out["click_ts"])
-        // pd.Timedelta(microseconds=1)
-    ).astype("int64")
-    return out[["purchase_id", "click_id", "user_id", "click_ts", "lag_us"]] \
-        .sort_values(["purchase_id", "click_id"]).reset_index(drop=True)
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.to_datetime(df["ts"])
+        return pd.DataFrame({
+            "purchase_id": pd.to_numeric(df["purchase_id"]).astype("int64"),
+            "click_id": pd.to_numeric(df["event_id"]).astype("int64"),
+            "user_id": pd.to_numeric(df["user_id"]).astype("int64"),
+            "click_ts": ct,
+            "lag_us": ((pd.to_datetime(df["w_end"]) - ct)
+                       // pd.Timedelta(microseconds=1)).astype("int64"),
+        })
+
+    return joined.map_batches(finalize, batch_format="pandas")
 
 
 def q_seq_packing(sf_dir: str, window: int = 2048):
