@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_group": q.q_topk_per_group,
         "q_stratified_sample": q.q_stratified_sample,
         "q_group_quantiles": q.q_group_quantiles,
+        "q_decontaminate": q.q_decontaminate,
+        "q_data_mix": q.q_data_mix,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -383,6 +385,28 @@ def _pii_sql() -> str:
                {e['n_ip']} AS n_ip, {e['n_phone']} AS n_phone,
                {e['redacted_len']} AS redacted_len
         FROM injected ORDER BY doc_id
+    """
+
+
+def _data_mix_sql() -> str:
+    from thecrowler_ray.pipelines.queries import data_mix_allocation
+
+    rows = ", ".join(
+        f"('{s}', {k})" for s, k in sorted(data_mix_allocation().items())
+    )
+    return f"""
+        WITH alloc(source, k) AS (VALUES {rows}),
+        ranked AS (
+            SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS rn
+            FROM documents
+        )
+        SELECT r.source, r.rn, r.doc_id, r.h
+        FROM ranked r JOIN alloc a ON r.source = a.source AND r.rn <= a.k
+        ORDER BY r.source, r.rn
     """
 
 
@@ -943,6 +967,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
+        # decontamination: docs 0..19 are the benchmark; same tokenizer and
+        # gram construction as q_dup_ngrams' CTE
+        "q_decontaminate": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(ws, p, p + 4), ' ') AS ng
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS p)
+            ), bench AS (
+                SELECT DISTINCT ng FROM g WHERE doc_id < 20
+            ), probe AS (
+                SELECT doc_id, ng FROM g WHERE doc_id >= 20
+            ), stats AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_grams,
+                       CAST(COUNT(DISTINCT CASE WHEN ng IN
+                           (SELECT ng FROM bench) THEN ng END) AS BIGINT)
+                           AS n_hits
+                FROM probe GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_grams, 0) AS n_grams,
+                   COALESCE(s.n_hits, 0) AS n_hits,
+                   CAST(CASE WHEN COALESCE(s.n_hits, 0) > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN stats s USING (doc_id)
+            WHERE d.doc_id >= 20 ORDER BY d.doc_id
+        """,
+        # mixture sampling: largest-remainder allocation inlined as VALUES
+        "q_data_mix": _data_mix_sql(),
         # screenshot capture geometry (web.go:308-488): page lines =
         # header + one <p> per 2-word chunk + footer, capped at 300;
         # height = max(viewport 120, 24 + 6*lines); slices = ceil(h/120)

@@ -1808,3 +1808,66 @@ def q_group_quantiles(sf_dir: str):
             row[name] = float(vals[np.searchsorted(cum, target, side="left")])
         rows.append(row)
     return pd.DataFrame(rows)[["l_returnflag", "p50", "p90", "n_rows"]]
+
+
+def q_decontaminate(sf_dir: str, n: int = 5, bench_below: int = 20):
+    """Benchmark decontamination (``stages/decontaminate.py``): docs with
+    doc_id < 20 play the eval benchmark; every other doc reports how many
+    DISTINCT benchmark 5-grams it contains. Benchmark gram set is
+    broadcast once via ``ray.put``; the corpus side streams — no shuffle."""
+    from ..stages.decontaminate import benchmark_ngram_set, decontaminate_stage
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.filter(expr=f"doc_id < {bench_below}")
+    probe = docs.filter(expr=f"doc_id >= {bench_below}")
+    ref = benchmark_ngram_set(bench, n=n)
+    return probe.map_batches(
+        decontaminate_stage(ref, n=n), batch_format="pandas"
+    )
+
+
+def q_data_mix(sf_dir: str, budget: int = 200):
+    """Mixture sampling for training-data composition: a total budget of
+    ``budget`` docs is allocated across sources by target weights
+    (weight of src_i ∝ i+1) with the largest-remainder method, then each
+    source contributes its allocation in md5(doc_id) hash order — fully
+    deterministic, reproducible across runs/partitionings, and
+    SQL-verifiable. One ``ops/topk.py`` grouped top-k does the heavy work;
+    the per-source cutoff dict rides in the closure (KBs)."""
+    from ..ops.topk import topk_per_group
+
+    alloc = data_mix_allocation(budget)
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df["h"] = [
+            hashlib.md5(str(d).encode()).hexdigest()
+            for d in df["doc_id"].tolist()
+        ]
+        return df
+
+    ranked = topk_per_group(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        group_cols=["source"], order_cols=["h", "doc_id"],
+        k=max(alloc.values()), rank_col="rn",
+    )
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["rn"] <= df["source"].map(alloc).fillna(0).astype("int64")
+        out = df[keep]
+        return out[["source", "rn", "doc_id", "h"]]
+
+    return ranked.map_batches(cut, batch_format="pandas")
+
+
+def data_mix_allocation(budget: int = 200, n_sources: int = 20) -> dict[str, int]:
+    """Largest-remainder allocation of ``budget`` over src0..src{n-1} with
+    weight(src_i) ∝ i+1. Static — the SQL twin inlines the same table."""
+    total_w = n_sources * (n_sources + 1) / 2
+    quotas = {f"src{i}": budget * (i + 1) / total_w for i in range(n_sources)}
+    base = {s: int(q) for s, q in quotas.items()}
+    leftover = budget - sum(base.values())
+    order = sorted(quotas, key=lambda s: (-(quotas[s] - base[s]), s))
+    for s in order[:leftover]:
+        base[s] += 1
+    return base
