@@ -36,6 +36,7 @@ def asof_join(
     allow_equal: bool = True,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """For each left row, attach the right row with the greatest ``on`` <=
     left's ``on`` (direction="backward") or smallest ``on`` >= left's
@@ -86,6 +87,11 @@ def asof_join(
     lt = left.map_batches(tag_left, batch_format="pandas")
     rt = right.map_batches(tag_right, batch_format="pandas")
     unioned = lt.union(rt)
+    if num_partitions is not None:
+        # the groupby's sort shuffle is O(blocks²) tasks; on small inputs
+        # (many near-empty upstream blocks) coalescing first removes that
+        # fixed cost — at scale leave None and let block count ride the data
+        unioned = unioned.repartition(num_partitions)
 
     back = direction == "backward"
     side = "right" if (back == allow_equal) else "left"

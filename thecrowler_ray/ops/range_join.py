@@ -57,6 +57,7 @@ def range_join(
     end: str,
     bucket_width: int,
     suffix: str = "_iv",
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Inner range join: one output row per (probe, interval) pair with
     equal ``by`` and ``start <= on <= end`` (both ends inclusive).
@@ -114,6 +115,11 @@ def range_join(
     pt = probe.map_batches(tag_probe, batch_format="pandas")
     it = intervals.map_batches(tag_intervals, batch_format="pandas")
     unioned = pt.union(it)
+    if num_partitions is not None:
+        # the groupby's sort shuffle is O(blocks²) tasks; on small inputs
+        # (many near-empty upstream blocks) coalescing first removes that
+        # fixed cost — at scale leave None and let block count ride the data
+        unioned = unioned.repartition(num_partitions)
 
     def empty_out(g: pd.DataFrame) -> pd.DataFrame:
         # zero-row slice keeps the union block's dtypes, so empty groups

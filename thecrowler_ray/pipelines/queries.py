@@ -1638,6 +1638,7 @@ def q_asof_attribution(sf_dir: str):
     joined = asof_join(
         purchases, clicks, by="user_id", on="ts",
         direction="backward", allow_equal=True, suffix="_click",
+        num_partitions=16,
     )
 
     # left-join nulls → sentinels (coalesced identically in the SQL twin)
@@ -1688,9 +1689,13 @@ def q_range_join(sf_dir: str):
         })
 
     iv = purchases.map_batches(to_intervals, batch_format="pyarrow")
+    # bucket = 16× the interval span: replication stays ≤ 2 while the
+    # (user, bucket) group count drops 16× — per-group merge overhead,
+    # not the in-group sweep, dominates at the many-tiny-groups shape
     joined = range_join(
         clicks, iv, by="user_id", on="ts",
-        start="w_start", end="w_end", bucket_width=H24,
+        start="w_start", end="w_end", bucket_width=16 * H24,
+        num_partitions=32,
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
