@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_quantiles": q.q_group_quantiles,
         "q_decontaminate": q.q_decontaminate,
         "q_data_mix": q.q_data_mix,
+        "q_gopher_filter": q.q_gopher_filter,
+        "q_chunking": q.q_chunking,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -1001,6 +1003,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mixture sampling: largest-remainder allocation inlined as VALUES
         "q_data_mix": _data_mix_sql(),
+        # Gopher admission rules (public heuristics), same tokenizer as
+        # the other document CTEs
+        "q_gopher_filter": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       ROUND(list_sum(list_transform(ws, x -> length(x)))
+                             / GREATEST(len(ws), 1), 6) AS mean_word_len,
+                       ROUND((length(text) - length(replace(text, '#', ''))
+                              + (length(text)
+                                 - length(replace(text, '...', ''))) / 3)
+                             / GREATEST(len(ws), 1), 6) AS symbol_ratio,
+                       ROUND(len(list_filter(ws,
+                                 x -> regexp_matches(x, '[a-z]')))
+                             / GREATEST(len(ws), 1), 6) AS alpha_word_frac,
+                       CAST(len(list_filter(
+                           ['the','be','to','of','and','that','have','with'],
+                           s -> list_contains(ws, s))) AS BIGINT) AS stop_hits
+                FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_word_frac, stop_hits,
+                   CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT)
+                       AS rule_len,
+                   CAST(mean_word_len >= 3 AND mean_word_len <= 10 AS BIGINT)
+                       AS rule_wl,
+                   CAST(symbol_ratio < 0.1 AS BIGINT) AS rule_sym,
+                   CAST(alpha_word_frac > 0.8 AS BIGINT) AS rule_alpha,
+                   CAST(stop_hits >= 2 AS BIGINT) AS rule_stop,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3 AND mean_word_len <= 10
+                        AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
+                        AND stop_hits >= 2 AS BIGINT) AS gopher_pass
+            FROM m ORDER BY doc_id
+        """,
+        # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
+        # window p starts at (p-1)*24, md5 of the joined slice
+        "q_chunking": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), c AS (
+                SELECT doc_id, ws, CAST((p - 1) * 24 AS BIGINT) AS start_tok
+                FROM w, LATERAL (SELECT unnest(range(1,
+                    2 + CAST(CEIL(GREATEST(len(ws) - 32, 0) / 24.0)
+                             AS BIGINT))) AS p)
+            )
+            SELECT doc_id, start_tok,
+                   CAST(LEAST(32, GREATEST(len(ws) - start_tok, 0))
+                        AS BIGINT) AS n_toks,
+                   md5(array_to_string(
+                       list_slice(ws, start_tok + 1, start_tok + 32), ' '))
+                       AS chunk_md5
+            FROM c ORDER BY doc_id, start_tok
+        """,
         # screenshot capture geometry (web.go:308-488): page lines =
         # header + one <p> per 2-word chunk + footer, capped at 300;
         # height = max(viewport 120, 24 + 6*lines); slices = ceil(h/120)

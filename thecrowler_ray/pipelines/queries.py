@@ -1876,3 +1876,28 @@ def data_mix_allocation(budget: int = 200, n_sources: int = 20) -> dict[str, int
     for s in order[:leftover]:
         base[s] += 1
     return base
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher-rule corpus admission (Rae et al. 2021 §A1.1 heuristics):
+    per-doc length / mean-word-length / symbol-ratio / alpha-word /
+    stop-word signals, 0/1 rule flags, overall pass. Pure streaming map —
+    vectorized pandas string kernels (``gopher_filter_stage``)."""
+    from ..stages.text_analysis import gopher_filter_stage
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(gopher_filter_stage, batch_format="pandas")
+
+
+def q_chunking(sf_dir: str, chunk: int = 32, stride: int = 24):
+    """Token-window chunking for embedding/RAG training: flat-map each doc
+    into windows of ``chunk`` whitespace tokens at ``stride`` spacing
+    (``chunk_stage``); md5 per window verifies content. Streams — output
+    fan-out rides in the batch, nothing shuffles."""
+    from ..stages.text_analysis import chunk_stage
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: chunk_stage(df, chunk=chunk, stride=stride),
+        batch_format="pandas",
+    )

@@ -251,3 +251,85 @@ def line_dedup_stage(
 def simhash_stage(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     batch["simhash"] = simhash_batch(batch[text_col].tolist())
     return batch
+
+
+# Gopher-rule quality filter (public heuristics: Rae et al. 2021, §A1.1).
+# Kept separate from quality_stage (the reference-shaped score): these are
+# the corpus-admission RULES a pre-training pipeline applies.
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter_stage(
+    batch: pd.DataFrame, text_col: str = "text"
+) -> pd.DataFrame:
+    """Per-doc Gopher admission signals + 0/1 rule flags + overall pass.
+    Vectorized pandas string kernels; tokenizer = lowercase whitespace
+    split (identical to the SQL twin)."""
+    s = batch[text_col].fillna("")
+    words = s.str.lower().str.split()
+    n_words = words.str.len().fillna(0).astype("int64")
+    wl_sum = words.map(lambda ws: sum(len(w) for w in ws))
+    mean_wl = (wl_sum / n_words.clip(lower=1)).round(6)
+    hash_cnt = s.str.count("#")
+    ell_cnt = s.str.count(r"\.\.\.")
+    sym_ratio = ((hash_cnt + ell_cnt) / n_words.clip(lower=1)).round(6)
+    # ASCII [a-z] only (text is lowercased) — matches the SQL twin's
+    # regexp; Unicode isalpha() would admit CJK scripts the rule excludes
+    alpha = words.map(
+        lambda ws: sum(1 for w in ws if any("a" <= c <= "z" for c in w))
+    )
+    alpha_frac = (alpha / n_words.clip(lower=1)).round(6)
+    stop_hits = words.map(
+        lambda ws: sum(1 for st in GOPHER_STOP if st in ws)
+    ).astype("int64")
+
+    out = pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(),
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+    })
+    out["rule_len"] = ((n_words >= 50) & (n_words <= 100_000)).astype("int64")
+    out["rule_wl"] = ((mean_wl >= 3) & (mean_wl <= 10)).astype("int64")
+    out["rule_sym"] = (sym_ratio < 0.1).astype("int64")
+    out["rule_alpha"] = (alpha_frac > 0.8).astype("int64")
+    out["rule_stop"] = (stop_hits >= 2).astype("int64")
+    out["gopher_pass"] = (
+        out[["rule_len", "rule_wl", "rule_sym", "rule_alpha", "rule_stop"]]
+        .min(axis=1).astype("int64")
+    )
+    return out
+
+
+def chunk_stage(
+    batch: pd.DataFrame, chunk: int = 32, stride: int = 24,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Token-window chunking (embedding/RAG-style): one row per window of
+    ``chunk`` whitespace tokens at ``stride`` spacing, starts while
+    start < n_words (the trailing window may be short). md5 of the joined
+    window verifies content without carrying the text."""
+    ids, starts, ntoks, md5s = [], [], [], []
+    for did, t in zip(batch["doc_id"].tolist(), batch[text_col].fillna("")):
+        ws = [w for w in t.lower().split() if w]
+        n = len(ws)
+        # chunk count = 1 + ceil(max(n - chunk, 0) / stride): the first
+        # window that reaches the end is the last (no redundant tail)
+        st = 0
+        while True:
+            piece = ws[st : st + chunk]
+            ids.append(did)
+            starts.append(st)
+            ntoks.append(len(piece))
+            md5s.append(hashlib.md5(" ".join(piece).encode()).hexdigest())
+            if st + chunk >= n:
+                break
+            st += stride
+    return pd.DataFrame({
+        "doc_id": pd.array(ids, dtype="int64"),
+        "start_tok": pd.array(starts, dtype="int64"),
+        "n_toks": pd.array(ntoks, dtype="int64"),
+        "chunk_md5": md5s,
+    })
