@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_data_mix": q.q_data_mix,
         "q_gopher_filter": q.q_gopher_filter,
         "q_chunking": q.q_chunking,
+        "q_dsir_select": q.q_dsir_select,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -409,6 +410,77 @@ def _data_mix_sql() -> str:
         SELECT r.source, r.rn, r.doc_id, r.h
         FROM ranked r JOIN alloc a ON r.source = a.source AND r.rn <= a.k
         ORDER BY r.source, r.rn
+    """
+
+
+def _dsir_sql(k: int = 100, n_buckets: int = 2048) -> str:
+    """SQL twin of the DSIR importance-resampling pipeline
+    (stages/importance.py), bit-exact: per-token FNV-1a (the minhash
+    construction — code points == bytes on the ASCII corpus), word
+    uni+bigram buckets (bigram = (h0*P + h1) mod 2^64) mod n_buckets,
+    occurrence counts per bucket for the lang='en' target vs the whole
+    corpus, per-doc hit sums, and the integer cross-multiplied score
+    t_hits*R_total - r_hits*T_total with (score DESC, doc_id) top-k."""
+    FNV_BASIS = 0xCBF29CE484222325
+    FNV_PRIME = 0x100000001B3
+    P = 1099511628211
+    M64 = 1 << 64
+    return f"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, lang, unnest(ws) AS tok,
+                   CAST(generate_subscripts(ws, 1) AS BIGINT) AS p
+            FROM w
+        ), th AS (
+            SELECT doc_id, lang, p,
+                   list_reduce(
+                       list_prepend({FNV_BASIS}::HUGEINT,
+                                    list_transform(regexp_extract_all(tok, '.'),
+                                                   c -> CAST(unicode(c) AS HUGEINT))),
+                       (h, b) -> ((h - (h % 256)
+                                   + CAST(xor(CAST(h % 256 AS BIGINT),
+                                              CAST(b AS BIGINT)) AS HUGEINT))
+                                  * {FNV_PRIME}::HUGEINT)
+                                 % {M64}::HUGEINT
+                   ) AS h
+            FROM tok
+        ), grams AS (
+            SELECT doc_id, lang, h % {n_buckets} AS bucket FROM th
+            UNION ALL
+            SELECT doc_id, lang,
+                   ((h * {P}::HUGEINT % {M64}::HUGEINT + h1)
+                    % {M64}::HUGEINT) % {n_buckets} AS bucket
+            FROM (SELECT doc_id, lang, h,
+                         LEAD(h) OVER (PARTITION BY doc_id ORDER BY p) AS h1
+                  FROM th)
+            WHERE h1 IS NOT NULL
+        ), counts AS (
+            SELECT bucket,
+                   COUNT(*) FILTER (WHERE lang = 'en') AS t,
+                   COUNT(*) AS r
+            FROM grams GROUP BY bucket
+        ), totals AS (
+            SELECT SUM(t) AS tt, SUM(r) AS rt FROM counts
+        ), stats AS (
+            SELECT g.doc_id,
+                   COUNT(*) AS n_grams,
+                   SUM(c.t) AS t_hits,
+                   SUM(c.r) AS r_hits
+            FROM grams g JOIN counts c USING (bucket)
+            GROUP BY g.doc_id
+        )
+        SELECT s.doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(t_hits AS BIGINT) AS t_hits,
+               CAST(r_hits AS BIGINT) AS r_hits,
+               CAST(t_hits * rt - r_hits * tt AS BIGINT) AS score
+        FROM stats s, totals
+        ORDER BY score DESC, s.doc_id
+        LIMIT {k}
     """
 
 
@@ -1045,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
+        "q_dsir_select": _dsir_sql(),
         "q_chunking": r"""
             WITH w AS (
                 SELECT doc_id,

@@ -1901,3 +1901,15 @@ def q_chunking(sf_dir: str, chunk: int = 32, stride: int = 24):
         lambda df: chunk_stage(df, chunk=chunk, stride=stride),
         batch_format="pandas",
     )
+
+
+def q_dsir_select(sf_dir: str, k: int = 100):
+    """DSIR importance resampling (``stages/importance.py``): hashed
+    uni+bigram bucket counts for the lang='en' target vs the raw corpus
+    (one streaming count pass, KB-scale groupby), integer cross-multiplied
+    importance score per doc (second streaming pass against the broadcast
+    LUT), top-``k`` by (score DESC, doc_id). Text never shuffles."""
+    from ..stages.importance import dsir_select
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_select(ds, k=k)
