@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gopher_filter": q.q_gopher_filter,
         "q_chunking": q.q_chunking,
         "q_dsir_select": q.q_dsir_select,
+        "q_shuffle_split": q.q_shuffle_split,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -1118,6 +1119,25 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        # global shuffle + hash split: pos = rank under (md5('s0:'||id), id);
+        # split = md5('s0-split:'||id) first-8-hex mod 100 vs 80/90 bounds
+        "q_shuffle_split": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5('s0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                       CAST(('0x' || substr(md5('s0-split:'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                            % 100 AS BIGINT) AS sv
+                FROM documents
+            )
+            SELECT doc_id, shuffle_key,
+                   CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+                        AS BIGINT) AS pos,
+                   CASE WHEN sv < 80 THEN 'train'
+                        WHEN sv < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
         "q_chunking": r"""
             WITH w AS (
                 SELECT doc_id,

@@ -1913,3 +1913,14 @@ def q_dsir_select(sf_dir: str, k: int = 100):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
     return dsir_select(ds, k=k)
+
+
+def q_shuffle_split(sf_dir: str):
+    """Deterministic global shuffle + hash split (``ops/shuffle.py``):
+    reproducible md5-keyed permutation position via the uniform two-level
+    scan (KB-scale bucket totals, one co-location groupby) and a stable
+    train/val/test assignment that is a pure function of (seed, doc_id)."""
+    from ..ops.shuffle import global_shuffle_split
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    return global_shuffle_split(ds)
