@@ -37,10 +37,12 @@ def _union_find(pairs):
     return labels
 
 
-def test_chain_collapses_to_min():
+@pytest.mark.parametrize("thresh", [2_000_000, 0],
+                         ids=["driver-path", "star-rounds"])
+def test_chain_collapses_to_min(thresh):
     # a 17-node chain: worst case for naive propagation, O(log n) for stars
     pairs = [{"doc_a": i, "doc_b": i + 1} for i in range(16)]
-    got = _cc(pairs)
+    got = _cc(pairs, driver_threshold=thresh)
     assert got == {i: 0 for i in range(17)}
 
 
@@ -52,6 +54,7 @@ def test_two_components_and_duplicate_edges():
     ]
     got = _cc(pairs)
     assert got == {5: 5, 7: 5, 9: 5, 20: 20, 30: 20}
+    assert _cc(pairs, driver_threshold=0) == got
 
 
 def test_randomized_parity_with_union_find():
@@ -59,14 +62,18 @@ def test_randomized_parity_with_union_find():
     n = 80
     edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(120, 2))
              if a != b]
-    got = _cc([{"doc_a": a, "doc_b": b} for a, b in edges])
+    rows = [{"doc_a": a, "doc_b": b} for a, b in edges]
     want = _union_find(edges)
-    assert got == want
+    # both the driver union-find fast path and the distributed star rounds
+    assert _cc(rows) == want
+    assert _cc(rows, driver_threshold=0) == want
 
 
 def test_empty_pairs():
-    got = _cc([{"doc_a": 1, "doc_b": 1}])  # only a self loop → no edges
+    # only a self loop → no edges, on both paths
+    got = _cc([{"doc_a": 1, "doc_b": 1}])
     assert got == {}
+    assert _cc([{"doc_a": 1, "doc_b": 1}], driver_threshold=0) == {}
 
 
 def test_nonconvergence_guard():
@@ -74,4 +81,4 @@ def test_nonconvergence_guard():
 
     ds = ray.data.from_items([{"doc_a": 0, "doc_b": 1}])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(ds, max_rounds=0)
+        connected_components(ds, max_rounds=0, driver_threshold=0)

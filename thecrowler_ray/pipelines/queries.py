@@ -42,6 +42,18 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _pool_size(cap: int = 8, reserve: int = 2) -> int:
+    """Fixed actor-pool size for heavy per-doc stages: all the CPUs up to
+    ``cap``, leaving ``reserve`` for the read/aggregate operators sharing
+    the pipeline. Fixed pools skip autoscale's ramp (~3 s on a ~4 s
+    stage); sizing from the cluster keeps an 8-CPU session from
+    starving its own downstream operators."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", cap + reserve))
+    return max(2, min(cap, cpus - reserve))
+
+
 # ---------------------------------------------------------------------------
 # relational core
 # ---------------------------------------------------------------------------
@@ -1440,7 +1452,15 @@ class _KeywordEmitStage:
             "bucket_start": o["bucket_start"].replace(tzinfo=None),
             "occ": int(o["value"]["integer"]),
         } for o in repo.observations]
-        return pd.DataFrame(rows, columns=["keyword", "bucket_start", "occ"])
+        obs = pd.DataFrame(rows, columns=["keyword", "bucket_start", "occ"])
+        # per-batch combiner: the downstream groupby moves
+        # O(groups-per-batch × batches) partial rows, not every observation
+        return (
+            obs.groupby(["keyword", "bucket_start"], sort=False)["occ"]
+            .agg(n_obs="size", sum_occ="sum")
+            .reset_index()
+            .astype({"n_obs": "int64", "sum_occ": "int64"})
+        )
 
 
 def q_ts_emitted(sf_dir: str):
@@ -1451,15 +1471,20 @@ def q_ts_emitted(sf_dir: str):
     (keyword, 1d bucket) — the SQL twin recomputes occurrences and bucket
     arithmetic from the raw documents."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    # autoscaling pool: the emission path is pure-Python per keyword, the
-    # heaviest per-row stage in the battery — 2 actors starve at 32 CPUs
+    # fixed pool: autoscale's ramp (2→8) costs ~3 s on this ~4 s stage;
+    # the emission path is pure-Python per keyword, so spin all 8 up front.
+    # repartition(4) coalesces the per-batch partials before the groupby —
+    # a 32-block sort-aggregate of KB-scale partials is pure fixed overhead
     obs = ds.map_batches(_KeywordEmitStage, batch_format="pandas",
-                         batch_size=128, concurrency=(2, 8))
+                         batch_size=128,
+                         concurrency=_pool_size()).repartition(4)
     out = (
         obs.groupby(["keyword", "bucket_start"])
-        .aggregate(Count(alias_name="n_obs"), Sum("occ", alias_name="sum_occ"))
+        .aggregate(Sum("n_obs", alias_name="n_obs"),
+                   Sum("sum_occ", alias_name="sum_occ"))
         .to_pandas()
     )
+    out["n_obs"] = out["n_obs"].astype("int64")
     out["sum_occ"] = out["sum_occ"].astype("int64")
     return out
 
@@ -1542,7 +1567,7 @@ def q_screenshots(sf_dir: str):
     PNG path runs per row in the actor pool."""
     out = _doc_multiline_pages(sf_dir).map_batches(
         _ScreenshotRenderStage, batch_format="pyarrow", batch_size=64,
-        concurrency=(2, 8),
+        concurrency=_pool_size(),  # fixed pool — autoscale ramp dominates
     )
     return out.sort("doc_id").to_pandas()
 

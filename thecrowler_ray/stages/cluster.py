@@ -111,16 +111,59 @@ def _signature(edges) -> tuple[int, int]:
     return (int(agg["sum(c)"]), int(agg["sum(s)"]))
 
 
+def _driver_union_find(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    """Small-side exact path: union-find with path compression, labels =
+    component min. Same output contract as the distributed rounds (the
+    randomized parity tests pin both against each other)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(u.tolist(), v.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    labels = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64,
+                         count=len(nodes))
+    return pa.table({"node": nodes, "label": labels})
+
+
 def connected_components(pairs, id_a: str = "doc_a", id_b: str = "doc_b",
-                         max_rounds: int = 32):
+                         max_rounds: int = 32,
+                         driver_threshold: int = 2_000_000):
     """Candidate pairs → per-node component labels.
 
     Returns a Dataset with columns ``node`` (int64) and ``label`` (int64,
     the component's minimum node id). Every node that appears in a pair
     gets a row; callers union singletons back in if they need them.
-    """
+
+    Threshold switch (the ``q_nation_revenue`` pattern): below
+    ``driver_threshold`` canonical edges the star rounds are pure fixed
+    overhead (each round is ~5 Ray ops), so the edge list — already
+    reduced to 16-byte rows, NOT the documents — is pulled once and
+    union-found on the driver. Above it, the O(log n) large-star /
+    small-star rounds run with no driver-side graph at all."""
+    import ray.data
+
     edges = pairs.map_batches(lambda t: _canon(t, id_a, id_b),
-                              batch_format="pyarrow")
+                              batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        if n_edges == 0:
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64())}))
+        df = edges.to_pandas()  # ≤ driver_threshold 16-byte rows by the gate
+        return ray.data.from_arrow(_driver_union_find(
+            df["u"].to_numpy(dtype=np.int64),
+            df["v"].to_numpy(dtype=np.int64)))
     prev = None
     for _ in range(max_rounds):
         # large-star

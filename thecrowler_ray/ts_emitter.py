@@ -555,22 +555,32 @@ class InMemoryRepository:
         self.metrics = list(metrics or [])
         self.observations: list[dict] = []
         self._dedupe: set[str] = set()
+        # (metric_id, canonical scope, dimension hash) → insertion-ordered
+        # candidates; turns previous_observation from an O(total) scan per
+        # emit (quadratic per batch) into an O(per-key) probe
+        self._prev_index: dict[tuple, list[dict]] = {}
 
     def list_metrics(self, source_kind: str) -> list[Metric]:
         return [m for m in self.metrics
                 if m.source_kind == source_kind and m.enabled]
 
+    @staticmethod
+    def _prev_key(metric_id: int, scope: dict, dimensions) -> tuple:
+        return (metric_id, canonical_json(scope or {}),
+                dimension_hash(dimensions))
+
     def previous_observation(self, metric_id: int, scope: dict,
                              dimensions, before: datetime) -> dict | None:
         best = None
-        dh = dimension_hash(dimensions)
-        for o in self.observations:
-            if o["metric_id"] != metric_id:
-                continue
-            if o["scope"] != scope or dimension_hash(o.get("dimensions")) != dh:
+        candidates = self._prev_index.get(
+            self._prev_key(metric_id, scope, dimensions), ())
+        for o in candidates:
+            if o["scope"] != scope:  # exact-equality guard (index is json)
                 continue
             if o["observed_at"] >= before:
                 continue
+            # strict '>' keeps the earliest-inserted winner on ties, the
+            # same answer the original full scan produced
             if best is None or o["observed_at"] > best["observed_at"]:
                 best = o
         return best
@@ -581,6 +591,12 @@ class InMemoryRepository:
             return False
         self._dedupe.add(key)
         self.observations.append(observation)
+        self._prev_index.setdefault(
+            self._prev_key(observation["metric_id"],
+                           observation.get("scope") or {},
+                           observation.get("dimensions")),
+            [],
+        ).append(observation)
         return True
 
 
