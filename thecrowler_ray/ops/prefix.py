@@ -40,7 +40,14 @@ def exclusive_prefix_sum(
     n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Append ``out_col`` = sum of ``value_col`` over all rows STRICTLY
-    before this row in ``order_col`` order (exclusive scan, int64)."""
+    before this row in ``order_col`` order (exclusive scan, int64).
+
+    The input is materialized first: the scan is inherently multi-pass
+    (bounds, bucket totals, in-group cumsum), and without pinning, every
+    pass re-executes the caller's upstream stages. Callers should project
+    down to (order_col, value_col [+ carried columns]) before scanning —
+    the pinned footprint is those columns only, not the source table."""
+    ds = ds.materialize()
     bounds = ds.aggregate(Min(order_col), Max(order_col))
     lo, hi = bounds[f"min({order_col})"], bounds[f"max({order_col})"]
     span = max(int(hi) - int(lo) + 1, 1)
