@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunking": q.q_chunking,
         "q_dsir_select": q.q_dsir_select,
         "q_shuffle_split": q.q_shuffle_split,
+        "q_repetition": q.q_repetition,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -1119,6 +1120,75 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        # Gopher repetition signals: top 2/3-gram (count desc, gram asc
+        # tie-break) + token coverage of duplicated 5-grams
+        "q_repetition": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), base AS (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+                       CAST(length(array_to_string(ws, ' ')) AS BIGINT)
+                           AS total_chars, ws
+                FROM w
+            ), tok AS (
+                SELECT doc_id, unnest(ws) AS tok,
+                       CAST(generate_subscripts(ws, 1) AS BIGINT) AS p
+                FROM base
+            ), lead_tok AS (
+                SELECT doc_id, p, tok,
+                       LEAD(tok, 1) OVER win AS t1,
+                       LEAD(tok, 2) OVER win AS t2,
+                       LEAD(tok, 3) OVER win AS t3,
+                       LEAD(tok, 4) OVER win AS t4
+                FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+            ), top2 AS (
+                SELECT doc_id, gram AS top2, cnt AS top2_occ FROM (
+                    SELECT doc_id, tok || ' ' || t1 AS gram,
+                           CAST(COUNT(*) AS BIGINT) AS cnt,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY COUNT(*) DESC, tok || ' ' || t1) AS rn
+                    FROM lead_tok WHERE t1 IS NOT NULL
+                    GROUP BY doc_id, tok || ' ' || t1)
+                WHERE rn = 1
+            ), top3 AS (
+                SELECT doc_id, gram AS top3, cnt AS top3_occ FROM (
+                    SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS gram,
+                           CAST(COUNT(*) AS BIGINT) AS cnt,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY COUNT(*) DESC,
+                                        tok || ' ' || t1 || ' ' || t2) AS rn
+                    FROM lead_tok WHERE t2 IS NOT NULL
+                    GROUP BY doc_id, tok || ' ' || t1 || ' ' || t2)
+                WHERE rn = 1
+            ), g5 AS (
+                SELECT doc_id, p,
+                       tok || ' ' || t1 || ' ' || t2 || ' ' || t3
+                           || ' ' || t4 AS gram
+                FROM lead_tok WHERE t4 IS NOT NULL
+            ), d5 AS (
+                SELECT doc_id, p FROM g5
+                QUALIFY COUNT(*) OVER (PARTITION BY doc_id, gram) > 1
+            ), cov AS (
+                SELECT DISTINCT doc_id, pos
+                FROM d5, LATERAL (SELECT unnest(range(p, p + 5)) AS pos)
+            ), dup AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup5_tokens
+                FROM cov GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_toks, b.total_chars,
+                   COALESCE(t2.top2, '') AS top2,
+                   COALESCE(t2.top2_occ, 0) AS top2_occ,
+                   COALESCE(t3.top3, '') AS top3,
+                   COALESCE(t3.top3_occ, 0) AS top3_occ,
+                   COALESCE(d.dup5_tokens, 0) AS dup5_tokens
+            FROM base b
+            LEFT JOIN top2 t2 USING (doc_id)
+            LEFT JOIN top3 t3 USING (doc_id)
+            LEFT JOIN dup d USING (doc_id)
+        """,
         # global shuffle + hash split: pos = rank under (md5('s0:'||id), id);
         # split = md5('s0-split:'||id) first-8-hex mod 100 vs 80/90 bounds
         "q_shuffle_split": """

@@ -54,3 +54,42 @@ def test_chunk_stage_exact_boundary():
     out = chunk_stage(df, chunk=32, stride=24)
     assert out["start_tok"].tolist() == [0, 24]
     assert out["n_toks"].tolist() == [32, 9]
+
+
+def test_repetition_stats():
+    from thecrowler_ray.stages.text_analysis import repetition_stats_stage
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # "a b" ×3 (overlapping "b a" ×2); dup 5-grams cover all 6 toks
+            "a b a b a b",
+            "all words unique here now",   # no repeats, 5 toks, no dup5
+            "x",                            # single token
+            None,
+        ],
+    })
+    out = repetition_stats_stage(df).set_index("doc_id")
+    assert out.loc[1, "top2"] == "a b" and out.loc[1, "top2_occ"] == 3
+    assert out.loc[1, "top3"] == "a b a" and out.loc[1, "top3_occ"] == 2
+    # 5-grams: "a b a b a" (pos 0) and "b a b a b" (pos 1) each occur once
+    # → no duplicated 5-gram
+    assert out.loc[1, "dup5_tokens"] == 0
+    assert out.loc[1, "total_chars"] == 11
+    assert out.loc[2, "top2_occ"] == 1 and out.loc[2, "dup5_tokens"] == 0
+    # tie at occ=1 → lexicographically smallest 2-gram
+    assert out.loc[2, "top2"] == "all words"
+    assert out.loc[3, "top2"] == "" and out.loc[3, "top2_occ"] == 0
+    assert out.loc[4, "n_toks"] == 0 and out.loc[4, "total_chars"] == 0
+
+
+def test_repetition_dup5_coverage_union():
+    from thecrowler_ray.stages.text_analysis import repetition_stats_stage
+
+    # "p q r s t" appears twice with a gap → 10 covered positions;
+    # overlapping duplicated windows must not double-count
+    toks = ["p", "q", "r", "s", "t", "gap1", "gap2",
+            "p", "q", "r", "s", "t"]
+    df = pd.DataFrame({"doc_id": [1], "text": [" ".join(toks)]})
+    out = repetition_stats_stage(df)
+    assert int(out.loc[0, "dup5_tokens"]) == 10

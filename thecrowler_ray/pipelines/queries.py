@@ -1949,3 +1949,15 @@ def q_shuffle_split(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id"])
     return global_shuffle_split(ds)
+
+
+def q_repetition(sf_dir: str):
+    """Gopher repetition signals (``repetition_stats_stage``): per-doc
+    most-repeated 2/3-gram (count + gram, deterministic tie-break) and
+    token coverage of duplicated 5-grams — the §A1.1 repetition half of
+    corpus admission, alongside ``q_gopher_filter``'s length/symbol
+    rules. Pure streaming map."""
+    from ..stages.text_analysis import repetition_stats_stage
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stats_stage, batch_format="pandas")

@@ -333,3 +333,57 @@ def chunk_stage(
         "n_toks": pd.array(ntoks, dtype="int64"),
         "chunk_md5": md5s,
     })
+
+
+def repetition_stats_stage(df: pd.DataFrame, dup_n: int = 5) -> pd.DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1, public method):
+    per doc, the occurrence count + coverage of the most-repeated word
+    2-gram and 3-gram (ties → lexicographically smallest gram) and the
+    number of token positions covered by any duplicated ``dup_n``-gram
+    window. Integer/string outputs only, so the DuckDB twin reproduces
+    them bit-for-bit. Streams — one map, nothing shuffles."""
+    import collections
+
+    ids, ntoks, chars = [], [], []
+    top = {2: ([], []), 3: ([], [])}
+    dupcov = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        toks = (str(text) if text is not None and text == text else "") \
+            .lower().split()
+        n = len(toks)
+        ids.append(doc_id)
+        ntoks.append(n)
+        chars.append(len(" ".join(toks)))
+        for g in (2, 3):
+            grams, occs = top[g]
+            if n < g:
+                grams.append("")
+                occs.append(0)
+                continue
+            cnt = collections.Counter(
+                " ".join(toks[i : i + g]) for i in range(n - g + 1)
+            )
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            grams.append(best[0])
+            occs.append(best[1])
+        if n < dup_n:
+            dupcov.append(0)
+            continue
+        cnt5 = collections.Counter(
+            " ".join(toks[i : i + dup_n]) for i in range(n - dup_n + 1)
+        )
+        covered = np.zeros(n, dtype=bool)
+        for i in range(n - dup_n + 1):
+            if cnt5[" ".join(toks[i : i + dup_n])] > 1:
+                covered[i : i + dup_n] = True
+        dupcov.append(int(covered.sum()))
+    return pd.DataFrame({
+        "doc_id": pd.array(ids, dtype="int64"),
+        "n_toks": pd.array(ntoks, dtype="int64"),
+        "total_chars": pd.array(chars, dtype="int64"),
+        "top2": top[2][0],
+        "top2_occ": pd.array(top[2][1], dtype="int64"),
+        "top3": top[3][0],
+        "top3_occ": pd.array(top[3][1], dtype="int64"),
+        "dup5_tokens": pd.array(dupcov, dtype="int64"),
+    })
