@@ -1,0 +1,205 @@
+"""End-to-end training-set export — the flagship composition of the
+training-data plane.
+
+documents → Gopher admission (``gopher_filter_stage``) → exact content
+dedup (md5, keep min doc_id) → deterministic shuffle + hash split
+(``ops/shuffle.py``) → sequence packing of the train split (global
+exclusive prefix scan of token counts in shuffle order, ``ops/prefix.py``)
+→ partitioned, resumable parquet (one directory per split + a JSON
+manifest).
+
+Scale shape:
+- admission + hashing are one streaming map over the text; the text
+  itself never shuffles — dedup moves (md5, doc_id) 48-byte rows, split
+  assignment moves (doc_id, tokens) slim rows, and the final write joins
+  winners back to the source by doc_id (a native hash join, both sides
+  partitioned).
+- packing runs only on the train split (bins are training-sequence
+  budgets) as one two-level scan over materialized slim rows.
+- the write is one directory per split; a re-run skips splits already
+  recorded in ``manifest.json`` (per-split lineage: row count, token sum,
+  config echo), so a failed export resumes instead of restarting.
+
+The reference engine has no training-export analog (its sinks are the
+index DB writers, ``pkg/database``); this is part of the
+large-scale-training-data plane this repo adds on top, with every step
+SQL-replayable (★ ``q_training_export``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pandas as pd
+import ray.data
+
+from ..ops.prefix import exclusive_prefix_sum
+from ..ops.shuffle import global_shuffle_split
+from ..stages.text_analysis import gopher_filter_stage
+
+_WINDOW_DEFAULT = 2048
+
+
+def _admit_and_hash(batch: pd.DataFrame) -> pd.DataFrame:
+    """One text pass: Gopher signals + content md5 + token count; only
+    admitted rows leave (slim columns — the text stays behind)."""
+    g = gopher_filter_stage(batch)
+    keep = g["gopher_pass"].to_numpy() == 1
+    texts = batch["text"].fillna("").to_numpy()
+    md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts[keep]]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy()[keep],
+            "content_md5": md5s,
+            "ws_tokens": g["n_words"].to_numpy()[keep],
+        }
+    )
+
+
+def _dedup_winners(slim: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact content dedup over admitted rows: per md5, the minimum doc_id
+    survives (one groupby over 48-byte rows)."""
+
+    def first_win(g: pd.DataFrame) -> pd.DataFrame:
+        i = g["doc_id"].idxmin()
+        return g.loc[[i], ["doc_id", "ws_tokens"]]
+
+    return slim.groupby("content_md5").map_groups(
+        first_win, batch_format="pandas"
+    )
+
+
+def training_survivors(
+    ds: "ray.data.Dataset", *, seed: str = "s0"
+) -> "ray.data.Dataset":
+    """→ (doc_id, ws_tokens, shuffle_key, pos, split) for every admitted,
+    deduplicated document."""
+    slim = ds.map_batches(_admit_and_hash, batch_format="pandas")
+    winners = _dedup_winners(slim)
+    placed = global_shuffle_split(winners, id_col="doc_id", seed=seed)
+    # carry ws_tokens across the placement groupby via a slim native join
+    return placed.join(
+        winners.select_columns(["doc_id", "ws_tokens"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_id",),
+    )
+
+
+def train_bins(
+    survivors: "ray.data.Dataset", *, window: int = _WINDOW_DEFAULT
+) -> "ray.data.Dataset":
+    """Pack the train split into context-window bins: exclusive prefix sum
+    of token counts in shuffle order (pos is dense within the corpus, so
+    the scan's equal-range buckets stay balanced), bin = cum // window."""
+    train = survivors.filter(expr="split == 'train'").select_columns(
+        ["doc_id", "pos", "ws_tokens"]
+    )
+    scanned = exclusive_prefix_sum(
+        train, order_col="pos", value_col="ws_tokens"
+    )
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        df["bin"] = (df["cum_before"] // window).astype("int64")
+        return df
+
+    return scanned.map_batches(binify, batch_format="pandas")
+
+
+def export_training_set(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    seed: str = "s0",
+    window: int = _WINDOW_DEFAULT,
+) -> dict:
+    """Run the full export; returns the manifest. Re-runs skip splits the
+    manifest already records (per-split resumability)."""
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    done: dict = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prior = json.load(f)
+        if prior.get("seed") == seed and prior.get("window") == window:
+            done = prior.get("splits", {})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    survivors = training_survivors(ds, seed=seed).materialize()
+
+    splits: dict = dict(done)
+    for split in ("train", "val", "test"):
+        if split in done:
+            continue
+        part = survivors.filter(expr=f"split == '{split}'")
+        if split == "train":
+            part = train_bins(survivors, window=window)
+        part_dir = os.path.join(out_dir, f"split={split}")
+        os.makedirs(part_dir, exist_ok=True)
+        part.write_parquet(part_dir)
+        stats = part.aggregate(
+            ray.data.aggregate.Count(),
+            ray.data.aggregate.Sum("ws_tokens"),
+        )
+        entry = {
+            "n_docs": int(stats["count()"] or 0),
+            "n_tokens": int(stats["sum(ws_tokens)"] or 0),
+        }
+        if split == "train":
+            entry["n_bins"] = int(
+                part.aggregate(ray.data.aggregate.Max("bin"))["max(bin)"]
+                or 0
+            ) + 1 if entry["n_docs"] else 0
+        splits[split] = entry
+        manifest = {"seed": seed, "window": window, "sf_dir": sf_dir,
+                    "splits": splits}
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, manifest_path)
+
+    return {"seed": seed, "window": window, "sf_dir": sf_dir,
+            "splits": splits}
+
+
+def export_summary(
+    sf_dir: str, *, seed: str = "s0", window: int = _WINDOW_DEFAULT
+) -> pd.DataFrame:
+    """Per-split summary (split, n_docs, n_tokens, n_bins) — the
+    ★ ``q_training_export`` surface; n_bins counts train context windows,
+    0 for val/test."""
+    survivors = training_survivors(sf_dir_ds(sf_dir), seed=seed)
+    survivors = survivors.materialize()
+    base = (
+        survivors.groupby("split")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_docs"),
+            ray.data.aggregate.Sum("ws_tokens", alias_name="n_tokens"),
+        )
+        .to_pandas()
+    )
+    bins = train_bins(survivors, window=window)
+    n_train = int(base.loc[base["split"] == "train", "n_docs"].sum())
+    n_bins = (
+        int(bins.aggregate(ray.data.aggregate.Max("bin"))["max(bin)"] or 0)
+        + 1
+        if n_train
+        else 0
+    )
+    base["n_docs"] = base["n_docs"].astype("int64")
+    base["n_tokens"] = base["n_tokens"].astype("int64")
+    base["n_bins"] = [
+        n_bins if s == "train" else 0 for s in base["split"]
+    ]
+    base["n_bins"] = base["n_bins"].astype("int64")
+    return base.sort_values("split").reset_index(drop=True)
+
+
+def sf_dir_ds(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
