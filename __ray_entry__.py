@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_select": q.q_dsir_select,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
+        "q_training_export": q.q_training_export,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -1120,6 +1121,65 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        # flagship training export: no_stop admission (the synthetic corpus
+        # has no English stop words) → md5 dedup keep-min → md5('s0:'||id)
+        # shuffle order + hash split → train packing, bin = excl-cumsum//2048
+        "q_training_export": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), m AS (
+                SELECT doc_id, text,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       ROUND(list_sum(list_transform(ws, x -> length(x)))
+                             / GREATEST(len(ws), 1), 6) AS mean_word_len,
+                       ROUND((length(text) - length(replace(text, '#', ''))
+                              + (length(text)
+                                 - length(replace(text, '...', ''))) / 3)
+                             / GREATEST(len(ws), 1), 6) AS symbol_ratio,
+                       ROUND(len(list_filter(ws,
+                                 x -> regexp_matches(x, '[a-z]')))
+                             / GREATEST(len(ws), 1), 6) AS alpha_word_frac
+                FROM w
+            ), adm AS (
+                SELECT doc_id, text, n_words FROM m
+                WHERE n_words >= 50 AND n_words <= 100000
+                  AND mean_word_len >= 3 AND mean_word_len <= 10
+                  AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
+            ), ded AS (
+                SELECT MIN(doc_id) AS doc_id FROM adm GROUP BY md5(text)
+            ), surv AS (
+                SELECT a.doc_id, a.n_words,
+                       md5('s0:' || CAST(a.doc_id AS VARCHAR)) AS sk,
+                       CASE WHEN ('0x' || substr(md5('s0-split:'
+                                 || CAST(a.doc_id AS VARCHAR)), 1, 8))
+                                 ::UBIGINT % 100 < 80 THEN 'train'
+                            WHEN ('0x' || substr(md5('s0-split:'
+                                 || CAST(a.doc_id AS VARCHAR)), 1, 8))
+                                 ::UBIGINT % 100 < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM adm a JOIN ded USING (doc_id)
+            ), tr AS (
+                SELECT n_words,
+                       SUM(n_words) OVER (
+                           ORDER BY sk, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - n_words AS cumb
+                FROM surv WHERE split = 'train'
+            ), bins AS (
+                SELECT COALESCE(CAST(MAX(cumb // 2048) + 1 AS BIGINT), 0)
+                    AS n_bins
+                FROM tr
+            )
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+                   CASE WHEN split = 'train'
+                        THEN (SELECT n_bins FROM bins)
+                        ELSE 0 END AS n_bins
+            FROM surv GROUP BY split
+        """,
         # Gopher repetition signals: top 2/3-gram (count desc, gram asc
         # tie-break) + token coverage of duplicated 5-grams
         "q_repetition": r"""

@@ -1961,3 +1961,14 @@ def q_repetition(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(repetition_stats_stage, batch_format="pandas")
+
+
+def q_training_export(sf_dir: str):
+    """Flagship training-set export summary
+    (``pipelines/training_export.py``): admission → exact dedup →
+    deterministic shuffle/split → train-split sequence packing, reported
+    as per-split (n_docs, n_tokens, n_bins). Every step is replayed by
+    the SQL twin."""
+    from .training_export import export_summary
+
+    return export_summary(sf_dir)

