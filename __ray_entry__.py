@@ -1088,19 +1088,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), m AS (
                 SELECT doc_id,
-                       CAST(len(ws) AS BIGINT) AS n_words,
-                       ROUND(list_sum(list_transform(ws, x -> length(x)))
-                             / GREATEST(len(ws), 1), 6) AS mean_word_len,
-                       ROUND((length(text) - length(replace(text, '#', ''))
+                       COALESCE(CAST(len(ws) AS BIGINT), 0) AS n_words,
+                       COALESCE(ROUND(
+                             list_sum(list_transform(ws, x -> length(x)))
+                             / GREATEST(len(ws), 1), 6), 0) AS mean_word_len,
+                       COALESCE(ROUND(
+                             (length(text) - length(replace(text, '#', ''))
                               + (length(text)
                                  - length(replace(text, '...', ''))) / 3)
-                             / GREATEST(len(ws), 1), 6) AS symbol_ratio,
-                       ROUND(len(list_filter(ws,
+                             / GREATEST(len(ws), 1), 6), 0) AS symbol_ratio,
+                       COALESCE(ROUND(len(list_filter(ws,
                                  x -> regexp_matches(x, '[a-z]')))
-                             / GREATEST(len(ws), 1), 6) AS alpha_word_frac,
-                       CAST(len(list_filter(
+                             / GREATEST(len(ws), 1), 6), 0) AS alpha_word_frac,
+                       COALESCE(CAST(len(list_filter(
                            ['the','be','to','of','and','that','have','with'],
-                           s -> list_contains(ws, s))) AS BIGINT) AS stop_hits
+                           s -> list_contains(ws, s))) AS BIGINT), 0)
+                           AS stop_hits
                 FROM w
             )
             SELECT doc_id, n_words, mean_word_len, symbol_ratio,
@@ -1189,9 +1192,10 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> '') AS ws
                 FROM documents
             ), base AS (
-                SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
-                       CAST(length(array_to_string(ws, ' ')) AS BIGINT)
-                           AS total_chars, ws
+                SELECT doc_id,
+                       COALESCE(CAST(len(ws) AS BIGINT), 0) AS n_toks,
+                       COALESCE(CAST(length(array_to_string(ws, ' '))
+                                     AS BIGINT), 0) AS total_chars, ws
                 FROM w
             ), tok AS (
                 SELECT doc_id, unnest(ws) AS tok,

@@ -40,11 +40,34 @@ def test_export_writes_splits_and_resumes(ray_session, tmp_path):
     sums = tr.groupby("bin")["ws_tokens"].sum()
     assert (sums.iloc[:-1] >= 2048 - tr["ws_tokens"].max()).all()
 
-    # resume: drop one split dir but keep the manifest → untouched splits
-    # are skipped (manifest timestamps unchanged), result equal
+    # resume no-op: complete manifest + dirs → nothing recomputed
     manifest_before = json.load(open(os.path.join(out, "manifest.json")))
     m2 = export_training_set(SF, out)
     assert m2["splits"] == manifest_before["splits"]
+
+    # partial failure: a split dir vanished but the manifest still lists
+    # it → that split (and only it) is rebuilt, with identical contents
+    import shutil
+
+    val_dir = os.path.join(out, "split=val")
+    train_mtime = os.path.getmtime(os.path.join(out, "split=train"))
+    shutil.rmtree(val_dir)
+    m3 = export_training_set(SF, out)
+    assert m3["splits"] == manifest_before["splits"]
+    assert pq.read_table(val_dir).num_rows == m3["splits"]["val"]["n_docs"]
+    assert os.path.getmtime(os.path.join(out, "split=train")) == train_mtime
+
+    # a manifest from another corpus must never satisfy this run
+    mpath = os.path.join(out, "manifest.json")
+    tampered = json.load(open(mpath))
+    tampered["sf_dir"] = "/some/other/corpus"
+    json.dump(tampered, open(mpath, "w"))
+    m4 = export_training_set(SF, out)
+    assert m4["splits"] == manifest_before["splits"]  # recomputed, equal
+    # and the rewritten split dirs hold exactly one copy
+    for split, entry in m4["splits"].items():
+        tbl = pq.read_table(os.path.join(out, f"split={split}"))
+        assert tbl.num_rows == entry["n_docs"]
 
 
 def test_survivors_admission_and_dedup(ray_session):

@@ -72,9 +72,11 @@ def global_shuffle_split(
         ("test", 10),
     ),
 ) -> "ray.data.Dataset":
-    """→ (id_col, shuffle_key, pos, split): a reproducible global
-    permutation position and a stable hash split per row. ``id_col``
-    must be unique (it is the tie-break and the hash input)."""
+    """→ the input columns + (shuffle_key, pos, split): a reproducible
+    global permutation position and a stable hash split per row. Extra
+    input columns ride through the one placement groupby (callers pass
+    slim rows — never the text). ``id_col`` must be unique (it is the
+    tie-break and the hash input)."""
     if sum(p for _, p in splits) != 100:
         raise ValueError("split percentages must sum to 100")
     width = ((1 << _KEY_BITS) + n_buckets - 1) // n_buckets
@@ -103,7 +105,7 @@ def global_shuffle_split(
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].tolist()
         hx = _shuffle_hex(ids, seed)
-        out = df[[id_col]].copy()
+        out = df.copy()  # carry every input column through the placement
         out["shuffle_key"] = hx
         out["__bucket"] = [int(h[:15], 16) // width for h in hx]
         pct = _split_pct(ids, seed)

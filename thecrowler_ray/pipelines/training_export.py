@@ -10,10 +10,10 @@ manifest).
 
 Scale shape:
 - admission + hashing are one streaming map over the text; the text
-  itself never shuffles — dedup moves (md5, doc_id) 48-byte rows, split
-  assignment moves (doc_id, tokens) slim rows, and the final write joins
-  winners back to the source by doc_id (a native hash join, both sides
-  partitioned).
+  itself never shuffles — dedup moves (md5, doc_id) 48-byte rows and the
+  split placement moves (doc_id, tokens) slim rows that ride the one
+  placement groupby (winners are materialized once; no re-execution, no
+  join).
 - packing runs only on the train split (bins are training-sequence
   budgets) as one two-level scan over materialized slim rows.
 - the write is one directory per split; a re-run skips splits already
@@ -93,15 +93,11 @@ def training_survivors(
     slim = ds.map_batches(
         lambda df: _admit_and_hash(df, admission), batch_format="pandas"
     )
-    winners = _dedup_winners(slim)
-    placed = global_shuffle_split(winners, id_col="doc_id", seed=seed)
-    # carry ws_tokens across the placement groupby via a slim native join
-    return placed.join(
-        winners.select_columns(["doc_id", "ws_tokens"]),
-        join_type="inner",
-        num_partitions=8,
-        on=("doc_id",),
-    )
+    # materialize: the placement consumes winners twice (bucket totals +
+    # attach) — without pinning, the admission/hash text pass re-executes
+    winners = _dedup_winners(slim).materialize()
+    # ws_tokens rides through the placement groupby (slim rows)
+    return global_shuffle_split(winners, id_col="doc_id", seed=seed)
 
 
 def train_bins(
@@ -110,9 +106,20 @@ def train_bins(
     """Pack the train split into context-window bins: exclusive prefix sum
     of token counts in shuffle order (pos is dense within the corpus, so
     the scan's equal-range buckets stay balanced), bin = cum // window."""
+    import pyarrow as pa
+
     train = survivors.filter(expr="split == 'train'").select_columns(
         ["doc_id", "pos", "ws_tokens"]
-    )
+    ).materialize()
+    if train.count() == 0:
+        # typed empty — the scan's min/max bounds are undefined on 0 rows
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "ws_tokens": pa.array([], pa.int64()),
+            "cum_before": pa.array([], pa.int64()),
+            "bin": pa.array([], pa.int64()),
+        }))
     scanned = exclusive_prefix_sum(
         train, order_col="pos", value_col="ws_tokens"
     )
@@ -138,8 +145,15 @@ def export_training_set(
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             prior = json.load(f)
-        if prior.get("seed") == seed and prior.get("window") == window:
-            done = prior.get("splits", {})
+        # the full config must match — a manifest from another corpus or
+        # window must never satisfy this run's splits
+        if (prior.get("seed") == seed and prior.get("window") == window
+                and prior.get("sf_dir") == sf_dir):
+            done = {
+                k: v for k, v in prior.get("splits", {}).items()
+                # a recorded split only counts if its partition survived
+                if os.path.isdir(os.path.join(out_dir, f"split={k}"))
+            }
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -153,22 +167,35 @@ def export_training_set(
         part = survivors.filter(expr=f"split == '{split}'")
         if split == "train":
             part = train_bins(survivors, window=window)
+        # one execution: the write and both stat aggregates read the
+        # pinned blocks instead of re-running the split's lineage
+        part = part.materialize()
+        n_rows = part.count()
         part_dir = os.path.join(out_dir, f"split={split}")
-        os.makedirs(part_dir, exist_ok=True)
-        part.write_parquet(part_dir)
-        stats = part.aggregate(
-            ray.data.aggregate.Count(),
-            ray.data.aggregate.Sum("ws_tokens"),
-        )
+        # idempotent write: stage into a tmp dir, swap atomically — a
+        # crash between write and manifest can never leave a double copy
+        tmp_dir = part_dir + ".tmp"
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        part.write_parquet(tmp_dir)
+        _shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp_dir, part_dir)
+        stats = (part.aggregate(ray.data.aggregate.Sum("ws_tokens"))
+                 if n_rows else None)
         entry = {
-            "n_docs": int(stats["count()"] or 0),
-            "n_tokens": int(stats["sum(ws_tokens)"] or 0),
+            "n_docs": int(n_rows),
+            "n_tokens": int(stats["sum(ws_tokens)"] or 0) if stats else 0,
         }
         if split == "train":
-            entry["n_bins"] = int(
-                part.aggregate(ray.data.aggregate.Max("bin"))["max(bin)"]
-                or 0
-            ) + 1 if entry["n_docs"] else 0
+            mx = (part.aggregate(ray.data.aggregate.Max("bin"))
+                  if n_rows else None)
+            entry["n_bins"] = (
+                int(mx["max(bin)"]) + 1
+                if mx is not None and mx.get("max(bin)") is not None
+                else 0
+            )
         splits[split] = entry
         manifest = {"seed": seed, "window": window, "sf_dir": sf_dir,
                     "splits": splits}
@@ -200,14 +227,20 @@ def export_summary(
         )
         .take_all()
     )
-    bins = train_bins(survivors, window=window)
+    if base.empty:  # no survivors at all — typed empty summary
+        return pd.DataFrame({
+            "split": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "n_bins": pd.Series([], dtype="int64"),
+        })
     n_train = int(base.loc[base["split"] == "train", "n_docs"].sum())
-    n_bins = (
-        int(bins.aggregate(ray.data.aggregate.Max("bin"))["max(bin)"] or 0)
-        + 1
-        if n_train
-        else 0
-    )
+    n_bins = 0
+    if n_train:
+        mx = train_bins(survivors, window=window).aggregate(
+            ray.data.aggregate.Max("bin"))
+        if mx is not None and mx.get("max(bin)") is not None:
+            n_bins = int(mx["max(bin)"]) + 1
     base["n_docs"] = base["n_docs"].astype("int64")
     base["n_tokens"] = base["n_tokens"].astype("int64")
     base["n_bins"] = [
