@@ -21,21 +21,38 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..state.bloom import BloomFilter
 from ..state.cuckoo import CuckooFilter
 from ..urls import host_hash
 
 
 class SeenShard:
-    """One shard of the global URL-seen set. Runs as a Ray actor."""
+    """One shard of the global URL-seen set. Runs as a Ray actor.
+
+    ``filter_kind``: "cuckoo" (default — with ``exact=True`` it carries the
+    exact sidecar the oracle-pinned engine requires) or "bloom" (the north
+    rule's approximate alternative: fixed memory, bounded false-positive
+    rate, no false negatives — a deployment choice, never the oracle
+    path)."""
 
     def __init__(self, shard_id: int, log2_buckets: int = 14, exact: bool = True,
-                 spill_dir: str | None = None, spill_threshold: int = 4_000_000):
+                 spill_dir: str | None = None, spill_threshold: int = 4_000_000,
+                 filter_kind: str = "cuckoo"):
         self.shard_id = shard_id
-        self.filter = CuckooFilter(
-            log2_buckets=log2_buckets, exact=exact, seed=shard_id,
-            spill_dir=(f"{spill_dir}/shard{shard_id}" if spill_dir else None),
-            spill_threshold=spill_threshold,
-        )
+        self.filter_kind = filter_kind
+        if filter_kind == "bloom":
+            # a cuckoo bucket holds 4 fingerprints; give the bloom the
+            # same key capacity: bits = buckets*4*8 → log2_bits += 5
+            self.filter = BloomFilter(
+                log2_bits=min(40, log2_buckets + 5), seed=shard_id)
+        elif filter_kind == "cuckoo":
+            self.filter = CuckooFilter(
+                log2_buckets=log2_buckets, exact=exact, seed=shard_id,
+                spill_dir=(f"{spill_dir}/shard{shard_id}" if spill_dir else None),
+                spill_threshold=spill_threshold,
+            )
+        else:
+            raise ValueError(f"unknown filter_kind {filter_kind!r}")
 
     def check_and_insert(self, keys: np.ndarray) -> np.ndarray:
         """→ bool mask: True = new (was not seen; now inserted)."""
@@ -53,6 +70,9 @@ class SeenShard:
         return self.filter.contains_many(keys)
 
     def stats(self) -> dict:
+        if self.filter_kind == "bloom":
+            return {"shard": self.shard_id, "count": self.filter.n_inserted,
+                    "fp_rate": self.filter.fp_rate_estimate()}
         return {"shard": self.shard_id, "count": self.filter.count,
                 "buckets": self.filter.n_buckets}
 
@@ -60,7 +80,8 @@ class SeenShard:
         return self.filter.dumps()
 
     def restore(self, data: bytes) -> None:
-        self.filter = CuckooFilter.loads(data)
+        cls = BloomFilter if self.filter_kind == "bloom" else CuckooFilter
+        self.filter = cls.loads(data)
 
 
 def key_u64(key_hex_col) -> np.ndarray:
@@ -78,12 +99,14 @@ class SeenShardPool:
     """Driver-side handle for the shard actors + the anti-join stage."""
 
     def __init__(self, n_shards: int = 8, log2_buckets: int = 14, exact: bool = True,
-                 spill_dir: str | None = None, spill_threshold: int = 4_000_000):
+                 spill_dir: str | None = None, spill_threshold: int = 4_000_000,
+                 filter_kind: str = "cuckoo"):
         self.n_shards = n_shards
         cls = ray.remote(num_cpus=0.05)(SeenShard)
         self.actors = [
             cls.remote(i, log2_buckets=log2_buckets, exact=exact,
-                       spill_dir=spill_dir, spill_threshold=spill_threshold)
+                       spill_dir=spill_dir, spill_threshold=spill_threshold,
+                       filter_kind=filter_kind)
             for i in range(n_shards)
         ]
 
