@@ -67,3 +67,26 @@ def test_bad_params_rejected():
         BloomFilter(log2_bits=2)
     with pytest.raises(ValueError):
         BloomFilter(k=0)
+
+
+def test_engine_runs_with_bloom_filter(ray_session, tmp_path):
+    """The crawl engine on the approximate bloom path: at this corpus size
+    and filter capacity the FP probability is ~0, so the fetched set must
+    equal the exact-cuckoo run's."""
+    from thecrowler_ray.pipelines.crawl import CrawlRun, EngineConfig
+    from thecrowler_ray.sources.synthweb import CorpusConfig, seed_urls
+
+    corpus = CorpusConfig(seed=7, n_hosts=6, base_pages=40, branch=3)
+    seeds = seed_urls(corpus, 6)
+
+    def run(kind, sub):
+        cfg = EngineConfig(
+            max_links=400, max_waves=6, n_seen_shards=2, n_pol_shards=2,
+            seen_log2_buckets=14, seen_filter_kind=kind,
+            out_dir=str(tmp_path / sub), run_id=f"bloom-{sub}")
+        return CrawlRun(corpus, seeds, cfg).run()
+
+    a = run("cuckoo", "c")
+    b = run("bloom", "b")
+    assert b["total_fetched"] == a["total_fetched"]
+    assert b["seen_total"] == a["seen_total"]

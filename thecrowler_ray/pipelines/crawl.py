@@ -147,6 +147,10 @@ class EngineConfig:
     n_seen_shards: int = 8
     seen_log2_buckets: int = 14
     seen_exact: bool = True
+    # "cuckoo" (exact-capable, the oracle-pinned default) or "bloom" (the
+    # north rule's approximate alternative: fixed memory, bounded FP rate
+    # — a crawl may skip up to FP-rate fraction of genuinely-new URLs)
+    seen_filter_kind: str = "cuckoo"
     # exact-sidecar spill: directory for per-shard sorted key runs (None =
     # all-RAM). At 10^10 keys / 256 shards each shard holds spill_threshold
     # keys resident (8 B each) and binary-searches the mmap'd remainder.
@@ -446,6 +450,7 @@ class CrawlRun:
             cfg.n_seen_shards, cfg.seen_log2_buckets, cfg.seen_exact,
             spill_dir=cfg.seen_spill_dir,
             spill_threshold=cfg.seen_spill_threshold,
+            filter_kind=cfg.seen_filter_kind,
         )
         robots_fn = (
             (lambda host, _c=corpus_cfg: robots_disallow(_c, host))
