@@ -12,9 +12,10 @@ eviction path. Same `dumps`/`loads`/vectorized-batch contract as
 Construction (standard public Bloom math, no reference analog —
 TheCROWler dedupes via DB uniqueness, crawler.go:1504-1543):
 - ``m = 2^log2_bits`` bits in a packed uint64 array;
-- ``k`` probe indices per key derived from one splitmix64 remix per
-  probe: ``idx_i = mix(key ^ C_i) & (m-1)`` — vectorized over
-  (keys × k) in numpy;
+- ``k`` probe indices per key via Kirsch–Mitzenmacher double hashing
+  (public construction: two splitmix64 mixes h1, h2; ``idx_i = h1 + i*h2``
+  with h2 forced odd) — hashing cost is 2 mixes per key regardless of k,
+  vectorized in numpy;
 - no false negatives ever (property-tested); FP ≈ (1 - e^{-kn/m})^k.
 """
 
@@ -50,19 +51,25 @@ class BloomFilter:
         self.seed = seed
         self.n_inserted = 0
         self.bits = np.zeros(max(1, (1 << log2_bits) >> 6), dtype=np.uint64)
-        # per-probe xor constants: seed- and probe-indexed remixes
-        self._salts = _mix(
-            np.arange(1, k + 1, dtype=np.uint64)
-            + np.uint64(seed) * np.uint64(0x9E3779B1)
-        )
+        # double-hash salts: seed-indexed remixes (array-shaped — numpy
+        # scalar uint64 arithmetic warns on the intended wraparound)
+        base = np.array([seed, seed], dtype=np.uint64)
+        base *= np.array([0x9E3779B1, 0x85EBCA77], dtype=np.uint64)
+        base += np.array([1, 2], dtype=np.uint64)
+        salts = _mix(base)
+        self._salt1, self._salt2 = salts[0], salts[1]
 
     # -- probe geometry ------------------------------------------------------
 
     def _positions(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(n, k) word indices + bit masks for every probe of every key."""
         keys = keys.astype(np.uint64, copy=False)
-        h = _mix(keys[:, None] ^ self._salts[None, :])
-        pos = h & np.uint64((1 << self.log2_bits) - 1)
+        h1 = _mix(keys ^ self._salt1)
+        h2 = _mix(keys ^ self._salt2) | np.uint64(1)  # odd stride
+        i = np.arange(self.k, dtype=np.uint64)
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(
+            (1 << self.log2_bits) - 1
+        )
         return (pos >> np.uint64(6)).astype(np.int64), (
             np.uint64(1) << (pos & np.uint64(63))
         )
@@ -73,6 +80,8 @@ class BloomFilter:
         if len(keys) == 0:
             return
         words, masks = self._positions(keys)
+        # unbuffered OR handles duplicate word indices correctly; with the
+        # double-hash probe geometry it sustains multi-Mkeys/s (PERF.md)
         np.bitwise_or.at(self.bits, words.ravel(), masks.ravel())
         self.n_inserted += len(keys)
 
