@@ -1,0 +1,167 @@
+"""CDP network-event fold + real WebSocket DevTools client (cdp.py),
+pinned to web.go:2303-2447 semantics; wire test against an in-process
+fixture DevTools server (the mail/HTTP fixture-transport pattern)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import socket
+import threading
+
+from thecrowler_ray.cdp import (
+    BINARY_DATA_OMITTED,
+    CdpWireClient,
+    decode_body_content,
+    fold_cdp_events,
+    remove_anti_xssi,
+)
+from thecrowler_ray.ws import accept_key, encode_frame, read_frame
+
+
+def _env(method, params):
+    return {"message": json.dumps({"message": {
+        "method": method, "params": params}})}
+
+
+def test_fold_request_response_merge_and_fallbacks():
+    entries = [
+        _env("Network.requestWillBeSent", {
+            "requestId": "r1",
+            "request": {"url": "https://a/x", "method": "POST",
+                        "headers": {"content-type": "text/plain"},
+                        "postData": '{"k": 1}'},
+        }),
+        _env("Network.responseReceived", {
+            "requestId": "r1",
+            "response": {"url": "https://a/x", "status": 201,
+                         "headers": {}, "mimeType": "",
+                         "body": 'for (;;);{"ok": true}'},
+        }),
+    ]
+    out = fold_cdp_events(entries)
+    assert len(out) == 1
+    rec = out[0]
+    # request content-type: mimeType absent → headers win
+    assert rec["request_content_type"] == "text/plain"
+    assert rec["request_body"] == {"k": 1}  # parsed JSON
+    # response: no mimeType/header → detected from XSSI-stripped JSON body
+    assert rec["status"] == 201
+    assert rec["response_content_type"] == "application/json"
+    assert rec["response_body"] == {"ok": True}
+
+
+def test_fold_binary_body_omitted_and_empty_fetch_skipped():
+    entries = [
+        _env("Network.requestWillBeSent",
+             {"requestId": "r1", "request": {"url": "u", "method": "GET",
+                                             "headers": {}}}),
+        _env("Network.responseReceived",
+             {"requestId": "r1",
+              "response": {"url": "u", "status": 200, "headers": {},
+                           "body": "bin\x00ary"}}),
+        _env("Network.loadingFinished", {"requestId": "r1"}),
+        _env("Network.loadingFinished", {"requestId": "r2"}),  # unknown id
+    ]
+    fetched = {"r1": ("", False)}  # empty → record untouched (web.go:2424)
+    out = fold_cdp_events(entries, body_fetcher=lambda r: fetched.get(
+        r, ("", False)))
+    assert out[0]["response_body"] == BINARY_DATA_OMITTED
+    assert "response_type" not in out[0]
+
+
+def test_fold_loading_finished_base64_body():
+    entries = [
+        _env("Network.requestWillBeSent",
+             {"requestId": "r1", "request": {"url": "u", "method": "GET",
+                                             "headers": {}}}),
+        _env("Network.loadingFinished", {"requestId": "r1"}),
+    ]
+    body = base64.b64encode(b'"use strict";[1, 2]').decode()
+    out = fold_cdp_events(entries, body_fetcher=lambda r: (body, True))
+    assert out[0]["response_body"] == [1, 2]
+    assert out[0]["response_type"] == "application/json"
+
+
+def test_anti_xssi_and_decode_paths():
+    assert remove_anti_xssi('  while(1);{"a":1}') == '{"a":1}'
+    assert remove_anti_xssi('J{"a":1}') == '{"a":1}'
+    body, t = decode_body_content("<p>hi</p>", False, "")
+    assert t == "text/html" and body == "<p>hi</p>"
+    body, t = decode_body_content("<?xml version='1.0'?><r/>", False, "")
+    assert t == "application/xml"
+    body, t = decode_body_content(base64.b64encode(b"42").decode(), True, "")
+    assert body == 42 and t == "application/json"
+
+
+# -- fixture DevTools server ----------------------------------------------------
+
+
+class _FixtureCdp(threading.Thread):
+    """One-connection DevTools endpoint: replies to commands, streams the
+    scripted Network events after Network.enable."""
+
+    def __init__(self, bodies):
+        super().__init__(daemon=True)
+        self.bodies = bodies
+        self.srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self.srv.getsockname()[1]
+
+    def run(self):
+        conn, _ = self.srv.accept()
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(4096)
+        key = [line.split(b":", 1)[1].strip() for line in req.split(b"\r\n")
+               if line.lower().startswith(b"sec-websocket-key")][0]
+        conn.sendall(
+            b"HTTP/1.1 101 Switching Protocols\r\n"
+            b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            b"Sec-WebSocket-Accept: "
+            + accept_key(key.decode()).encode() + b"\r\n\r\n")
+
+        def send(obj):
+            conn.sendall(encode_frame(0x1, json.dumps(obj).encode()))
+
+        while True:
+            opcode, payload = read_frame(conn)
+            if opcode == 0x8:
+                break
+            msg = json.loads(payload.decode())
+            if msg["method"] == "Network.enable":
+                send({"id": msg["id"], "result": {}})
+                send({"method": "Network.requestWillBeSent", "params": {
+                    "requestId": "w1",
+                    "request": {"url": "https://fx/api", "method": "GET",
+                                "headers": {"accept": "*/*"}}}})
+                send({"method": "Network.responseReceived", "params": {
+                    "requestId": "w1",
+                    "response": {"url": "https://fx/api", "status": 200,
+                                 "headers": {"content-type":
+                                             "application/json"}}}})
+                send({"method": "Network.loadingFinished",
+                      "params": {"requestId": "w1"}})
+            elif msg["method"] == "Network.getResponseBody":
+                rid = msg["params"]["requestId"]
+                body, b64 = self.bodies.get(rid, ("", False))
+                send({"id": msg["id"],
+                      "result": {"body": body, "base64Encoded": b64}})
+        conn.close()
+
+
+def test_wire_client_end_to_end():
+    body = base64.b64encode(b'{"answer": 42}').decode()
+    srv = _FixtureCdp({"w1": (body, True)})
+    srv.start()
+    client = CdpWireClient(f"ws://127.0.0.1:{srv.port}/devtools")
+    client.connect()
+    try:
+        recs = client.collect_network_log()
+    finally:
+        client.close()
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["url"] == "https://fx/api" and rec["status"] == 200
+    assert rec["response_content_type"] == "application/json"
+    assert rec["response_body"] == {"answer": 42}
+    assert rec["response_type"] == "application/json"

@@ -1,0 +1,330 @@
+"""CDP network-event collection — the live half of M21 (XHR/CDP).
+
+Mirrors the reference's performance-log event fold
+(`pkg/crawler/web.go:2303-2447` listenForCDPEvents / StartCDPLogging):
+
+- ``Network.requestWillBeSent`` appends a request record
+  (object_type/requestId/type/url/method/headers/request_body/
+  request_content_type, with the mimeType → headers → detected
+  fallback chain);
+- ``Network.responseReceived`` updates the FIRST record with a matching
+  requestId (url, status, response_headers, response_content_type,
+  response_body with the DB-safe guard → ``[binary data omitted]``);
+- ``Network.loadingFinished`` pulls the full body through the
+  ``body_fetcher`` seam (vdi.GetResponseBody in the reference), decodes
+  it and overwrites response_body/response_type; an empty body skips
+  the record untouched (web.go:2424).
+
+Body decode (`decodeBodyContent`, web.go:2886-2964): base64 decode
+(failures keep the raw string), anti-XSSI prefix strip
+(web.go:2966-2982 verbatim), JSON parse with top-level arrays/scalars
+accepted. Documented deviation: the reference additionally converts
+XML and HTML bodies to JSON trees (xmlToJSON / scraper.ExtractHTMLData);
+here those come back raw with their detected type — the conversion is a
+presentation step the indexing plane doesn't depend on.
+
+`CdpWireClient` is the transport the stand-in lacked: a real
+WebSocket DevTools client (RFC 6455 client handshake + masked frames
+over the repo's own `ws.py` codec) that speaks
+``Network.enable`` → event stream → fold. In the sandbox it is
+exercised against an in-process fixture DevTools server
+(tests/test_cdp.py), the same fixture-transport pattern as the mail and
+HTTP clients; on a cluster it points at a real browser's
+``webSocketDebuggerUrl``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import socket
+import struct
+import threading
+import urllib.parse
+
+from .ws import encode_frame, read_frame
+
+BINARY_DATA_OMITTED = "[binary data omitted]"
+
+
+# -- decode helpers (web.go decodeBodyContent family) -------------------------
+
+
+def remove_anti_xssi(body: str) -> str:
+    """web.go:2966-2982 verbatim prefix chain."""
+    body = body.strip()
+    if not body:
+        return body
+    for prefix in ("for (;;);", "while(1);", '"use strict";'):
+        if body.startswith(prefix):
+            body = body[len(prefix):]
+    if body.startswith("J{"):
+        body = body[1:]
+    return body
+
+
+def is_db_safe_text(v) -> bool:
+    """crawler.go:1952-2013: NUL-free valid UTF-8 (None is safe)."""
+    if v is None:
+        return True
+    if isinstance(v, bytes):
+        if b"\x00" in v:
+            return False
+        try:
+            v.decode("utf-8")
+            return True
+        except UnicodeDecodeError:
+            return False
+    if isinstance(v, str):
+        return "\x00" not in v
+    return True  # parsed JSON structures are DB-safe by construction
+
+
+def _detect_type(body: str, url: str) -> str:
+    s = body.lstrip()
+    if s.startswith("<?xml"):
+        return "application/xml"
+    if s[:1] == "<":
+        return "text/html"
+    return "text/plain"
+
+
+def decode_body_content(body: str, is_base64: bool, url: str = ""):
+    """→ (decoded_body, detected_content_type)."""
+    if is_base64:
+        try:
+            body = base64.standard_b64decode(body).decode(
+                "utf-8", errors="replace"
+            )
+        except Exception:
+            pass  # reference keeps the raw string on decode failure
+    body_str = remove_anti_xssi(body)
+    try:
+        parsed = json.loads(body_str)
+    except (ValueError, TypeError):
+        return body, _detect_type(body_str, url)
+    return parsed, "application/json"
+
+
+# -- the event fold ------------------------------------------------------------
+
+
+def fold_cdp_events(
+    entries, *, body_fetcher=None, collected: list | None = None
+) -> list[dict]:
+    """Fold performance-log entries (each ``{"message": <json str|dict>}``)
+    into the reference's collectedRequests records. ``body_fetcher`` is
+    the vdi.GetResponseBody seam: ``requestId → (body, is_base64)``."""
+    out = collected if collected is not None else []
+    for entry in entries:
+        message = entry.get("message")
+        if isinstance(message, str):
+            try:
+                message = json.loads(message)
+            except ValueError:
+                continue
+        if isinstance(message, dict) and "message" in message:
+            message = message["message"]  # selenium log envelope
+        if not isinstance(message, dict):
+            continue
+        method = message.get("method")
+        params = message.get("params") or {}
+
+        if method == "Network.requestWillBeSent":
+            request = params.get("request") or {}
+            request_id = params.get("requestId", "")
+            url = request.get("url", "")
+            headers = request.get("headers") or {}
+            content_type = request.get("mimeType", "") or headers.get(
+                "content-type", ""
+            )
+            decoded, detected = decode_body_content(
+                request.get("postData", ""), False, url
+            )
+            if not content_type:
+                content_type = detected
+            out.append(
+                {
+                    "object_type": "request",
+                    "requestId": request_id,
+                    "type": "http",
+                    "url": url,
+                    "method": request.get("method", ""),
+                    "headers": headers,
+                    "request_body": decoded,
+                    "request_content_type": content_type,
+                }
+            )
+
+        elif method == "Network.responseReceived":
+            response = params.get("response") or {}
+            request_id = params.get("requestId", "")
+            headers = response.get("headers") or {}
+            content_type = response.get("mimeType", "") or headers.get(
+                "content-type", ""
+            )
+            decoded, detected = decode_body_content(
+                response.get("body", ""), False, ""
+            )
+            if not content_type:
+                content_type = detected
+            if not is_db_safe_text(decoded):
+                decoded = BINARY_DATA_OMITTED
+            for rec in out:
+                if rec["requestId"] == request_id:
+                    rec["url"] = response.get("url", "")
+                    rec["status"] = response.get("status", 0)
+                    rec["response_headers"] = headers
+                    rec["response_content_type"] = content_type
+                    rec["response_body"] = decoded
+                    break
+
+        elif method == "Network.loadingFinished":
+            request_id = params.get("requestId", "")
+            if body_fetcher is None:
+                continue
+            body, is_b64 = body_fetcher(request_id)
+            if not body:
+                continue  # web.go:2424 — keep the record untouched
+            decoded, detected = decode_body_content(body, is_b64, "")
+            if not is_db_safe_text(decoded):
+                decoded = BINARY_DATA_OMITTED
+            for rec in out:
+                if rec["requestId"] == request_id:
+                    rec["response_body"] = decoded
+                    rec["response_type"] = detected
+                    break
+    return out
+
+
+# -- the wire client -------------------------------------------------------------
+
+
+class CdpWireClient:
+    """Minimal DevTools WebSocket client over the repo's RFC 6455 codec.
+
+    connect → ``Network.enable`` (+ any extra enable commands) → drain
+    the event stream → :func:`fold_cdp_events`. Client frames are masked
+    per RFC 6455 §5.3; command replies (frames carrying ``id``) are
+    matched to their request, everything carrying ``method`` is an
+    event."""
+
+    def __init__(self, ws_url: str, timeout: float = 5.0):
+        self.ws_url = ws_url
+        self.timeout = timeout
+        self._sock: socket.socket | None = None
+        self._next_id = 0
+        self.events: list[dict] = []
+        self._lock = threading.Lock()
+
+    # handshake ---------------------------------------------------------------
+
+    def connect(self) -> None:
+        u = urllib.parse.urlparse(self.ws_url)
+        if u.scheme != "ws":
+            raise ValueError("only ws:// endpoints supported in-sandbox")
+        host, port = u.hostname, u.port or 80
+        self._sock = socket.create_connection((host, port), self.timeout)
+        self._sock.settimeout(self.timeout)
+        key = base64.b64encode(struct.pack(">IIII", 1, 2, 3, 4)).decode()
+        path = u.path or "/"
+        req = (
+            f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        )
+        self._sock.sendall(req.encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = self._sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("handshake EOF")
+            resp += chunk
+        status = resp.split(b"\r\n", 1)[0]
+        if b"101" not in status:
+            raise ConnectionError(f"upgrade refused: {status!r}")
+        from .ws import accept_key
+
+        want = accept_key(key).encode()
+        if want not in resp:
+            raise ConnectionError("bad Sec-WebSocket-Accept")
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.sendall(encode_frame(0x8, b"", mask=True))
+            except OSError:
+                pass
+            self._sock.close()
+            self._sock = None
+
+    # protocol ------------------------------------------------------------------
+
+    def command(self, method: str, params: dict | None = None) -> dict:
+        """Send one command; drain events until its reply arrives."""
+        self._next_id += 1
+        cid = self._next_id
+        msg = {"id": cid, "method": method, "params": params or {}}
+        self._sock.sendall(
+            encode_frame(0x1, json.dumps(msg).encode(), mask=True)
+        )
+        while True:
+            frame = self._read_message()
+            if frame is None:
+                raise ConnectionError(f"EOF waiting for {method} reply")
+            if frame.get("id") == cid:
+                return frame
+            if "method" in frame:
+                self.events.append(frame)
+
+    def drain_events(self, until_method: str = "Network.loadingFinished",
+                     max_events: int = 1000) -> list[dict]:
+        """Read events until ``until_method`` is seen, EOF, or the cap
+        (the reference's 1000-entry XHR cap)."""
+        while len(self.events) < max_events:
+            frame = self._read_message()
+            if frame is None:
+                break
+            if "method" in frame:
+                self.events.append(frame)
+                if frame["method"] == until_method:
+                    break
+        return self.events
+
+    def _read_message(self) -> dict | None:
+        try:
+            got = read_frame(self._sock)
+        except (OSError, ValueError):
+            return None
+        if got is None:
+            return None
+        opcode, payload = got
+        if opcode == 0x8:  # close
+            return None
+        if opcode != 0x1:
+            return self._read_message()
+        try:
+            return json.loads(payload.decode("utf-8"))
+        except ValueError:
+            return None
+
+    # the M21 surface -----------------------------------------------------------
+
+    def collect_network_log(self, *, body_fetcher=None,
+                            max_events: int = 1000) -> list[dict]:
+        """Network.enable → drain → fold. The fetch seam defaults to
+        Network.getResponseBody over this same connection."""
+        self.command("Network.enable")
+
+        def fetch(request_id: str):
+            reply = self.command(
+                "Network.getResponseBody", {"requestId": request_id}
+            )
+            result = reply.get("result") or {}
+            return result.get("body", ""), bool(result.get("base64Encoded"))
+
+        self.drain_events(max_events=max_events)
+        entries = [{"message": {"message": e}} for e in self.events]
+        return fold_cdp_events(
+            entries, body_fetcher=body_fetcher or fetch
+        )
