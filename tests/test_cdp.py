@@ -165,3 +165,38 @@ def test_wire_client_end_to_end():
     assert rec["response_content_type"] == "application/json"
     assert rec["response_body"] == {"answer": 42}
     assert rec["response_type"] == "application/json"
+
+
+def test_merge_xhr_logs_match_and_unmatched():
+    from thecrowler_ray.cdp import TEXT_EMPTY_TYPE, merge_xhr_logs
+
+    xhr = [
+        {"m": "GET", "u": "https://A/api/", "s": 200,
+         "h": {"x": "1"}, "b": '{"q":1}', "t": "xhr"},
+        {"m": "POST", "u": "https://a/missing", "s": 404, "t": "fetch"},
+        {"m": "", "u": "https://a/skip", "s": 200},   # dropped: no method
+    ]
+    responses = [
+        # matches entry 0: method+status equal, URL equal after
+        # trim/trailing-slash/lowercase normalization
+        {"method": "GET", "url": "https://a/api", "status": 200,
+         "response_body": 'J{"ok":true}'},
+    ]
+    out = merge_xhr_logs(xhr, responses)
+    assert len(out) == 2
+    a, b = out
+    assert a["response_body"] == {"ok": True}
+    assert a["response_content_type"] == "application/json"  # detected type
+    assert a["request_body"] == {"q": 1} and a["type"] == "xhr"
+    assert a["headers"] == {"x": "1"}
+    assert all(k not in a for k in ("m", "u", "s", "h", "b", "t"))
+    assert b["response_body"] == "" \
+        and b["response_content_type"] == TEXT_EMPTY_TYPE
+
+
+def test_merge_xhr_logs_max_items_trim():
+    from thecrowler_ray.cdp import merge_xhr_logs
+
+    xhr = [{"m": "GET", "u": f"https://a/{i}", "s": 200} for i in range(5)]
+    out = merge_xhr_logs(xhr, [], max_items=3)
+    assert [e["url"] for e in out] == [f"https://a/{i}" for i in range(3)]

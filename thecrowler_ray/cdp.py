@@ -328,3 +328,80 @@ class CdpWireClient:
         return fold_cdp_events(
             entries, body_fetcher=body_fetcher or fetch
         )
+
+
+# -- injected-XHR merge (web.go:2466-2590 collectXHRLogs) ------------------------
+
+
+def _normalize_url_go(url: str) -> str:
+    """cmn.NormalizeURL (pkg/common/url.go:24-32): trim, strip trailing
+    slashes, lowercase."""
+    return url.strip().rstrip("/").lower()
+
+
+TEXT_EMPTY_TYPE = "text/empty"
+
+
+def merge_xhr_logs(
+    xhr_entries: list[dict],
+    collected_responses: list[dict],
+    max_items: int = 0,
+) -> list[dict]:
+    """Merge the injected-JS XHR capture (``window.__XCAP_LOG__`` entries
+    ``{m,u,s,h,b,t}``) with the CDP-collected responses, mirroring
+    collectXHRLogs: trim to ``max_items`` first, skip entries missing
+    method or url, match on (method, status, NormalizeURL(url)), and on a
+    match take the DECODED response body + its DETECTED type (the
+    reference overwrites the CDP content-type with the detector's answer
+    — a quirk kept verbatim). Unmatched requests carry
+    ``response_body=""`` + ``text/empty``."""
+    if max_items > 0 and len(xhr_entries) > max_items:
+        xhr_entries = xhr_entries[:max_items]
+    out: list[dict] = []
+    for raw in xhr_entries:
+        if not isinstance(raw, dict):
+            continue
+        entry = dict(raw)
+        method = entry.get("m") or ""
+        url = entry.get("u") or ""
+        status = entry.get("s", 0)
+        if not method or not url:
+            continue
+        decoded_req, req_type = decode_body_content(
+            entry.get("b") or "", False, url
+        )
+        matched = False
+        for resp in collected_responses:
+            body = resp.get("response_body")
+            if not isinstance(body, str):
+                body = "" if body is None else json.dumps(body)
+            decoded_resp, detected = decode_body_content(body, False, "")
+            if not is_db_safe_text(decoded_resp):
+                decoded_resp = BINARY_DATA_OMITTED
+            if (
+                method == resp.get("method")
+                and status == resp.get("status")
+                and _normalize_url_go(url)
+                == _normalize_url_go(resp.get("url", ""))
+            ):
+                entry["response_body"] = decoded_resp
+                entry["response_content_type"] = detected
+                matched = True
+                break
+        entry["object_type"] = "request"
+        entry["type"] = entry.pop("t", None) or ""
+        entry["headers"] = entry.pop("h", None) or {}
+        entry["method"] = method
+        entry.pop("m", None)
+        entry["url"] = url
+        entry.pop("u", None)
+        entry["status"] = status
+        entry.pop("s", None)
+        entry.pop("b", None)
+        entry["request_body"] = decoded_req
+        entry["request_content_type"] = req_type
+        if not matched:
+            entry["response_body"] = ""
+            entry["response_content_type"] = TEXT_EMPTY_TYPE
+        out.append(entry)
+    return out
