@@ -200,3 +200,27 @@ def test_merge_xhr_logs_max_items_trim():
     xhr = [{"m": "GET", "u": f"https://a/{i}", "s": 200} for i in range(5)]
     out = merge_xhr_logs(xhr, [], max_items=3)
     assert [e["url"] for e in out] == [f"https://a/{i}" for i in range(3)]
+
+
+def test_filter_xhr_requests_rules():
+    from thecrowler_ray.cdp import RBEE_URL, filter_xhr_requests
+
+    recs = [
+        {"url": "https://a/1", "request_content_type": "text/html",
+         "response_content_type": "text/html"},          # both filtered
+        {"url": "https://a/2", "request_content_type": "unknown",
+         "response_content_type": "text/html"},          # unknown + filtered
+        {"url": "https://a/3", "request_content_type": "text/empty",
+         "response_content_type": "text/html"},          # empty + filtered
+        {"url": "https://a/4", "request_content_type": "application/json",
+         "response_content_type": "text/html"},          # one real → keep
+        {"url": RBEE_URL, "request_content_type": "application/json",
+         "response_content_type": "application/json"},   # rbee → drop
+        {"url": "https://a/5", "request_content_type": "unknown",
+         "response_content_type": "application/json"},   # unknown + unfiltered → keep
+    ]
+    # config entries are trimmed + lowercased before comparison
+    out = filter_xhr_requests(recs, ["  TEXT/HTML "])
+    assert [r["url"] for r in out] == ["https://a/4", "https://a/5"]
+    # no filter config → everything (incl. rbee) passes through verbatim
+    assert filter_xhr_requests(recs, []) == recs

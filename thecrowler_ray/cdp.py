@@ -405,3 +405,52 @@ def merge_xhr_logs(
             entry["response_content_type"] = TEXT_EMPTY_TYPE
         out.append(entry)
     return out
+
+
+# -- post-collection filter (web.go:2707-2759) -----------------------------------
+
+ERR_UNKNOWN_CONTENT_TYPE = "unknown"
+RBEE_URL = "http://127.0.0.1:3000/v1/rb"
+
+
+def _type_filtered(detected: str, filter_types: list[str]) -> bool:
+    """filterXHRRequests (web.go:2741-2758): membership after
+    trim+lowercase of the CONFIG entries (the record's type is compared
+    verbatim — the reference lowercases only the config side)."""
+    if not filter_types or not detected:
+        return False
+    return any(
+        detected == f.strip().lower() for f in filter_types
+    )
+
+
+def filter_xhr_requests(
+    records: list[dict], filter_types: list[str]
+) -> list[dict]:
+    """The reference's post-collection drop rules (web.go:2707-2735):
+    with no filter config, everything passes; rbee bookkeeping requests
+    always drop; a record drops when both its request and response
+    content types are filtered, or when one side is filtered and the
+    other is the 'unknown' or 'text/empty' placeholder."""
+    if not filter_types:
+        return list(records)
+    out = []
+    for rec in records:
+        if rec is None:
+            continue
+        if rec.get("url", "") == RBEE_URL:
+            continue
+        rct = rec.get("request_content_type", "") or ""
+        rst = rec.get("response_content_type", "") or ""
+        rct_f = _type_filtered(rct, filter_types)
+        rst_f = _type_filtered(rst, filter_types)
+        if (
+            (rct_f and rst_f)
+            or (rct == ERR_UNKNOWN_CONTENT_TYPE and rst_f)
+            or (rct_f and rst == ERR_UNKNOWN_CONTENT_TYPE)
+            or (rct == TEXT_EMPTY_TYPE and rst_f)
+            or (rct_f and rst == TEXT_EMPTY_TYPE)
+        ):
+            continue
+        out.append(rec)
+    return out
