@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tech_detect_docs": q.q_tech_detect_docs,
         "q_screenshots": q.q_screenshots,
         "q_xhr_requests": q.q_xhr_requests,
+        "q_xhr_merge": q.q_xhr_merge,
         "q_httpinfo": q.q_httpinfo,
         # netinfo parse plane (pkg/netinfo whois/dig parsing)
         "q_whois": q.q_whois,
@@ -1353,6 +1354,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN '{"bootstrap": 25.0}'
                         ELSE '{"react": 32.5}' END AS detected_tech
             FROM documents
+        """,
+        # injected-XHR merge + FilterXHR drop matrix: survivors restated
+        # from doc_id arithmetic (tracker rows and doc_id%3==2 binary rows
+        # are dropped by the text/plain filter)
+        "q_xhr_merge": """
+            SELECT doc_id,
+                   'https://api.example.com/v1/doc/' || doc_id || '/' AS url,
+                   'GET' AS method,
+                   CAST(200 AS BIGINT) AS status,
+                   'text/plain' AS request_content_type,
+                   CASE doc_id % 3 WHEN 0 THEN 'application/json'
+                        ELSE 'text/html' END AS response_content_type,
+                   CASE doc_id % 3 WHEN 0 THEN '{"doc": ' || doc_id || '}'
+                        ELSE '<p>x</p>' END AS response_body
+            FROM documents WHERE doc_id % 3 < 2
         """,
         "q_xhr_requests": """
             SELECT doc_id AS page_id, CAST(0 AS BIGINT) AS seq,

@@ -14,6 +14,7 @@ actor-pool stages for stateful transforms.
 from __future__ import annotations
 
 import hashlib
+import json
 
 import numpy as np
 import pandas as pd
@@ -1972,3 +1973,55 @@ def q_training_export(sf_dir: str):
     from .training_export import export_summary
 
     return export_summary(sf_dir)
+
+
+def q_xhr_merge(sf_dir: str):
+    """Injected-XHR merge + FilterXHR drop matrix (``cdp.py``, the live
+    M21 half) over deterministic per-doc fixtures: every doc emits one
+    matched API call (response body JSON / HTML / NUL-binary by
+    doc_id % 3) and one never-matched tracker POST; merge_xhr_logs
+    resolves bodies, filter_xhr_requests(['text/plain']) drops the
+    tracker (text/empty) and the binary rows — the SQL twin restates the
+    surviving rows from doc_id arithmetic."""
+    from ..cdp import filter_xhr_requests, merge_xhr_logs
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids, urls, methods, statuses, rcts, rsts, bodies = \
+            [], [], [], [], [], [], []
+        for doc_id in batch["doc_id"].to_pylist():
+            xhr = [
+                {"m": "GET", "s": 200, "t": "xhr", "b": "",
+                 "u": f"https://api.example.com/v1/doc/{doc_id}/"},
+                {"m": "POST", "s": 204, "t": "fetch",
+                 "u": f"https://api.example.com/v1/track?id={doc_id}"},
+            ]
+            mod = doc_id % 3
+            body = ('J{"doc": %d}' % doc_id if mod == 0
+                    else "<p>x</p>" if mod == 1 else "bin\x00")
+            responses = [{
+                "method": "GET", "status": 200, "response_body": body,
+                "url": f"https://api.example.com/v1/doc/{doc_id}",
+            }]
+            kept = filter_xhr_requests(
+                merge_xhr_logs(xhr, responses), ["text/plain"])
+            for rec in kept:
+                ids.append(doc_id)
+                urls.append(rec["url"])
+                methods.append(rec["method"])
+                statuses.append(int(rec["status"]))
+                rcts.append(rec["request_content_type"])
+                rsts.append(rec["response_content_type"])
+                rb = rec["response_body"]
+                bodies.append(rb if isinstance(rb, str) else json.dumps(rb))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "method": pa.array(methods, pa.string()),
+            "status": pa.array(statuses, pa.int64()),
+            "request_content_type": pa.array(rcts, pa.string()),
+            "response_content_type": pa.array(rsts, pa.string()),
+            "response_body": pa.array(bodies, pa.string()),
+        })
+
+    return _rp(sf_dir, "documents", ["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
