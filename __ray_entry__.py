@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
+        "q_source_overlap": q.q_source_overlap,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -1125,6 +1126,18 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        # cross-source duplicate-overlap matrix: unordered source pairs
+        # sharing the same md5(text), counted per distinct-pair per hash
+        "q_source_overlap": """
+            WITH g AS (
+                SELECT md5(COALESCE(text, '')) AS h, source
+                FROM documents GROUP BY 1, 2
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+            GROUP BY a.source, b.source
+        """,
         # flagship training export: no_stop admission (the synthetic corpus
         # has no English stop words) → md5 dedup keep-min → md5('s0:'||id)
         # shuffle order + hash split → train packing, bin = excl-cumsum//2048

@@ -62,3 +62,31 @@ def test_data_mix_allocation_largest_remainder(budget):
     if budget == 200:
         assert alloc["src19"] == 19  # 200*20/210 = 19.047 → floor 19
         assert alloc["src0"] == 1    # 0.95 → large remainder → +1
+
+
+def test_source_overlap_matrix(ray_session, tmp_path):
+    """q_source_overlap on a corpus with engineered cross-source dups
+    (the sf0.01 table has none — a 0-row oracle match alone is weak)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from thecrowler_ray.pipelines.queries import q_source_overlap
+
+    df = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["dup one", "dup one", "dup one",     # src0, src1, src2
+                 "dup two", "dup two",                 # src0, src1
+                 "uniq a", "uniq b", None],            # no pairs
+        "source": ["src0", "src1", "src2", "src0", "src1",
+                   "src0", "src1", "src2"],
+        "lang": ["en"] * 8,
+        "n_chars": [7] * 8,
+    })
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    out = q_source_overlap(str(tmp_path)).set_index(["src_a", "src_b"])
+    # "dup one" links all three pairs; "dup two" adds one more to (0,1)
+    assert out.loc[("src0", "src1"), "n_shared"] == 2
+    assert out.loc[("src0", "src2"), "n_shared"] == 1
+    assert out.loc[("src1", "src2"), "n_shared"] == 1
+    assert len(out) == 3

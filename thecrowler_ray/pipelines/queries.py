@@ -2025,3 +2025,49 @@ def q_xhr_merge(sf_dir: str):
 
     return _rp(sf_dir, "documents", ["doc_id"]).map_batches(
         build, batch_format="pyarrow")
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every unordered source pair,
+    how many identical documents (by content md5) they share — the
+    corpus-analysis view a mixture designer checks before weighting
+    sources. Shape: one streaming hash map (text never shuffles), one
+    groupby over 48-byte (md5, source) rows with per-group pair
+    expansion (groups are tiny duplicate sets), one KB-scale pair
+    count."""
+    from ray.data.aggregate import Sum
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": [hashlib.md5((t or "").encode()).hexdigest()
+                  for t in df["text"]],
+            "source": df["source"],
+        })
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(set(g["source"]))
+        if len(srcs) < 2:
+            return pd.DataFrame({"src_a": [], "src_b": [], "n": []})
+        rows = [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
+        return pd.DataFrame({
+            "src_a": [r[0] for r in rows],
+            "src_b": [r[1] for r in rows],
+            "n": [1] * len(rows),
+        })
+
+    ds = _rp(sf_dir, "documents", ["text", "source"])
+    pairs = (
+        ds.map_batches(hash_rows, batch_format="pandas")
+        .groupby("h")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
+    out = pairs.groupby(["src_a", "src_b"]).aggregate(
+        Sum("n", alias_name="n_shared")).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "src_a": pd.Series([], dtype="object"),
+            "src_b": pd.Series([], dtype="object"),
+            "n_shared": pd.Series([], dtype="int64"),
+        })
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out
