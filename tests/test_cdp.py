@@ -224,3 +224,31 @@ def test_filter_xhr_requests_rules():
     assert [r["url"] for r in out] == ["https://a/4", "https://a/5"]
     # no filter config → everything (incl. rbee) passes through verbatim
     assert filter_xhr_requests(recs, []) == recs
+
+
+def test_fold_hostile_inputs_never_raise():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    leaf = st.one_of(
+        st.none(), st.integers(), st.text(max_size=8), st.booleans(),
+        st.sampled_from(["Network.requestWillBeSent",
+                         "Network.responseReceived",
+                         "Network.loadingFinished"]))
+    obj = st.recursive(
+        leaf, lambda c: st.one_of(
+            st.lists(c, max_size=3),
+            st.dictionaries(st.sampled_from(
+                ["message", "method", "params", "request", "response",
+                 "requestId", "url", "headers", "postData", "body",
+                 "status", "mimeType"]), c, max_size=4)),
+        max_leaves=12)
+
+    @given(st.lists(st.dictionaries(
+        st.sampled_from(["message", "other"]), obj, max_size=2), max_size=6))
+    @settings(max_examples=150, deadline=None)
+    def run(entries):
+        out = fold_cdp_events(entries, body_fetcher=lambda r: ("x", False))
+        assert isinstance(out, list)
+
+    run()

@@ -47,6 +47,14 @@ from .ws import encode_frame, read_frame
 BINARY_DATA_OMITTED = "[binary data omitted]"
 
 
+def _as_dict(v) -> dict:
+    return v if isinstance(v, dict) else {}
+
+
+def _as_str(v) -> str:
+    return v if isinstance(v, str) else ""
+
+
 # -- decode helpers (web.go decodeBodyContent family) -------------------------
 
 
@@ -128,18 +136,18 @@ def fold_cdp_events(
         if not isinstance(message, dict):
             continue
         method = message.get("method")
-        params = message.get("params") or {}
+        params = _as_dict(message.get("params"))
 
         if method == "Network.requestWillBeSent":
-            request = params.get("request") or {}
+            request = _as_dict(params.get("request"))
             request_id = params.get("requestId", "")
-            url = request.get("url", "")
-            headers = request.get("headers") or {}
-            content_type = request.get("mimeType", "") or headers.get(
-                "content-type", ""
+            url = _as_str(request.get("url"))
+            headers = _as_dict(request.get("headers"))
+            content_type = _as_str(request.get("mimeType")) or _as_str(
+                headers.get("content-type")
             )
             decoded, detected = decode_body_content(
-                request.get("postData", ""), False, url
+                _as_str(request.get("postData")), False, url
             )
             if not content_type:
                 content_type = detected
@@ -149,7 +157,7 @@ def fold_cdp_events(
                     "requestId": request_id,
                     "type": "http",
                     "url": url,
-                    "method": request.get("method", ""),
+                    "method": _as_str(request.get("method")),
                     "headers": headers,
                     "request_body": decoded,
                     "request_content_type": content_type,
@@ -157,14 +165,14 @@ def fold_cdp_events(
             )
 
         elif method == "Network.responseReceived":
-            response = params.get("response") or {}
+            response = _as_dict(params.get("response"))
             request_id = params.get("requestId", "")
-            headers = response.get("headers") or {}
-            content_type = response.get("mimeType", "") or headers.get(
-                "content-type", ""
+            headers = _as_dict(response.get("headers"))
+            content_type = _as_str(response.get("mimeType")) or _as_str(
+                headers.get("content-type")
             )
             decoded, detected = decode_body_content(
-                response.get("body", ""), False, ""
+                _as_str(response.get("body")), False, ""
             )
             if not content_type:
                 content_type = detected
@@ -172,7 +180,7 @@ def fold_cdp_events(
                 decoded = BINARY_DATA_OMITTED
             for rec in out:
                 if rec["requestId"] == request_id:
-                    rec["url"] = response.get("url", "")
+                    rec["url"] = _as_str(response.get("url"))
                     rec["status"] = response.get("status", 0)
                     rec["response_headers"] = headers
                     rec["response_content_type"] = content_type
@@ -184,7 +192,7 @@ def fold_cdp_events(
             if body_fetcher is None:
                 continue
             body, is_b64 = body_fetcher(request_id)
-            if not body:
+            if not body or not isinstance(body, str):
                 continue  # web.go:2424 — keep the record untouched
             decoded, detected = decode_body_content(body, is_b64, "")
             if not is_db_safe_text(decoded):
