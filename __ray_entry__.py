@@ -1127,7 +1127,8 @@ def oracle_sql() -> dict[str, str]:
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
         # cross-source duplicate-overlap matrix: unordered source pairs
-        # sharing the same md5(text), counted per distinct-pair per hash
+        # sharing the same md5(text) + the diagonal (per-source distinct
+        # content count), counted per distinct-pair per hash
         "q_source_overlap": """
             WITH g AS (
                 SELECT md5(COALESCE(text, '')) AS h, source
@@ -1135,7 +1136,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.source AS src_a, b.source AS src_b,
                    CAST(COUNT(*) AS BIGINT) AS n_shared
-            FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+            FROM g a JOIN g b ON a.h = b.h AND a.source <= b.source
             GROUP BY a.source, b.source
         """,
         # flagship training export: no_stop admission (the synthetic corpus

@@ -89,4 +89,8 @@ def test_source_overlap_matrix(ray_session, tmp_path):
     assert out.loc[("src0", "src1"), "n_shared"] == 2
     assert out.loc[("src0", "src2"), "n_shared"] == 1
     assert out.loc[("src1", "src2"), "n_shared"] == 1
-    assert len(out) == 3
+    # diagonal: distinct contents per source
+    assert out.loc[("src0", "src0"), "n_shared"] == 3  # dup1, dup2, uniq a
+    assert out.loc[("src1", "src1"), "n_shared"] == 3
+    assert out.loc[("src2", "src2"), "n_shared"] == 2  # dup1, None
+    assert len(out) == 6

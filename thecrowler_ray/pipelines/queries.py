@@ -2029,12 +2029,12 @@ def q_xhr_merge(sf_dir: str):
 
 def q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: for every unordered source pair,
-    how many identical documents (by content md5) they share — the
-    corpus-analysis view a mixture designer checks before weighting
-    sources. Shape: one streaming hash map (text never shuffles), one
-    groupby over 48-byte (md5, source) rows with per-group pair
-    expansion (groups are tiny duplicate sets), one KB-scale pair
-    count."""
+    how many identical documents (by content md5) they share, plus the
+    diagonal (per-source distinct-content count) — the corpus-analysis
+    view a mixture designer checks before weighting sources. Shape: one
+    streaming hash map (text never shuffles), one groupby over 48-byte
+    (md5, source) rows with per-group pair expansion (groups are tiny
+    duplicate sets), one KB-scale pair count."""
     from ray.data.aggregate import Sum
 
     def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -2046,9 +2046,10 @@ def q_source_overlap(sf_dir: str):
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         srcs = sorted(set(g["source"]))
-        if len(srcs) < 2:
-            return pd.DataFrame({"src_a": [], "src_b": [], "n": []})
-        rows = [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
+        # diagonal: one distinct content per (source, hash) ...
+        rows = [(a, a) for a in srcs]
+        # ... plus every unordered cross-source pair sharing this hash
+        rows += [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
         return pd.DataFrame({
             "src_a": [r[0] for r in rows],
             "src_b": [r[1] for r in rows],
