@@ -85,3 +85,22 @@ def test_survivors_admission_and_dedup(ray_session):
     assert surv.set_index("doc_id")["ws_tokens"].to_dict() == {10: 80, 13: 82}
     # positions are a permutation of 0..n-1
     assert sorted(surv["pos"]) == [0, 1]
+
+
+def test_survivors_near_dup_drop(ray_session):
+    """near_dup=True drops MinHash cluster members, keeping cluster-min:
+    two long docs differing by one word near-dup each other; an unrelated
+    long doc survives alone."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            * 8).strip()                       # 80 words
+    near = base.rsplit(" ", 1)[0] + " OMEGA"    # one-word change
+    other = ("one two three four five six seven eight nine ten " * 8).strip()
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, near, other],
+    })
+    ds = ray.data.from_pandas(df)
+    exact = training_survivors(ds).to_pandas()
+    assert set(exact["doc_id"]) == {1, 2, 3}   # exact dedup keeps all
+    nd = training_survivors(ds, near_dup=True).to_pandas()
+    assert set(nd["doc_id"]) == {1, 3}         # 2 clusters with 1 (min wins)

@@ -85,17 +85,54 @@ def _dedup_winners(slim: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def _near_dup_losers(ds: "ray.data.Dataset",
+                     keep_ids: "ray.data.Dataset") -> set:
+    """MinHash-LSH near-dup clustering over the admitted winners: every
+    doc that is NOT its cluster's minimum id is a loser. Pairs and
+    components run on the existing bucketed machinery
+    (minhash_candidate_pairs → connected_components); the loser id set
+    is component-bounded, KB-to-MB scale, broadcast-safe."""
+    from ..stages.cluster import connected_components
+    from ..stages.dedup import minhash_candidate_pairs
+
+    keep = keep_ids.join(ds, join_type="inner", num_partitions=8,
+                         on=("doc_id",))
+    pairs = minhash_candidate_pairs(keep)
+    labels = connected_components(pairs).to_pandas()
+    if labels.empty:
+        return set()
+    return set(labels.loc[labels["node"] != labels["label"], "node"]
+               .astype(int).tolist())
+
+
 def training_survivors(
-    ds: "ray.data.Dataset", *, seed: str = "s0", admission: str = "no_stop"
+    ds: "ray.data.Dataset", *, seed: str = "s0", admission: str = "no_stop",
+    near_dup: bool = False,
 ) -> "ray.data.Dataset":
     """→ (doc_id, ws_tokens, shuffle_key, pos, split) for every admitted,
-    deduplicated document."""
+    deduplicated document. ``near_dup=True`` additionally drops MinHash
+    near-duplicate cluster members (cluster-min survives), chaining the
+    ★-tested pair/cluster machinery into the export."""
     slim = ds.map_batches(
         lambda df: _admit_and_hash(df, admission), batch_format="pandas"
     )
     # materialize: the placement consumes winners twice (bucket totals +
     # attach) — without pinning, the admission/hash text pass re-executes
     winners = _dedup_winners(slim).materialize()
+    if near_dup:
+        losers = _near_dup_losers(
+            ds, winners.select_columns(["doc_id"]))
+        if losers:
+            import ray as _ray
+
+            losers_ref = _ray.put(losers)
+
+            def drop(df: pd.DataFrame) -> pd.DataFrame:
+                ls = _ray.get(losers_ref)
+                return df[~df["doc_id"].isin(ls)]
+
+            winners = winners.map_batches(
+                drop, batch_format="pandas").materialize()
     # ws_tokens rides through the placement groupby (slim rows)
     return global_shuffle_split(winners, id_col="doc_id", seed=seed)
 
