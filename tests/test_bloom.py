@@ -28,11 +28,10 @@ def test_no_false_negatives_and_fp_near_theory():
 def test_check_and_insert_first_win_semantics():
     f = BloomFilter(log2_bits=14, seed=2)
     keys = np.array([5, 7, 5, 9, 7], dtype=np.uint64)
-    seen = f.check_and_insert(keys)
-    # first occurrences new, in-batch repeats already-seen
-    assert seen.tolist() == [False, False, True, False, True]
+    new = f.check_and_insert(keys)  # True = NEW (SeenShard polarity)
+    assert new.tolist() == [True, True, False, True, False]
     assert f.check_and_insert(np.array([5, 11], dtype=np.uint64)).tolist() \
-        == [True, False]
+        == [False, True]
 
 
 def test_snapshot_roundtrip():

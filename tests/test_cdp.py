@@ -130,17 +130,20 @@ class _FixtureCdp(threading.Thread):
             msg = json.loads(payload.decode())
             if msg["method"] == "Network.enable":
                 send({"id": msg["id"], "result": {}})
-                send({"method": "Network.requestWillBeSent", "params": {
-                    "requestId": "w1",
-                    "request": {"url": "https://fx/api", "method": "GET",
-                                "headers": {"accept": "*/*"}}}})
-                send({"method": "Network.responseReceived", "params": {
-                    "requestId": "w1",
-                    "response": {"url": "https://fx/api", "status": 200,
-                                 "headers": {"content-type":
-                                             "application/json"}}}})
-                send({"method": "Network.loadingFinished",
-                      "params": {"requestId": "w1"}})
+                for rid, path in (("w1", "api"), ("w2", "api2")):
+                    send({"method": "Network.requestWillBeSent", "params": {
+                        "requestId": rid,
+                        "request": {"url": f"https://fx/{path}",
+                                    "method": "GET",
+                                    "headers": {"accept": "*/*"}}}})
+                    send({"method": "Network.responseReceived", "params": {
+                        "requestId": rid,
+                        "response": {"url": f"https://fx/{path}",
+                                     "status": 200,
+                                     "headers": {"content-type":
+                                                 "application/json"}}}})
+                    send({"method": "Network.loadingFinished",
+                          "params": {"requestId": rid}})
             elif msg["method"] == "Network.getResponseBody":
                 rid = msg["params"]["requestId"]
                 body, b64 = self.bodies.get(rid, ("", False))
@@ -151,20 +154,24 @@ class _FixtureCdp(threading.Thread):
 
 def test_wire_client_end_to_end():
     body = base64.b64encode(b'{"answer": 42}').decode()
-    srv = _FixtureCdp({"w1": (body, True)})
+    srv = _FixtureCdp({"w1": (body, True), "w2": ('{"n": 7}', False)})
     srv.start()
-    client = CdpWireClient(f"ws://127.0.0.1:{srv.port}/devtools")
+    # short timeout: drain-to-idle ends when the socket goes quiet —
+    # a multi-request page must NOT stop at the first loadingFinished
+    client = CdpWireClient(f"ws://127.0.0.1:{srv.port}/devtools",
+                           timeout=1.0)
     client.connect()
     try:
         recs = client.collect_network_log()
     finally:
         client.close()
-    assert len(recs) == 1
-    rec = recs[0]
-    assert rec["url"] == "https://fx/api" and rec["status"] == 200
-    assert rec["response_content_type"] == "application/json"
-    assert rec["response_body"] == {"answer": 42}
-    assert rec["response_type"] == "application/json"
+    assert len(recs) == 2
+    rec = {r["requestId"]: r for r in recs}
+    assert rec["w1"]["url"] == "https://fx/api" \
+        and rec["w1"]["status"] == 200
+    assert rec["w1"]["response_body"] == {"answer": 42}
+    assert rec["w1"]["response_type"] == "application/json"
+    assert rec["w2"]["response_body"] == {"n": 7}
 
 
 def test_merge_xhr_logs_match_and_unmatched():

@@ -44,6 +44,33 @@ import urllib.parse
 
 from .ws import encode_frame, read_frame
 
+_FRAME_LIMIT = 16 << 20  # DevTools bodies routinely exceed ws.py's 4 KiB
+
+
+class _BufferedSock:
+    """recv() that drains bytes received alongside the handshake first —
+    a server's 101 response and its first frame can share a TCP segment."""
+
+    def __init__(self, sock: socket.socket, leftover: bytes = b""):
+        self._sock = sock
+        self._buf = leftover
+
+    def recv(self, n: int) -> bytes:
+        if self._buf:
+            out, self._buf = self._buf[:n], self._buf[n:]
+            return out
+        return self._sock.recv(n)
+
+    def sendall(self, data: bytes) -> None:
+        self._sock.sendall(data)
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def settimeout(self, t) -> None:
+        self._sock.settimeout(t)
+
+
 BINARY_DATA_OMITTED = "[binary data omitted]"
 
 
@@ -248,14 +275,17 @@ class CdpWireClient:
             if not chunk:
                 raise ConnectionError("handshake EOF")
             resp += chunk
-        status = resp.split(b"\r\n", 1)[0]
+        head, _, leftover = resp.partition(b"\r\n\r\n")
+        status = head.split(b"\r\n", 1)[0]
         if b"101" not in status:
             raise ConnectionError(f"upgrade refused: {status!r}")
         from .ws import accept_key
 
         want = accept_key(key).encode()
-        if want not in resp:
+        if want not in head:
             raise ConnectionError("bad Sec-WebSocket-Accept")
+        # frames that rode in with the handshake must not be dropped
+        self._sock = _BufferedSock(self._sock, leftover)
 
     def close(self) -> None:
         if self._sock is not None:
@@ -285,36 +315,42 @@ class CdpWireClient:
             if "method" in frame:
                 self.events.append(frame)
 
-    def drain_events(self, until_method: str = "Network.loadingFinished",
-                     max_events: int = 1000) -> list[dict]:
-        """Read events until ``until_method`` is seen, EOF, or the cap
-        (the reference's 1000-entry XHR cap)."""
+    def drain_events(self, max_events: int = 1000,
+                     until_method: str | None = None) -> list[dict]:
+        """Read events until the socket idles (read timeout), EOF, the
+        cap (the reference's 1000-entry XHR cap), or — only if explicitly
+        requested — ``until_method``. A multi-request page produces many
+        loadingFinished events; idle/cap is the correct default stop."""
         while len(self.events) < max_events:
             frame = self._read_message()
-            if frame is None:
+            if frame is None:  # EOF or idle timeout
                 break
             if "method" in frame:
                 self.events.append(frame)
-                if frame["method"] == until_method:
+                if until_method and frame["method"] == until_method:
                     break
         return self.events
 
     def _read_message(self) -> dict | None:
-        try:
-            got = read_frame(self._sock)
-        except (OSError, ValueError):
-            return None
-        if got is None:
-            return None
-        opcode, payload = got
-        if opcode == 0x8:  # close
-            return None
-        if opcode != 0x1:
-            return self._read_message()
-        try:
-            return json.loads(payload.decode("utf-8"))
-        except ValueError:
-            return None
+        while True:  # iterative: control-frame storms must not recurse
+            try:
+                opcode, payload = read_frame(self._sock, limit=_FRAME_LIMIT)
+            except (OSError, ValueError):
+                return None
+            if opcode == 0x8:  # close
+                return None
+            if opcode == 0x9:  # ping → RFC 6455 requires a pong echo
+                try:
+                    self._sock.sendall(encode_frame(0xA, payload, mask=True))
+                except OSError:
+                    return None
+                continue
+            if opcode != 0x1:
+                continue  # pong/binary/continuation: skip
+            try:
+                return json.loads(payload.decode("utf-8"))
+            except ValueError:
+                continue
 
     # the M21 surface -----------------------------------------------------------
 
@@ -332,10 +368,19 @@ class CdpWireClient:
             return result.get("body", ""), bool(result.get("base64Encoded"))
 
         self.drain_events(max_events=max_events)
-        entries = [{"message": {"message": e}} for e in self.events]
-        return fold_cdp_events(
-            entries, body_fetcher=body_fetcher or fetch
-        )
+        # fold in rounds: getResponseBody replies can deliver MORE events
+        # mid-fold (command() enqueues them); fold until the stream is dry
+        records: list[dict] = []
+        folded = 0
+        while folded < len(self.events):
+            chunk = self.events[folded:]
+            folded = len(self.events)
+            fold_cdp_events(
+                [{"message": {"message": e}} for e in chunk],
+                body_fetcher=body_fetcher or fetch,
+                collected=records,
+            )
+        return records
 
 
 # -- injected-XHR merge (web.go:2466-2590 collectXHRLogs) ------------------------
@@ -365,6 +410,19 @@ def merge_xhr_logs(
     ``response_body=""`` + ``text/empty``."""
     if max_items > 0 and len(xhr_entries) > max_items:
         xhr_entries = xhr_entries[:max_items]
+    # decode every collected response ONCE (not per xhr entry — that is
+    # O(entries × responses) JSON parses)
+    prepared = []
+    for resp in collected_responses:
+        body = resp.get("response_body")
+        if not isinstance(body, str):
+            body = "" if body is None else json.dumps(body)
+        decoded_resp, detected = decode_body_content(body, False, "")
+        if not is_db_safe_text(decoded_resp):
+            decoded_resp = BINARY_DATA_OMITTED
+        prepared.append((resp.get("method"), resp.get("status"),
+                         _normalize_url_go(resp.get("url", "")),
+                         decoded_resp, detected))
     out: list[dict] = []
     for raw in xhr_entries:
         if not isinstance(raw, dict):
@@ -379,19 +437,10 @@ def merge_xhr_logs(
             entry.get("b") or "", False, url
         )
         matched = False
-        for resp in collected_responses:
-            body = resp.get("response_body")
-            if not isinstance(body, str):
-                body = "" if body is None else json.dumps(body)
-            decoded_resp, detected = decode_body_content(body, False, "")
-            if not is_db_safe_text(decoded_resp):
-                decoded_resp = BINARY_DATA_OMITTED
-            if (
-                method == resp.get("method")
-                and status == resp.get("status")
-                and _normalize_url_go(url)
-                == _normalize_url_go(resp.get("url", ""))
-            ):
+        norm_url = _normalize_url_go(url)
+        for r_method, r_status, r_url, decoded_resp, detected in prepared:
+            if method == r_method and status == r_status \
+                    and norm_url == r_url:
                 entry["response_body"] = decoded_resp
                 entry["response_content_type"] = detected
                 matched = True

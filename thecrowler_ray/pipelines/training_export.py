@@ -86,21 +86,63 @@ def _dedup_winners(slim: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def _near_dup_losers(ds: "ray.data.Dataset",
-                     keep_ids: "ray.data.Dataset") -> set:
-    """MinHash-LSH near-dup clustering over the admitted winners: every
-    doc that is NOT its cluster's minimum id is a loser. Pairs and
-    components run on the existing bucketed machinery
-    (minhash_candidate_pairs → connected_components); the loser id set
-    is component-bounded, KB-to-MB scale, broadcast-safe."""
-    from ..stages.cluster import connected_components
-    from ..stages.dedup import minhash_candidate_pairs
+                     keep_ids: "ray.data.Dataset",
+                     threshold: float = 0.8, k: int = 3,
+                     pair_cap: int = 2_000_000) -> set:
+    """Verified MinHash near-dup clustering over the admitted winners:
+    LSH candidate pairs are CONFIRMED by exact k-shingle Jaccard ≥
+    ``threshold`` before clustering — band collisions between dissimilar
+    documents must never delete training data. Every doc that is not its
+    (verified) cluster's minimum id is a loser.
+
+    Verification runs driver-side over the candidate set (the
+    connected-components threshold-switch doctrine): pairs and the texts
+    of PAIR ENDPOINTS ONLY are pulled once, bounded by ``pair_cap``
+    (candidates are collision survivors, orders of magnitude smaller than
+    the corpus). Above the cap the export refuses rather than silently
+    degrading — shard the corpus or raise the LSH precision first."""
+    from ..stages.cluster import _driver_union_find
+    from ..stages.dedup import minhash_candidate_pairs, ngram_jaccard
 
     keep = keep_ids.join(ds, join_type="inner", num_partitions=8,
-                         on=("doc_id",))
-    pairs = minhash_candidate_pairs(keep)
-    labels = connected_components(pairs).to_pandas()
-    if labels.empty:
+                         on=("doc_id",)).materialize()
+    pairs = minhash_candidate_pairs(keep).to_pandas()
+    if pairs.empty:
         return set()
+    if len(pairs) > pair_cap:
+        raise ValueError(
+            f"{len(pairs)} candidate pairs exceed pair_cap={pair_cap}; "
+            "shard the corpus or raise LSH precision before near-dup "
+            "export")
+    cand = set(pairs["doc_a"].astype(int)) | set(pairs["doc_b"].astype(int))
+
+    import ray as _ray
+
+    cand_ref = _ray.put(cand)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids = _ray.get(cand_ref)
+        m = df["doc_id"].isin(ids)
+        return df.loc[m, ["doc_id", "text"]]
+
+    texts = dict(
+        keep.map_batches(pick, batch_format="pandas")
+        .to_pandas().itertuples(index=False, name=None)
+    )
+    verified_a, verified_b = [], []
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        if ngram_jaccard(texts.get(a, ""), texts.get(b, ""), k=k) \
+                >= threshold:
+            verified_a.append(a)
+            verified_b.append(b)
+    if not verified_a:
+        return set()
+    import numpy as np
+
+    labels = _driver_union_find(
+        np.asarray(verified_a, dtype=np.int64),
+        np.asarray(verified_b, dtype=np.int64),
+    ).to_pandas()
     return set(labels.loc[labels["node"] != labels["label"], "node"]
                .astype(int).tolist())
 

@@ -92,9 +92,11 @@ class BloomFilter:
         return ((self.bits[words] & masks) != 0).all(axis=1)
 
     def check_and_insert(self, keys: np.ndarray) -> np.ndarray:
-        """→ boolean 'was already present' per key; inserts the rest.
-        Duplicate keys WITHIN the batch report first-occurrence-new, the
-        same wave-local first-win the cuckoo shard implements."""
+        """→ boolean 'is NEW' per key (the SAME polarity as
+        SeenShard.check_and_insert — same name, same answer); inserts the
+        new ones. Duplicate keys WITHIN the batch report
+        first-occurrence-new, the wave-local first-win the cuckoo shard
+        implements."""
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
         seen = self.contains_many(keys)
@@ -102,9 +104,9 @@ class BloomFilter:
         _, first_idx = np.unique(keys, return_index=True)
         is_first = np.zeros(len(keys), dtype=bool)
         is_first[first_idx] = True
-        seen = seen | ~is_first
-        self.insert_many(keys[~seen])
-        return seen
+        new = ~seen & is_first
+        self.insert_many(keys[new])
+        return new
 
     def fp_rate_estimate(self) -> float:
         """Theoretical FP probability at the current fill."""
