@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
         "q_source_overlap": q.q_source_overlap,
+        "q_token_shards": q.q_token_shards,
         "q_media_decode": q.q_media_decode,
         "q_media_real": q.q_media_real,
         "q_media_frames": q.q_media_frames,
@@ -1126,6 +1127,85 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        # tokenized binary shards: the training-export chain extended with
+        # per-doc FNV-vocab id strings; per bin, md5 of the ','-joined ids
+        # in (shuffle_key, doc_id, token position) order
+        "q_token_shards": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), m AS (
+                SELECT doc_id, text, ws,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       ROUND(list_sum(list_transform(ws, x -> length(x)))
+                             / GREATEST(len(ws), 1), 6) AS mean_word_len,
+                       ROUND((length(text) - length(replace(text, '#', ''))
+                              + (length(text)
+                                 - length(replace(text, '...', ''))) / 3)
+                             / GREATEST(len(ws), 1), 6) AS symbol_ratio,
+                       ROUND(len(list_filter(ws,
+                                 x -> regexp_matches(x, '[a-z]')))
+                             / GREATEST(len(ws), 1), 6) AS alpha_word_frac
+                FROM w
+            ), adm AS (
+                SELECT doc_id, text, ws, n_words FROM m
+                WHERE n_words >= 50 AND n_words <= 100000
+                  AND mean_word_len >= 3 AND mean_word_len <= 10
+                  AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
+            ), ded AS (
+                SELECT MIN(doc_id) AS doc_id FROM adm GROUP BY md5(text)
+            ), surv AS (
+                SELECT a.doc_id, a.ws, a.n_words,
+                       md5('s0:' || CAST(a.doc_id AS VARCHAR)) AS sk,
+                       ('0x' || substr(md5('s0-split:'
+                            || CAST(a.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                            % 100 AS sv
+                FROM adm a JOIN ded USING (doc_id)
+            ), tr AS (
+                SELECT doc_id, ws, n_words, sk,
+                       SUM(n_words) OVER (
+                           ORDER BY sk, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - n_words AS cumb
+                FROM surv WHERE sv < 80
+            ), binned AS (
+                SELECT doc_id, sk, CAST(cumb // 2048 AS BIGINT) AS bin
+                FROM tr
+            ), tok AS (
+                SELECT doc_id, unnest(ws) AS tok,
+                       CAST(generate_subscripts(ws, 1) AS BIGINT) AS p
+                FROM tr
+            ), th AS (
+                SELECT doc_id, p,
+                       list_reduce(
+                           list_prepend(14695981039346656037::HUGEINT,
+                               list_transform(regexp_extract_all(tok, '.'),
+                                   c -> CAST(unicode(c) AS HUGEINT))),
+                           (h, b) -> ((h - (h % 256)
+                                       + CAST(xor(CAST(h % 256 AS BIGINT),
+                                                  CAST(b AS BIGINT))
+                                              AS HUGEINT))
+                                      * 1099511628211::HUGEINT)
+                                     % 18446744073709551616::HUGEINT
+                       ) AS h
+                FROM tok
+            ), ids AS (
+                SELECT doc_id,
+                       string_agg(CAST(h % 50000 AS VARCHAR), ','
+                                  ORDER BY p) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM th GROUP BY doc_id
+            )
+            SELECT b.bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(i.n) AS BIGINT) AS n_tokens,
+                   md5(string_agg(i.s, ',' ORDER BY b.sk, b.doc_id))
+                       AS ids_md5
+            FROM binned b JOIN ids i USING (doc_id)
+            GROUP BY b.bin
+        """,
         # cross-source duplicate-overlap matrix: unordered source pairs
         # sharing the same md5(text) + the diagonal (per-source distinct
         # content count), counted per distinct-pair per hash

