@@ -56,3 +56,35 @@ def test_write_read_roundtrip_and_determinism(ray_session, tmp_path):
         assert open(os.path.join(out, n), "rb").read() == b
     assert json.load(open(os.path.join(out, "index.json")))["dtype"] \
         == "uint32le"
+
+
+def test_read_path_and_sequence_iterator(ray_session, tmp_path):
+    from thecrowler_ray.pipelines.token_shards import (
+        iter_training_sequences,
+        read_token_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    idx = write_token_shards(SF, out)
+    back = read_token_shards(out).to_pandas().sort_values("bin")
+    # every shard round-trips with its indexed token count
+    got = {f"bin_{int(b):06d}.bin": len(i)
+           for b, i in zip(back["bin"], back["ids"])}
+    want = {n: e["n_tokens"] for n, e in idx["shards"].items()}
+    assert got == want
+    # the sequence iterator re-emits the exact global id stream
+    stream = np.concatenate([np.asarray(i, dtype=np.uint32)
+                             for i in back["ids"]])
+    seqs = list(iter_training_sequences(out, seq_len=512, drop_last=False))
+    assert all(len(s) == 512 for s in seqs[:-1])
+    assert (np.concatenate(seqs) == stream).all()
+
+    # corrupt shard → loud refusal
+    name = sorted(idx["shards"])[0]
+    with open(os.path.join(out, name), "ab") as f:
+        f.write(b"\x00\x00\x00\x00")
+    try:
+        read_token_shards(out).to_pandas()
+        raise AssertionError("corrupt shard must not be served")
+    except Exception as e:
+        assert "refusing" in str(e)

@@ -150,3 +150,57 @@ def write_token_shards(
         json.dump(index, f, indent=1, sort_keys=True)
     os.replace(tmp, index_path)
     return index
+
+
+def read_token_shards(out_dir: str) -> "ray.data.Dataset":
+    """Loader-side read path: the shard directory back as a Dataset of
+    (bin, ids) rows — ``read_binary_files`` streams the `.bin` blobs,
+    a zero-copy-ish decode maps bytes → uint32 arrays. Index metadata is
+    verified against the decoded lengths (a truncated shard fails loudly
+    instead of training on garbage)."""
+    with open(os.path.join(out_dir, "index.json")) as f:
+        index = json.load(f)
+    shards = index["shards"]
+
+    ds = ray.data.read_binary_files(
+        [os.path.join(out_dir, name) for name in sorted(shards)],
+        include_paths=True,
+    )
+
+    def decode(batch: pd.DataFrame) -> pd.DataFrame:
+        bins, ids_col = [], []
+        for path, raw in zip(batch["path"], batch["bytes"]):
+            name = os.path.basename(path)
+            ids = np.frombuffer(raw, dtype="<u4")
+            want = shards[name]["n_tokens"]
+            if len(ids) != want:
+                raise ValueError(
+                    f"shard {name}: {len(ids)} tokens on disk, index says "
+                    f"{want} — refusing to serve a corrupt shard")
+            bins.append(int(name[len("bin_"):-len(".bin")]))
+            ids_col.append(ids)
+        return pd.DataFrame({"bin": pd.array(bins, dtype="int64"),
+                             "ids": ids_col})
+
+    return ds.map_batches(decode, batch_format="pandas")
+
+
+def iter_training_sequences(out_dir: str, seq_len: int,
+                            drop_last: bool = True):
+    """Yield fixed-length uint32 sequences for a training loop, crossing
+    shard boundaries in bin order (the documents were already packed into
+    ~window-token bins upstream; this is the final exact-length slicer).
+    Driver-side generator — each shard is held only while being sliced."""
+    carry = np.empty(0, dtype=np.uint32)
+    rows = sorted(
+        read_token_shards(out_dir).iter_rows(), key=lambda r: r["bin"]
+    )
+    for row in rows:
+        buf = np.concatenate([carry, np.asarray(row["ids"],
+                                                dtype=np.uint32)])
+        n_full = len(buf) // seq_len
+        for i in range(n_full):
+            yield buf[i * seq_len:(i + 1) * seq_len]
+        carry = buf[n_full * seq_len:]
+    if len(carry) and not drop_last:
+        yield carry
