@@ -78,13 +78,36 @@ def token_shard_records(
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    survivors = training_survivors(docs, seed=seed).materialize()
+    # train_bins is the only consumer and materializes its own slim
+    # projection — no need to pin the full survivors here
+    survivors = training_survivors(docs, seed=seed)
     bins = (
         train_bins(survivors, window=window)
         .map_batches(_canon_bins, batch_format="pandas")
+        .materialize()
     )
-    tagged = bins.join(docs, join_type="inner", num_partitions=8,
-                       on=("doc_id",))
+    # attach text: broadcast the slim (doc_id → pos, bin) map below the
+    # cap (the engine's threshold-switch pattern — 24 B/row, so 500k rows
+    # ≈ 12 MB of driver traffic), native hash join above it
+    if bins.count() <= 500_000:
+        bin_map = {
+            int(r["doc_id"]): (int(r["pos"]), int(r["bin"]))
+            for r in bins.iter_rows()
+        }
+        map_ref = ray.put(bin_map)
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            bm = ray.get(map_ref)
+            m = df["doc_id"].isin(bm)
+            out = df.loc[m, ["doc_id", "text"]].copy()
+            out["pos"] = [bm[int(d)][0] for d in out["doc_id"]]
+            out["bin"] = [bm[int(d)][1] for d in out["doc_id"]]
+            return out
+
+        tagged = docs.map_batches(tag, batch_format="pandas")
+    else:
+        tagged = bins.join(docs, join_type="inner", num_partitions=8,
+                           on=("doc_id",))
 
     def shardify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("pos", kind="mergesort")
