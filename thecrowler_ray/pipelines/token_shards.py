@@ -89,7 +89,8 @@ def token_shard_records(
     # attach text: broadcast the slim (doc_id → pos, bin) map below the
     # cap (the engine's threshold-switch pattern — 24 B/row, so 500k rows
     # ≈ 12 MB of driver traffic), native hash join above it
-    if bins.count() <= 500_000:
+    n_bin_rows = bins.count()
+    if n_bin_rows <= 500_000:
         bin_map = {
             int(r["doc_id"]): (int(r["pos"]), int(r["bin"]))
             for r in bins.iter_rows()
@@ -133,7 +134,13 @@ def token_shard_records(
             "ids_md5": [hashlib.md5(text_repr.encode()).hexdigest()],
         })
 
-    return tagged.groupby("bin").map_groups(shardify, batch_format="pandas")
+    # coalesce before the per-bin groupby: its input is slim tagged rows
+    # spread over many near-empty blocks — pure sort-shuffle fixed cost at
+    # small scale; partition count grows with the data so shard builds
+    # stay parallel at corpus scale
+    n_parts = max(4, min(64, n_bin_rows // 1000 + 4))
+    return (tagged.repartition(n_parts)
+            .groupby("bin").map_groups(shardify, batch_format="pandas"))
 
 
 def write_token_shards(
