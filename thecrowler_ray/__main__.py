@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 
 
@@ -291,6 +292,27 @@ def _iso_utc(now_s: float) -> str:
         now_s, tz=_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def cmd_export_training(args) -> int:
+    """documents.parquet → admission/dedup/split/packing parquet export
+    (+ optional uint32 token shards) — the training-data flagship as a
+    one-command pipeline."""
+    from .pipelines.token_shards import write_token_shards
+    from .pipelines.training_export import export_training_set
+
+    _ray_init(args.num_cpus)
+    manifest = export_training_set(
+        args.sf_dir, args.out, seed=args.seed, window=args.window)
+    if args.token_shards:
+        shards_dir = os.path.join(args.out, "token_shards")
+        index = write_token_shards(
+            args.sf_dir, shards_dir, vocab_size=args.vocab_size,
+            seed=args.seed, window=args.window)
+        manifest = dict(manifest, token_shards={
+            "dir": shards_dir, "n_shards": len(index["shards"])})
+    print(json.dumps(manifest, indent=1, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="thecrowler_ray")
     parser.add_argument("--num-cpus", type=int, default=None)
@@ -369,6 +391,17 @@ def main(argv: list[str] | None = None) -> int:
     p_src.add_argument("--out", default="")
     p_src.add_argument("--schema", default="")
     p_src.set_defaults(fn=cmd_sources)
+
+    p_exp = sub.add_parser("export-training")
+    p_exp.add_argument("--sf-dir", required=True,
+                       help="directory with documents.parquet")
+    p_exp.add_argument("--out", required=True)
+    p_exp.add_argument("--seed", default="s0")
+    p_exp.add_argument("--window", type=int, default=2048)
+    p_exp.add_argument("--token-shards", action="store_true",
+                       help="also write uint32 token shards + index")
+    p_exp.add_argument("--vocab-size", type=int, default=50_000)
+    p_exp.set_defaults(fn=cmd_export_training)
 
     p_agt = sub.add_parser("agents")
     p_agt.add_argument("action", choices=["lint", "validate", "convert"])
