@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gopher_filter": q.q_gopher_filter,
         "q_chunking": q.q_chunking,
         "q_dsir_select": q.q_dsir_select,
+        "q_ngram_lm": q.q_ngram_lm,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -1127,6 +1128,53 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        "q_ngram_lm": """
+            -- Bigram-LM domain-fit twin (stages/ngram_lm.py): add-1
+            -- smoothed counts over the lang='en' target, per-position
+            -- fixed-point log-prob terms summed per doc. floor(x+0.5)
+            -- on ln of an exact-int ratio is bit-portable (see module
+            -- docstring); the int64 sum is order-free.
+            WITH w AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, lang, unnest(ws) AS tok,
+                       CAST(generate_subscripts(ws, 1) AS BIGINT) AS p
+                FROM w
+            ), bi AS (
+                SELECT doc_id, lang, tok AS w0,
+                       LEAD(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w1
+                FROM tok
+            ), bi2 AS (
+                SELECT * FROM bi WHERE w1 IS NOT NULL
+            ), c1 AS (
+                SELECT tok AS w0, COUNT(*) AS c FROM tok
+                WHERE lang = 'en' GROUP BY tok
+            ), c2 AS (
+                SELECT w0, w1, COUNT(*) AS c FROM bi2
+                WHERE lang = 'en' GROUP BY w0, w1
+            ), v AS (
+                SELECT COUNT(*) AS vv FROM c1
+            ), terms AS (
+                SELECT b.doc_id,
+                       COALESCE(c2.c, 0) AS hit2,
+                       COALESCE(c1.c, 0) AS hit1
+                FROM bi2 b
+                LEFT JOIN c2 ON b.w0 = c2.w0 AND b.w1 = c2.w1
+                LEFT JOIN c1 ON b.w0 = c1.w0
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_bigrams,
+                   CAST(SUM(CASE WHEN hit2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS oov_bigrams,
+                   CAST(SUM(CAST(floor(
+                        ln(CAST(hit2 + 1 AS DOUBLE) / CAST(hit1 + vv AS DOUBLE))
+                        * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS logprob_q4
+            FROM terms, v
+            GROUP BY doc_id
+        """,
         # tokenized binary shards: the training-export chain extended with
         # per-doc FNV-vocab id strings; per bin, md5 of the ','-joined ids
         # in (shuffle_key, doc_id, token position) order

@@ -2082,3 +2082,17 @@ def q_token_shards(sf_dir: str):
     from .token_shards import token_shard_records
 
     return token_shard_records(sf_dir)
+
+
+def q_ngram_lm(sf_dir: str):
+    """Bigram-LM domain-fit scoring (``stages/ngram_lm.py``, CCNet-style
+    perplexity filter): model = add-1-smoothed bigram counts over the
+    lang='en' target corpus (one count-pass groupby), score = per-doc
+    fixed-point sum of position log-probs ``floor(ln((c2+1)/(c1+V)) *
+    1e4 + 0.5)`` — an order-free int64 the SQL twin reproduces exactly.
+    Broadcast LUT below the model-size threshold, native Dataset join
+    above (both parity-tested)."""
+    from ..stages.ngram_lm import bigram_lm_scores
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return bigram_lm_scores(ds)
