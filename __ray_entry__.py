@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunking": q.q_chunking,
         "q_dsir_select": q.q_dsir_select,
         "q_ngram_lm": q.q_ngram_lm,
+        "q_bm25": q.q_bm25,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -1128,6 +1129,51 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        "q_bm25": """
+            -- BM25 twin (stages/bm25.py): fixed-point per-(doc,term)
+            -- contributions floor(((idf*num)/den)*1e4+0.5) with the
+            -- double expression tree written identically on both sides;
+            -- dl/avgdl expanded to (dl*N)/total_dl so no intermediate
+            -- average rounds differently.
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w
+            ), stats AS (
+                SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+            ), tok AS (
+                SELECT doc_id, unnest(ws) AS tok FROM w
+            ), tf AS (
+                SELECT doc_id, tok AS term, COUNT(*) AS tf FROM tok
+                WHERE tok IN ('spark', 'window', 'merge')
+                GROUP BY doc_id, tok
+            ), df AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), contrib AS (
+                SELECT tf.doc_id,
+                       CAST(floor(((
+                           ln(1.0 + (CAST(s.n_docs AS DOUBLE)
+                                     - CAST(df.df AS DOUBLE) + 0.5)
+                                    / (CAST(df.df AS DOUBLE) + 0.5))
+                           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)))
+                          / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75)
+                             + 1.2 * 0.75
+                               * (CAST(dl.dl * s.n_docs AS DOUBLE)
+                                  / CAST(s.total_dl AS DOUBLE))))
+                          * 10000 + 0.5) AS BIGINT) AS term_q4
+                FROM tf
+                JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id, stats s
+            )
+            SELECT doc_id, COUNT(*) AS n_terms_hit,
+                   CAST(SUM(term_q4) AS BIGINT) AS score_q4
+            FROM contrib GROUP BY doc_id
+            ORDER BY score_q4 DESC, doc_id ASC
+            LIMIT 50
+        """,
         "q_ngram_lm": """
             -- Bigram-LM domain-fit twin (stages/ngram_lm.py): add-1
             -- smoothed counts over the lang='en' target, per-position

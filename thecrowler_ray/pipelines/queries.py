@@ -2096,3 +2096,15 @@ def q_ngram_lm(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
     return bigram_lm_scores(ds)
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-k retrieval (``stages/bm25.py``): one slim count pass
+    over the text (doc length + per-query-term tf), T+2 scalar corpus
+    stats to the driver, fixed-point ``floor(((idf*num)/den)*1e4+0.5)``
+    per-(doc,term) contributions summed as order-free int64, per-batch
+    partial top-k before the global sort."""
+    from ..stages.bm25 import bm25_topk
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, ["spark", "window", "merge"], k=50)
