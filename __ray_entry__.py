@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_select": q.q_dsir_select,
         "q_ngram_lm": q.q_ngram_lm,
         "q_bm25": q.q_bm25,
+        "q_bpe_roundtrip": q.q_bpe_roundtrip,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -1129,6 +1130,23 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        "q_bpe_roundtrip": """
+            -- BPE lossless-roundtrip twin (stages/bpe.py): the engine
+            -- trains byte-level BPE and md5s decode(encode(text));
+            -- losslessness means that equals md5 of the whitespace-
+            -- normalized source, which SQL computes directly.
+            SELECT doc_id,
+                   CAST(octet_length(encode(norm)) AS BIGINT) AS n_bytes,
+                   md5(norm) AS roundtrip_md5
+            FROM (
+                SELECT doc_id,
+                       array_to_string(
+                           list_filter(
+                               string_split_regex(lower(text), '\\s+'),
+                               x -> x <> ''), ' ') AS norm
+                FROM documents
+            )
+        """,
         "q_bm25": """
             -- BM25 twin (stages/bm25.py): fixed-point per-(doc,term)
             -- contributions floor(((idf*num)/den)*1e4+0.5) with the

@@ -303,12 +303,24 @@ def cmd_export_training(args) -> int:
     manifest = export_training_set(
         args.sf_dir, args.out, seed=args.seed, window=args.window)
     if args.token_shards:
+        bpe_model = None
+        if args.bpe_merges:
+            import ray.data as _rd
+
+            from .stages.bpe import train_bpe
+
+            docs = _rd.read_parquet(
+                os.path.join(args.sf_dir, "documents.parquet"),
+                columns=["text"])
+            bpe_model = train_bpe(docs, n_merges=args.bpe_merges)
         shards_dir = os.path.join(args.out, "token_shards")
         index = write_token_shards(
             args.sf_dir, shards_dir, vocab_size=args.vocab_size,
-            seed=args.seed, window=args.window)
+            seed=args.seed, window=args.window, bpe_model=bpe_model)
         manifest = dict(manifest, token_shards={
-            "dir": shards_dir, "n_shards": len(index["shards"])})
+            "dir": shards_dir, "n_shards": len(index["shards"]),
+            "tokenizer": index["tokenizer"],
+            "vocab_size": index["vocab_size"]})
     print(json.dumps(manifest, indent=1, sort_keys=True))
     return 0
 
@@ -401,6 +413,9 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--token-shards", action="store_true",
                        help="also write uint32 token shards + index")
     p_exp.add_argument("--vocab-size", type=int, default=50_000)
+    p_exp.add_argument("--bpe-merges", type=int, default=0,
+                       help="train a byte-level BPE with this many merges "
+                            "and tokenize shards with it (0 = FNV vocab)")
     p_exp.set_defaults(fn=cmd_export_training)
 
     p_agt = sub.add_parser("agents")

@@ -2108,3 +2108,18 @@ def q_bm25(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return bm25_topk(ds, ["spark", "window", "merge"], k=50)
+
+
+def q_bpe_roundtrip(sf_dir: str):
+    """Byte-level BPE tokenizer (``stages/bpe.py``): one distributed
+    word-count pass trains the merges (bounded driver loop over word
+    types), broadcast encode actor pool, per-doc lossless-roundtrip
+    proof — md5(decode(encode(text))) must equal DuckDB's md5 of the
+    whitespace-normalized source. ``n_tokens`` is engine-only (dropped
+    here so every returned column is SQL-checkable)."""
+    from ..stages.bpe import bpe_roundtrip_records
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_roundtrip_records(ds, n_merges=256).drop_columns(
+        ["n_tokens"]
+    )

@@ -11,7 +11,10 @@ Tokenization is the deterministic hash vocabulary: id = FNV-1a(token)
 mod ``vocab_size`` (the same token hashing family as MinHash/DSIR), so
 the whole artifact is a pure function of the corpus and every byte is
 SQL-replayable (★ ``q_token_shards`` hashes each shard's id sequence).
-A learned BPE swaps in through the same ``ids_for_tokens`` seam.
+A learned byte-level BPE (``stages/bpe.py``) swaps in via
+``bpe_model=``: the model is broadcast once and each shard task encodes
+its docs with a per-task word cache (pytest-pinned; the FNV path stays
+the SQL-replayable default).
 
 Scale shape: bin assignment arrives from the export's prefix scan (slim
 rows); texts attach through one hash join on doc_id (only train docs
@@ -68,6 +71,7 @@ def token_shard_records(
     seed: str = "s0",
     window: int = 2048,
     out_dir: str | None = None,
+    bpe_model=None,
 ) -> "ray.data.Dataset":
     """→ one metadata row per train shard: (bin, n_docs, n_tokens,
     ids_md5) with ids_md5 = md5 of the ids rendered as comma-joined
@@ -110,13 +114,21 @@ def token_shard_records(
         tagged = bins.join(docs, join_type="inner", num_partitions=8,
                            on=("doc_id",))
 
+    bpe_ref = ray.put(bpe_model) if bpe_model is not None else None
+
     def shardify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("pos", kind="mergesort")
         cache: dict = {}
-        parts = [
-            ids_for_tokens((t or "").lower().split(), vocab_size, cache)
-            for t in g["text"]
-        ]
+        if bpe_ref is not None:
+            from ..stages.bpe import encode_doc
+
+            model = ray.get(bpe_ref)
+            parts = [encode_doc(model, t, cache) for t in g["text"]]
+        else:
+            parts = [
+                ids_for_tokens((t or "").lower().split(), vocab_size, cache)
+                for t in g["text"]
+            ]
         ids = (np.concatenate(parts) if parts
                else np.empty(0, dtype=np.uint32))
         text_repr = ",".join(str(i) for i in ids.tolist())
@@ -150,6 +162,7 @@ def write_token_shards(
     vocab_size: int = VOCAB_DEFAULT,
     seed: str = "s0",
     window: int = 2048,
+    bpe_model=None,
 ) -> dict:
     """Write one ``bin_<N>.bin`` (raw little-endian uint32 ids) per train
     shard plus ``index.json`` (per-shard doc/token counts, content md5,
@@ -163,7 +176,7 @@ def write_token_shards(
     # KB-scale index rows
     rows = token_shard_records(
         sf_dir, vocab_size=vocab_size, seed=seed, window=window,
-        out_dir=out_dir,
+        out_dir=out_dir, bpe_model=bpe_model,
     ).take_all()
 
     shards: dict = {}
@@ -173,7 +186,10 @@ def write_token_shards(
                         "n_tokens": int(row["n_tokens"]),
                         "ids_md5": row["ids_md5"]}
 
-    index = {"vocab_size": vocab_size, "seed": seed, "window": window,
+    index = {"vocab_size": (bpe_model.vocab_size if bpe_model is not None
+                            else vocab_size),
+             "tokenizer": "bpe" if bpe_model is not None else "fnv",
+             "seed": seed, "window": window,
              "sf_dir": sf_dir, "dtype": "uint32le", "shards": shards}
     tmp = index_path + ".tmp"
     with open(tmp, "w") as f:
