@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_lm": q.q_ngram_lm,
         "q_bm25": q.q_bm25,
         "q_bpe_roundtrip": q.q_bpe_roundtrip,
+        "q_heavy_hitters": q.q_heavy_hitters,
+        "q_weighted_sample": q.q_weighted_sample,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -1130,6 +1132,31 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        "q_weighted_sample": """
+            -- A-ES weighted-sample twin (stages/sample.py): u =
+            -- (md5-high-53(id)+1)/2^53, key = floor((ln(u)/w)*1e6),
+            -- top-100 by (key DESC, id ASC). Same double tree as numpy.
+            SELECT event_id, value,
+                   CAST(floor((ln(
+                       (CAST((('0x' || substr(md5(
+                            CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT
+                         >> 11) AS DOUBLE) + 1.0)
+                       / 9007199254740992.0)
+                     / value) * 1000000.0) AS BIGINT) AS sample_key_q6
+            FROM events
+            WHERE value > 0
+            ORDER BY sample_key_q6 DESC, event_id ASC
+            LIMIT 100
+        """,
+        "q_heavy_hitters": """
+            -- Misra-Gries twin: capacity 4096 ≥ distinct users at this
+            -- scale, so the summary is exact == GROUP BY counts.
+            SELECT CAST(user_id AS VARCHAR) AS value,
+                   COUNT(*) AS est
+            FROM events GROUP BY user_id
+            ORDER BY est DESC, value ASC
+            LIMIT 50
+        """,
         "q_bpe_roundtrip": """
             -- BPE lossless-roundtrip twin (stages/bpe.py): the engine
             -- trains byte-level BPE and md5s decode(encode(text));

@@ -2123,3 +2123,28 @@ def q_bpe_roundtrip(sf_dir: str):
     return bpe_roundtrip_records(ds, n_merges=256).drop_columns(
         ["n_tokens"]
     )
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters (``stages/sketch.py``): per-batch ≤k
+    (value, est) summaries, k-way driver merge with one capacity cut —
+    driver traffic is summaries, never rows. Capacity 4096 ≥ distinct
+    users at oracle scale, so the summary is exact and the twin is a
+    plain GROUP BY; the N/(k+1) guarantee below capacity is
+    property-tested in pytest."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", k=4096, top=50)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample without replacement (``stages/sample.py``,
+    Efraimidis-Spirakis A-ES): deterministic hash-uniform u per row,
+    fixed-point key floor((ln(u)/w)*1e6), per-batch partial top-k with
+    the global comparator, driver merge of k-row partials. Stable under
+    any partitioning; the SQL twin recomputes every key."""
+    from ..stages.sample import weighted_sample
+
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    return weighted_sample(ds, "event_id", "value", 100)

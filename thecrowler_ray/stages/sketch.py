@@ -277,3 +277,96 @@ def histogram_table(h: FixedBinHistogram) -> pd.DataFrame:
         "bin": (nz + h.lo_bin).astype(np.int64),
         "cnt": h.counts[nz],
     })
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters summary (Misra & Gries 1982; mergeable
+    form per Agarwal et al. 2013 "Mergeable Summaries"). Holds at most
+    ``k`` counters; any value with true frequency > N/(k+1) is
+    guaranteed present, and every kept estimate undercounts its true
+    frequency by at most N/(k+1). When ``k`` ≥ the number of distinct
+    values the summary is EXACT — which is what makes the small-scale
+    SQL oracle a plain GROUP BY."""
+
+    def __init__(self, k: int):
+        if k < 1:
+            raise ValueError("MisraGries: k must be >= 1")
+        self.k = k
+        self.counters: dict = {}
+
+    def add_values(self, values) -> None:
+        c = self.counters
+        k = self.k
+        for v in values:
+            if v in c:
+                c[v] += 1
+            elif len(c) < k:
+                c[v] = 1
+            else:
+                # decrement-all; drop zeros (the classic step, batched:
+                # decrement by 1 via dict sweep only when full)
+                dead = []
+                for key in c:
+                    c[key] -= 1
+                    if c[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del c[key]
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        """Mergeable-summaries merge: add counters, then if over
+        capacity subtract the (k+1)-th largest count from all and drop
+        non-positives. Error adds linearly — the distributed guarantee."""
+        c = dict(self.counters)
+        for v, n in other.counters.items():
+            c[v] = c.get(v, 0) + n
+        if len(c) > self.k:
+            cut = sorted(c.values(), reverse=True)[self.k]
+            c = {v: n - cut for v, n in c.items() if n - cut > 0}
+        out = MisraGries(self.k)
+        out.counters = c
+        return out
+
+
+class MGBatchStage:
+    """Per-batch Misra-Gries partial → ≤k (value, est) rows. No shuffle;
+    the driver merges the tiny per-batch summaries."""
+
+    def __init__(self, column: str, k: int):
+        self.column = column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mg = MisraGries(self.k)
+        mg.add_values(batch[self.column].to_pylist())
+        vals = list(mg.counters.keys())
+        return pa.table({
+            "value": pa.array([str(v) for v in vals], pa.string()),
+            "est": pa.array([mg.counters[v] for v in vals], pa.int64()),
+        })
+
+
+def heavy_hitters(ds, column: str, k: int = 4096,
+                  top: int | None = None) -> pd.DataFrame:
+    """Distributed heavy hitters over ``column`` → DataFrame
+    (value, est) ordered (est DESC, value ASC), optionally truncated to
+    ``top`` rows. Driver traffic is ≤ k rows per input batch (the
+    summaries), never the data."""
+    rows = ds.map_batches(
+        MGBatchStage, fn_constructor_args=(column, k),
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    # k-way merge: sum the per-batch counters, then one capacity cut
+    # (subtract the (k+1)-th largest, keep positives). Error stays
+    # bounded by Σ per-summary errors ≤ N/(k+1) — Agarwal et al. §3.
+    agg = rows.groupby("value", sort=False)["est"].sum()
+    if len(agg) > k:
+        cut = int(agg.sort_values(ascending=False).iloc[k])
+        agg = agg[agg - cut > 0] - cut
+    df = agg.reset_index()
+    df = df.sort_values(["est", "value"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    if top is not None:
+        df = df.head(top)
+    df["est"] = df["est"].astype("int64")
+    return df
