@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_roundtrip": q.q_bpe_roundtrip,
         "q_heavy_hitters": q.q_heavy_hitters,
         "q_weighted_sample": q.q_weighted_sample,
+        "q_knn_graph": q.q_knn_graph,
+        "q_pagerank": q.q_pagerank,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -493,6 +495,43 @@ def _dsir_sql(k: int = 100, n_buckets: int = 2048) -> str:
         ORDER BY score DESC, s.doc_id
         LIMIT {k}
     """
+
+
+def _pagerank_sql(iterations: int = 5, unit: int = 10**12,
+                  off: int = 1_000_000_000, k: int = 100) -> str:
+    """Chained-CTE replay of ops/pagerank.py's integer recurrence over
+    the bidirectional part↔supplier lineitem graph: ranks in q12 units,
+    damping 17/20, contribution (r*17)//(20*outdeg) — pure int64, so
+    every iteration is hash-exact."""
+    base = (unit * 3) // 20
+    ctes = [
+        f"""e AS (
+            SELECT l_partkey AS src, l_suppkey + {off} AS dst FROM lineitem
+            UNION ALL
+            SELECT l_suppkey + {off} AS src, l_partkey AS dst FROM lineitem
+        ), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        r0 AS (SELECT node, CAST({unit} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+            SELECT n.node,
+                   CAST({base} + COALESCE(CAST(s.m AS BIGINT), 0)
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((r{i - 1}.r * 17) // (20 * od.outdeg)) AS m
+                FROM e
+                JOIN od USING (src)
+                JOIN r{i - 1} ON r{i - 1}.node = e.src
+                GROUP BY e.dst) s USING (node))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, r AS rank_q FROM r{iterations}
+        ORDER BY rank_q DESC, node ASC LIMIT {k}
+    """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1132,6 +1171,28 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking: k = 1 + ceil(max(n-32,0)/24) windows,
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
+        "q_pagerank": _pagerank_sql(),
+        "q_knn_graph": """
+            -- kNN-graph twin: all-pairs cosine, top-5 per src by
+            -- (cos DESC, dst ASC), ROUND(,4) absorbing last-ulp
+            -- differences (the q_ann_topk convention).
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), pairs AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       list_cosine_similarity(a.e, b.e) AS cos
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+            ), ranked AS (
+                SELECT src, dst, cos,
+                       row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY cos DESC, dst ASC) AS rn
+                FROM pairs
+            )
+            SELECT src, dst, ROUND(cos, 4) AS cosine
+            FROM ranked WHERE rn <= 5
+        """,
         "q_weighted_sample": """
             -- A-ES weighted-sample twin (stages/sample.py): u =
             -- (md5-high-53(id)+1)/2^53, key = floor((ln(u)/w)*1e6),

@@ -1,0 +1,209 @@
+"""PageRank (Brin & Page 1998) as deterministic fixed-point power
+iteration over a Ray Data edge list.
+
+A link-graph centrality operator for the crawl/curation plane (URL
+importance for frontier prioritization and corpus quality weighting —
+the role harmonic/PageRank centrality plays in public CommonCrawl
+ranking). The reference engine scores links per page
+(``pkg/crawler/keywords.go`` link heuristics, mirrored in
+``ops/rank.py``); this adds the whole-graph iterative rank.
+
+**Integer fixed-point — what makes 5 distributed iterations
+hash-exact in SQL**: ranks live in q12 micro-units (init ``UNIT =
+10^12``), damping 0.85 is the exact rational 17/20, and each edge
+contribution is ``(r * 17) // (20 * outdeg)`` — pure int64 floor
+division, so per-node sums are order-free and DuckDB replays every
+iteration with chained CTEs, bit for bit. No float enters the
+computation. (int64 headroom: max total mass ≈ N·UNIT, so N up to
+~10^6 fits q12; at larger N pass a smaller ``unit`` — q6 clears 10^12
+nodes.)
+
+Iteration shape (Pregel-style, threshold-switched like
+``stages/ngram_lm.py``):
+
+- **broadcast path** (node table ≤ threshold): outdeg + ranks dicts are
+  ``ray.put`` once per iteration; ``map_batches`` over the (never
+  re-shuffled) edge list emits (dst, contrib); one ``groupby(dst)``
+  sum; the node-sized result returns to the driver for the base-add.
+  Per iteration: one shuffle of slim int rows.
+- **join path** (above threshold): ranks stay distributed — edges ⋈
+  ranks on src, groupby(dst) sum, nodes ⟕ sums; materialized per
+  iteration (iterative algorithms are barrier-per-step by nature).
+
+Dangling nodes (outdeg 0) simply emit nothing — their mass evaporates
+(the simplest standard variant; both the engine and the SQL twin do
+the same).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+UNIT = 10**12
+DAMP_NUM = 17
+DAMP_DEN = 20
+
+
+def _node_tables(edges):
+    """(nodes_ds (node, outdeg≥0), outdeg only for nodes with out-edges).
+    One shuffle over slim id rows."""
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ones = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        zeros = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        return pa.concat_tables(
+            [
+                pa.table({"node": batch["src"], "od": ones}),
+                pa.table({"node": batch["dst"], "od": zeros}),
+            ]
+        )
+
+    return (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("od", alias_name="outdeg"))
+    )
+
+
+def pagerank(
+    edges,
+    *,
+    iterations: int = 5,
+    unit: int = UNIT,
+    broadcast_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Edge-list Dataset (src, dst int64; parallel edges count as
+    multiplicity) → Dataset (node, rank_q) after ``iterations`` rounds,
+    ``rank_q`` the q-scaled integer rank. Base = 0.15·unit per node."""
+    base = (unit * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    nodes = _node_tables(edges).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.drop_columns(["outdeg"])
+    if n_nodes <= broadcast_threshold:
+        return _pagerank_broadcast(edges, nodes, iterations, unit, base)
+    return _pagerank_join(edges, nodes, iterations, unit, base)
+
+
+def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
+                        base: int) -> "ray.data.Dataset":
+    outdeg: dict = {}
+    ranks: dict = {}
+    for r in nodes.iter_rows():
+        outdeg[r["node"]] = r["outdeg"]
+        ranks[r["node"]] = unit
+
+    for _ in range(iterations):
+        ref = ray.put((ranks, outdeg))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            rk, od = ray.get(ref)
+            s = pd.Series(batch["src"].to_pylist())
+            r = s.map(rk).to_numpy(np.int64)
+            deg = s.map(od).to_numpy(np.int64)
+            c = (r * DAMP_NUM) // (DAMP_DEN * deg)
+            return pa.table({"dst": batch["dst"], "c": pa.array(c)})
+
+        from ray.data.aggregate import Sum
+
+        sums = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="m"))
+        )
+        new_ranks = {node: base for node in ranks}
+        for r in sums.iter_rows():
+            new_ranks[r["dst"]] = base + int(r["m"])
+        ranks = new_ranks
+
+    items = sorted(ranks.items())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([k for k, _ in items], pa.int64()),
+                "rank_q": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+    )
+
+
+def _pagerank_join(edges, nodes, iterations: int, unit: int,
+                   base: int) -> "ray.data.Dataset":
+    """Fully-distributed path: ranks never visit the driver. The state
+    table (node, outdeg, rank_q) carries outdeg along so each iteration
+    needs exactly one edges⋈state join + one groupby + one state⟕sums
+    join, with a materialize between the two plans (the per-step
+    barrier every power iteration has anyway) so no two hash-shuffle
+    pools compete for the same CPUs."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.ngram_lm import _join_partitions
+
+    nparts = _join_partitions()
+
+    def init(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "outdeg": batch["outdeg"],
+                "rank_q": pa.array(
+                    np.full(batch.num_rows, unit, dtype=np.int64)
+                ),
+            }
+        )
+
+    state = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    def as_src(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["src", "outdeg", "rank_q"])
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        r = batch["rank_q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = batch["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": batch["dst"],
+                "m": pa.array((r * DAMP_NUM) // (DAMP_DEN * od)),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = batch["m"].to_numpy(zero_copy_only=False)
+        m = np.nan_to_num(m.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "node": batch["node"],
+                "outdeg": batch["outdeg"],
+                "rank_q": pa.array(base + m),
+            }
+        )
+
+    for _ in range(iterations):
+        sums = (
+            edges.join(
+                state.map_batches(as_src, batch_format="pyarrow"),
+                join_type="inner",
+                num_partitions=nparts,
+                on=("src",),
+            )
+            .map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("m", alias_name="m"))
+            .materialize()  # plan barrier: one join pool at a time
+        )
+        state = (
+            state.select_columns(["node", "outdeg"])
+            .join(sums, join_type="left_outer", num_partitions=nparts,
+                  on=("node",))
+            .map_batches(finish, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return state.select_columns(["node", "rank_q"])

@@ -2148,3 +2148,46 @@ def q_weighted_sample(sf_dir: str):
 
     ds = _rp(sf_dir, "events", ["event_id", "value"])
     return weighted_sample(ds, "event_id", "value", 100)
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact kNN graph by cosine (``stages/similarity.py``): bounded
+    driver pull of the unit matrix broadcast once, per-batch float64
+    matmul, per-node top-k with (cos DESC, dst ASC) ties — the SemDeDup
+    input structure. The IVF-bucketed variant (no global matrix) is the
+    scale path, parity-gated in pytest at n_centroids=1."""
+    from ..stages.similarity import knn_graph
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_graph(ds, k=5)
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-point PageRank (``ops/pagerank.py``) over the bidirectional
+    part↔supplier graph from lineitem (parallel edges = multiplicity).
+    Integer q12 ranks, damping 17/20, 5 iterations — every iteration an
+    exact int64 recurrence the SQL twin replays with chained CTEs.
+    Broadcast path below the node threshold, distributed join path
+    above (parity-tested)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.pagerank import pagerank
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    OFF = 1_000_000_000
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"]
+        s = pc.add(batch["l_suppkey"], OFF)
+        return pa.concat_tables([
+            pa.table({"src": p, "dst": s}),
+            pa.table({"src": s, "dst": p}),
+        ])
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return (
+        pagerank(edges)
+        .sort(["rank_q", "node"], descending=[True, False])
+        .limit(100)
+    )

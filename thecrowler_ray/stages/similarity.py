@@ -195,3 +195,95 @@ def lsh_topk_cosine(ds, query: np.ndarray, k: int = 10, dim: int = 64,
         batch_format="pyarrow",
     )
     return topk_cosine(filtered, query, k, id_col, emb_col)
+
+
+def _knn_rows(ids, emb_unit: np.ndarray, full_ids, full_unit: np.ndarray,
+              k: int, id_type, round_digits: int) -> pa.Table:
+    """Rows (src, dst, cosine) = top-k neighbors of each row of
+    ``emb_unit`` within ``full_unit`` (self excluded), float64 matmul,
+    ties broken by dst ASC."""
+    sims = emb_unit @ full_unit.T  # (B, N) float64
+    src_out, dst_out, cos_out = [], [], []
+    full_ids_arr = np.asarray(full_ids)
+    for i in range(len(ids)):
+        row = sims[i]
+        mask = full_ids_arr != ids[i]
+        cand_idx = np.nonzero(mask)[0]
+        kk = min(k, len(cand_idx))
+        if kk == 0:
+            continue
+        part = cand_idx[np.argpartition(-row[cand_idx], kk - 1)[:kk]]
+        # deterministic (cos DESC, dst ASC) within the k winners
+        order = sorted(part.tolist(),
+                       key=lambda j: (-row[j], full_ids_arr[j]))
+        src_out.extend([ids[i]] * kk)
+        dst_out.extend(full_ids_arr[order].tolist())
+        cos_out.extend(np.round(row[order], round_digits).tolist())
+    return pa.table({
+        "src": pa.array(src_out, id_type),
+        "dst": pa.array(dst_out, id_type),
+        "cosine": pa.array(cos_out, pa.float64()),
+    })
+
+
+def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
+              emb_col: str = "embedding", max_rows: int = 200_000,
+              round_digits: int = 4):
+    """Exact k-nearest-neighbor graph by cosine → Dataset (src, dst,
+    cosine): for every vector, its k closest others (the input to
+    SemDeDup-style semantic dedup and graph-based curation).
+
+    Brute-force path: the full unit matrix is pulled once (bounded by
+    ``max_rows`` — a documented driver pull, like ``train_ivf_centroids``'s
+    sample) and broadcast via ``ray.put``; each batch then matmuls
+    against it in float64 — O(n·B·d) per batch, streamed, output stays
+    distributed. Above ``max_rows`` use :func:`knn_graph_ivf`, which
+    never materializes a global matrix."""
+    import pandas as _pd
+
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"knn_graph: {n} rows > max_rows={max_rows}; use "
+            "knn_graph_ivf for the bucketed scale path")
+    ids_all: list = []
+    mats: list = []
+    for b in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow"):
+        ids_all.extend(b[id_col].to_pylist())
+        mats.append(np.asarray(b[emb_col].to_pylist(), dtype=np.float64))
+    full_unit = _unit(np.concatenate(mats)) if mats else np.empty((0, 0))
+    ref = ray.put((ids_all, full_unit))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fids, funit = ray.get(ref)
+        emb = _unit(np.asarray(batch[emb_col].to_pylist(), dtype=np.float64))
+        return _knn_rows(batch[id_col].to_pylist(), emb, fids, funit, k,
+                         batch[id_col].type, round_digits)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def knn_graph_ivf(ds, k: int = 5, n_centroids: int = 64,
+                  id_col: str = "vec_id", emb_col: str = "embedding",
+                  round_digits: int = 4, centroids: np.ndarray | None = None):
+    """Approximate kNN graph at scale: IVF-bucket the corpus (bounded-
+    sample spherical k-means), then exact within-bucket kNN per group —
+    no global matrix, each group bounded by its list size; the classic
+    SemDeDup construction. ``n_centroids=1`` degrades to the exact
+    graph (the parity gate)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, n_centroids, emb_col=emb_col)
+    cref = ray.put(centroids)
+    assigned = ds.map_batches(ivf_assign_stage(cref, emb_col),
+                              batch_format="pyarrow")
+
+    def group_knn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].tolist()
+        emb = _unit(np.asarray(g[emb_col].to_list(), dtype=np.float64))
+        t = _knn_rows(ids, emb, ids, emb, k,
+                      pa.array(ids).type, round_digits)
+        return t.to_pandas()
+
+    return assigned.groupby("ivf_list").map_groups(
+        group_knn, batch_format="pandas")
