@@ -53,17 +53,25 @@ def _node_tables(edges):
     from ray.data.aggregate import Sum
 
     def explode(batch: pa.Table) -> pa.Table:
-        ones = pa.array(np.ones(batch.num_rows, dtype=np.int64))
-        zeros = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        # per-batch combine: the shuffle moves ≤ distinct-nodes rows per
+        # block instead of 2 rows per edge
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        s_u, s_c = np.unique(src, return_counts=True)
+        d_u = np.unique(dst)
         return pa.concat_tables(
             [
-                pa.table({"node": batch["src"], "od": ones}),
-                pa.table({"node": batch["dst"], "od": zeros}),
+                pa.table({"node": pa.array(s_u),
+                          "od": pa.array(s_c.astype(np.int64))}),
+                pa.table({"node": pa.array(d_u),
+                          "od": pa.array(
+                              np.zeros(len(d_u), dtype=np.int64))}),
             ]
         )
 
     return (
-        edges.map_batches(explode, batch_format="pyarrow")
+        edges.map_batches(explode, batch_format="pyarrow",
+                          batch_size=None)
         .groupby("node")
         .aggregate(Sum("od", alias_name="outdeg"))
     )
@@ -80,7 +88,16 @@ def pagerank(
     multiplicity) → Dataset (node, rank_q) after ``iterations`` rounds,
     ``rank_q`` the q-scaled integer rank. Base = 0.15·unit per node."""
     base = (unit * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    # block count scaled to the cluster, not the upstream layout: the
+    # node-table combine emits ~distinct-nodes rows per block, and each
+    # iteration schedules one task per block — dozens of near-empty
+    # blocks would pay task round-trips for trivial compute. Slim int
+    # rows → millions of edges per block are fine.
     edges = edges.select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(min(cpus, 8), min(64, int(n_edges // 2_000_000) + 1))
+    edges = edges.repartition(n_blocks).materialize()
     nodes = _node_tables(edges).materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -92,43 +109,88 @@ def pagerank(
 
 def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
                         base: int) -> "ray.data.Dataset":
-    outdeg: dict = {}
-    ranks: dict = {}
+    """Small-node-table path: zero shuffles per iteration. Nodes get
+    dense int32 indices (one broadcast dict), the edge list is re-keyed
+    to (src_idx, dst_idx) ONCE and materialized; each iteration is one
+    streaming map over it — per batch an exact int64 ``np.add.at``
+    scatter into a node-dense partial, returned sparse (idx, val) — and
+    a driver-side add of the ≤node-sized partials. No groupby, no
+    per-edge dict lookups after the re-key."""
+    node_ids: list = []
+    outdeg_l: list = []
     for r in nodes.iter_rows():
-        outdeg[r["node"]] = r["outdeg"]
-        ranks[r["node"]] = unit
+        node_ids.append(r["node"])
+        outdeg_l.append(r["outdeg"])
+    n = len(node_ids)
+    idx_ref = ray.put({v: i for i, v in enumerate(node_ids)})
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(idx_ref)
+        return pa.table(
+            {
+                "s": pa.array(
+                    pd.Series(batch["src"].to_pylist()).map(m)
+                    .to_numpy(np.int32)
+                ),
+                "d": pa.array(
+                    pd.Series(batch["dst"].to_pylist()).map(m)
+                    .to_numpy(np.int32)
+                ),
+            }
+        )
+
+    dense_edges = edges.map_batches(
+        rekey, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    outdeg = np.asarray(outdeg_l, dtype=np.int64)
+    ranks = np.full(n, unit, dtype=np.int64)
+    denom = DAMP_DEN * outdeg  # outdeg ≥ 1 for every src by construction
 
     for _ in range(iterations):
-        ref = ray.put((ranks, outdeg))
+        ref = ray.put(ranks)
 
-        def contrib(batch: pa.Table) -> pa.Table:
-            import pandas as pd
+        def partial(batch: pa.Table) -> pa.Table:
+            rk = ray.get(ref)
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            d = batch["d"].to_numpy(zero_copy_only=False)
+            c = (rk[s] * DAMP_NUM) // denom[s]
+            acc = np.zeros(n, dtype=np.int64)
+            np.add.at(acc, d, c)
+            nz = np.nonzero(acc)[0]
+            return pa.table(
+                {
+                    "i": pa.array(nz.astype(np.int64)),
+                    "v": pa.array(acc[nz]),
+                }
+            )
 
-            rk, od = ray.get(ref)
-            s = pd.Series(batch["src"].to_pylist())
-            r = s.map(rk).to_numpy(np.int64)
-            deg = s.map(od).to_numpy(np.int64)
-            c = (r * DAMP_NUM) // (DAMP_DEN * deg)
-            return pa.table({"dst": batch["dst"], "c": pa.array(c)})
+        acc = np.full(n, base, dtype=np.int64)
+        # batch_size=None → whole blocks: the node-dense partial is
+        # allocated per block, not per 1024-row micro-batch
+        for b in dense_edges.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            # iter_batches re-batches across blocks, so an index can
+            # repeat within one batch — fancy-index += would drop the
+            # duplicates; add.at is the unbuffered scatter-add
+            np.add.at(
+                acc,
+                b["i"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            )
+        ranks = acc
 
-        from ray.data.aggregate import Sum
-
-        sums = (
-            edges.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="m"))
-        )
-        new_ranks = {node: base for node in ranks}
-        for r in sums.iter_rows():
-            new_ranks[r["dst"]] = base + int(r["m"])
-        ranks = new_ranks
-
-    items = sorted(ranks.items())
+    order = np.argsort(np.asarray(node_ids))
     return ray.data.from_arrow(
         pa.table(
             {
-                "node": pa.array([k for k, _ in items], pa.int64()),
-                "rank_q": pa.array([v for _, v in items], pa.int64()),
+                "node": pa.array(
+                    np.asarray(node_ids)[order], pa.int64()
+                ),
+                "rank_q": pa.array(ranks[order], pa.int64()),
             }
         )
     )
