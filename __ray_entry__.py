@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": q.q_weighted_sample,
         "q_knn_graph": q.q_knn_graph,
         "q_pagerank": q.q_pagerank,
+        "q_pmi": q.q_pmi,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -1172,6 +1173,42 @@ def oracle_sql() -> dict[str, str]:
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
         "q_pagerank": _pagerank_sql(),
+        "q_pmi": """
+            -- PMI collocation twin (stages/ngram_lm.py): bigram counts
+            -- over the lang='en' target, pmi = floor(ln((c2*T)/(c1a*c1b))
+            -- * 1e4 + 0.5) over exact ints.
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents WHERE lang = 'en'
+            ), tok AS (
+                SELECT doc_id, unnest(ws) AS tok,
+                       CAST(generate_subscripts(ws, 1) AS BIGINT) AS p
+                FROM w
+            ), bi AS (
+                SELECT doc_id, tok AS w0,
+                       LEAD(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w1
+                FROM tok
+            ), c2 AS (
+                SELECT w0, w1, COUNT(*) AS c FROM bi
+                WHERE w1 IS NOT NULL GROUP BY w0, w1
+            ), c1 AS (
+                SELECT tok AS w, COUNT(*) AS c FROM tok GROUP BY tok
+            ), t AS (
+                SELECT SUM(c) AS t FROM c2
+            )
+            SELECT c2.w0, c2.w1, c2.c AS c2,
+                   CAST(floor(ln(CAST(c2.c * t.t AS DOUBLE)
+                                 / CAST(a.c * b.c AS DOUBLE))
+                              * 10000 + 0.5) AS BIGINT) AS pmi_q4
+            FROM c2
+            JOIN c1 a ON c2.w0 = a.w
+            JOIN c1 b ON c2.w1 = b.w, t
+            WHERE c2.c >= 5
+            ORDER BY pmi_q4 DESC, c2.w0 ASC, c2.w1 ASC
+            LIMIT 100
+        """,
         "q_knn_graph": """
             -- kNN-graph twin: all-pairs cosine, top-5 per src by
             -- (cos DESC, dst ASC), ROUND(,4) absorbing last-ulp

@@ -121,3 +121,54 @@ def test_no_target_rows_raises(ray_session):
     docs = DOCS.assign(lang="fr")
     with pytest.raises(ValueError):
         bigram_lm_scores(rd.from_pandas(docs), target_value="en")
+
+
+def test_pmi_collocations(ray_session):
+    """PMI vs a brute-force recompute over a corpus with one engineered
+    strong collocation ('new york' always adjacent, its parts rare
+    elsewhere)."""
+    import math
+
+    from thecrowler_ray.stages.ngram_lm import pmi_collocations
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": (["new york city hall"] * 5
+                     + ["the cat the dog the cat"] * 3),
+            "lang": ["en"] * 8,
+        }
+    )
+    got = pmi_collocations(
+        rd.from_pandas(docs), min_count=2, k=10
+    ).to_pandas()
+
+    # brute force
+    from collections import Counter
+    uni, bi = Counter(), Counter()
+    total = 0
+    for t in docs["text"]:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+        total += len(toks) - 1
+    rows = []
+    for (a, b), c2 in bi.items():
+        if c2 < 2:
+            continue
+        pmi = math.floor(
+            np.log(np.float64(c2 * total) / np.float64(uni[a] * uni[b]))
+            * 10_000 + 0.5)
+        rows.append((a, b, c2, int(pmi)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = pd.DataFrame(rows[:10],
+                        columns=["w0", "w1", "c2", "pmi_q4"])
+    pd.testing.assert_frame_equal(
+        got.astype({"c2": "int64", "pmi_q4": "int64"}).reset_index(
+            drop=True), want)
+    # the three perfect collocations (always-adjacent, equal counts) tie
+    # at the top, alphabetical by w0; 'the cat' (repeated context) ranks
+    # below them
+    top3 = set(zip(got["w0"].head(3), got["w1"].head(3)))
+    assert top3 == {("new", "york"), ("york", "city"), ("city", "hall")}
+    assert got.iloc[0]["pmi_q4"] > got.iloc[3]["pmi_q4"]

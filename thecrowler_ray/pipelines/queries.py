@@ -2191,3 +2191,14 @@ def q_pagerank(sf_dir: str):
         .sort(["rank_q", "node"], descending=[True, False])
         .limit(100)
     )
+
+
+def q_pmi(sf_dir: str):
+    """PMI collocations (``stages/ngram_lm.py``): one-pass bigram count
+    model, broadcast unigram LUT, fixed-point
+    floor(ln((c2·T)/(c1a·c1b))·1e4+0.5) over exact ints, partial-head
+    top-k. The phrase-mining signal for vocabulary curation."""
+    from ..stages.ngram_lm import pmi_collocations
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return pmi_collocations(ds, min_count=5, k=100)

@@ -344,3 +344,86 @@ def bigram_lm_select(
         .limit(k)
         .drop_columns(["fit"])
     )
+
+
+def pmi_collocations(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    min_count: int = 5,
+    k: int = 100,
+    scale: int = 10_000,
+) -> "ray.data.Dataset":
+    """Top-``k`` collocations by pointwise mutual information (Church &
+    Hanks 1990 — the phrase-mining signal behind word2vec-style phrase
+    detection): reuses :func:`bigram_model_counts`' one-pass count model
+    and scores each bigram ``pmi = ln((c2 · T) / (c1(w0) · c1(w1)))``
+    where ``T`` is total bigram positions — fixed-point
+    ``floor(pmi · scale + 0.5)`` over exact integers, so the SQL twin is
+    hash-exact. Rare pairs are cut at ``min_count`` (PMI's classic
+    low-frequency pathology). → (w0, w1, c2, pmi_q4), ordered
+    (pmi_q4 DESC, w0 ASC, w1 ASC), top-k via per-batch partial head."""
+    counts = bigram_model_counts(
+        ds, text_col=text_col, target_col=target_col,
+        target_value=target_value,
+    ).materialize()
+
+    from ray.data.aggregate import Sum
+
+    # T = total bigram positions = Σ bigram counts (tiny aggregate)
+    def only_bi(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.equal(t["kind"], 1))
+
+    bi = counts.map_batches(only_bi, batch_format="pyarrow")
+    total = bi.aggregate(Sum("c", alias_name="t"))["t"]
+    if not total:
+        raise ValueError("pmi_collocations: no target bigrams")
+
+    # unigram LUT: vocab-sized, broadcast once (the model, not the text)
+    c1: dict = {}
+    for row in counts.iter_rows():
+        if row["kind"] == 0:
+            c1[row["w0"]] = row["c"]
+    lut_ref = ray.put(c1)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lut = ray.get(lut_ref)
+        m = pa.compute.greater_equal(batch["c"], min_count)
+        batch = batch.filter(m)
+        if batch.num_rows == 0:
+            return pa.table({
+                "w0": pa.array([], pa.string()),
+                "w1": pa.array([], pa.string()),
+                "c2": pa.array([], pa.int64()),
+                "pmi_q4": pa.array([], pa.int64()),
+            })
+        w0 = batch["w0"].to_pylist()
+        w1 = batch["w1"].to_pylist()
+        c2 = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = pd.Series(w0).map(lut).to_numpy(np.int64)
+        b = pd.Series(w1).map(lut).to_numpy(np.int64)
+        num = (c2 * total).astype(np.float64)
+        den = (a * b).astype(np.float64)
+        pmi = np.floor(np.log(num / den) * scale + 0.5).astype(np.int64)
+        t = pa.table({
+            "w0": pa.array(w0, pa.string()),
+            "w1": pa.array(w1, pa.string()),
+            "c2": pa.array(c2),
+            "pmi_q4": pa.array(pmi),
+        })
+        if t.num_rows > k:  # partial head bounds the global sort
+            order = pa.compute.sort_indices(
+                t, sort_keys=[("pmi_q4", "descending"),
+                              ("w0", "ascending"), ("w1", "ascending")])
+            t = t.take(order.slice(0, k))
+        return t
+
+    return (
+        bi.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_q4", "w0", "w1"], descending=[True, False, False])
+        .limit(k)
+    )
