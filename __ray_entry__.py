@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_graph": q.q_knn_graph,
         "q_pagerank": q.q_pagerank,
         "q_pmi": q.q_pmi,
+        "q_moments": q.q_moments,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -532,6 +533,35 @@ def _pagerank_sql(iterations: int = 5, unit: int = 10**12,
         SELECT node, r AS rank_q FROM r{iterations}
         ORDER BY rank_q DESC, node ASC LIMIT {k}
     """
+    )
+
+
+def _moments_sql(cols: list[str], digits: int = 2) -> str:
+    """Exact-moments twin (stages/moments.py): the same
+    floor(v·10^d+0.5) quantization, HUGEINT sums, decimal-string render.
+    One UNION ALL branch per unordered column pair."""
+    cs = sorted(cols)
+    scale = 10.0 ** digits
+    quant = ",\n".join(
+        f"CAST(floor({c} * {scale} + 0.5) AS BIGINT) AS {c}" for c in cs
+    )
+    branches = []
+    for i, a in enumerate(cs):
+        for b in cs[i:]:
+            branches.append(f"""
+            SELECT '{a}' AS cx, '{b}' AS cy, COUNT(*) AS n,
+                   CAST(SUM(CAST({a} AS HUGEINT)) AS VARCHAR) AS sum_x,
+                   CAST(SUM(CAST({b} AS HUGEINT)) AS VARCHAR) AS sum_y,
+                   CAST(SUM(CAST({a} AS HUGEINT) * {b}) AS VARCHAR)
+                       AS sum_xy,
+                   CAST(SUM(CAST({a} AS HUGEINT) * {a}) AS VARCHAR)
+                       AS sum_xx,
+                   CAST(SUM(CAST({b} AS HUGEINT) * {b}) AS VARCHAR)
+                       AS sum_yy
+            FROM q""")
+    return (
+        f"WITH q AS (SELECT {quant} FROM lineitem)\n"
+        + "\nUNION ALL\n".join(branches)
     )
 
 
@@ -1173,6 +1203,9 @@ def oracle_sql() -> dict[str, str]:
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
         "q_pagerank": _pagerank_sql(),
+        "q_moments": _moments_sql(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
         "q_pmi": """
             -- PMI collocation twin (stages/ngram_lm.py): bigram counts
             -- over the lang='en' target, pmi = floor(ln((c2*T)/(c1a*c1b))

@@ -2202,3 +2202,16 @@ def q_pmi(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
     return pmi_collocations(ds, min_count=5, k=100)
+
+
+def q_moments(sf_dir: str):
+    """Exact pairwise moments (``stages/moments.py``): one streaming
+    pass, arbitrary-precision integer sums (segment-summed int64 →
+    Python ints), rendered as decimal strings so the hash gate compares
+    them exactly — covariance/correlation sufficient statistics with
+    zero float error at any scale."""
+    from ..stages.moments import moment_records
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _rp(sf_dir, "lineitem", cols)
+    return moment_records(ds, cols)
