@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": q.q_pagerank,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
+        "q_anchor_text": q.q_anchor_text,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -1206,6 +1207,41 @@ def oracle_sql() -> dict[str, str]:
         "q_moments": _moments_sql(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
+        "q_anchor_text": """
+            -- Anchor-text twin (stages/anchors.py): the engine parses
+            -- real HTML; SQL re-derives each (target, term) from the
+            -- same 3-link formula (target = (doc_id*3 + j*31) % 97,
+            -- term = j-th word or 'x').
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), a AS (
+                SELECT 'doc://' ||
+                       CAST((doc_id * 3 + j * 31) % 97 AS VARCHAR)
+                           AS target,
+                       COALESCE(ws[j + 1], 'x') AS term
+                FROM w, (SELECT unnest([0, 1, 2]) AS j)
+            ), c AS (
+                SELECT target, term, COUNT(*) AS c
+                FROM a GROUP BY target, term
+            ), agg AS (
+                SELECT target, CAST(SUM(c) AS BIGINT) AS n_terms,
+                       COUNT(*) AS n_unique_terms
+                FROM c GROUP BY target
+            ), top AS (
+                SELECT target, term, c,
+                       row_number() OVER (
+                           PARTITION BY target
+                           ORDER BY c DESC, term ASC) AS rn
+                FROM c
+            )
+            SELECT agg.target, agg.n_terms, agg.n_unique_terms,
+                   top.term AS top_term, CAST(top.c AS BIGINT) AS top_cnt
+            FROM agg JOIN top
+              ON agg.target = top.target AND top.rn = 1
+        """,
         "q_pmi": """
             -- PMI collocation twin (stages/ngram_lm.py): bigram counts
             -- over the lang='en' target, pmi = floor(ln((c2*T)/(c1a*c1b))

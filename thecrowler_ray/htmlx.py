@@ -46,7 +46,10 @@ class ParsedPage:
     meta: list[dict] = field(default_factory=list)  # {name, content}
     meta_prop: dict = field(default_factory=dict)  # property → content
     body_parts: list[str] = field(default_factory=list)
-    links: list[dict] = field(default_factory=list)  # {href, element_id}
+    links: list[dict] = field(default_factory=list)
+    # links: {href, element_id, anchor} — anchor is the collapsed inner
+    # text of the <a>, captured additively (the span contract's link
+    # spans keep using element_id/href only)
     media: list[dict] = field(default_factory=list)  # {tag, src}
 
 
@@ -62,6 +65,8 @@ class _Extractor(HTMLParser):
         self._capture: str | None = None  # title / h1 / h2 capture target
         self._cap_buf: list[str] = []
         self._skip_depth = 0
+        self._anchor_idx: int | None = None  # open <a> being captured
+        self._anchor_buf: list[str] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         a = dict(attrs)
@@ -81,8 +86,13 @@ class _Extractor(HTMLParser):
             href = a.get("href")
             if href is not None:
                 self.page.links.append(
-                    {"href": href, "element_id": a.get("id", "")}
+                    {"href": href, "element_id": a.get("id", ""),
+                     "anchor": ""}
                 )
+                # capture inner text until the matching </a> (nested
+                # anchors are invalid HTML; a new <a> restarts capture)
+                self._anchor_idx = len(self.page.links) - 1
+                self._anchor_buf = []
         elif tag in _MEDIA_TAGS:
             src = a.get("src")
             if src:
@@ -100,6 +110,12 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TEXT_TAGS and self._skip_depth > 0:
             self._skip_depth -= 1
+        if tag == "a" and self._anchor_idx is not None:
+            self.page.links[self._anchor_idx]["anchor"] = _collapse(
+                "".join(self._anchor_buf)
+            )
+            self._anchor_idx = None
+            self._anchor_buf = []
         if self._capture and tag == self._capture:
             text = "".join(self._cap_buf)
             if self._capture == "title":
@@ -119,6 +135,8 @@ class _Extractor(HTMLParser):
             return
         if self._capture is not None:
             self._cap_buf.append(data)
+        if self._anchor_idx is not None:
+            self._anchor_buf.append(data)
         self.page.body_parts.append(data)
 
 

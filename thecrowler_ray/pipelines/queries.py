@@ -2215,3 +2215,38 @@ def q_moments(sf_dir: str):
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     ds = _rp(sf_dir, "lineitem", cols)
     return moment_records(ds, cols)
+
+
+def q_anchor_text(sf_dir: str):
+    """Anchor-text aggregation (``stages/anchors.py``): the engine's real
+    HTML parser captures each <a>'s inner text from documents-derived
+    linked pages (3 deterministic out-links per doc), one groupby
+    computes per-target incoming-anchor stats; the twin re-derives every
+    (target, term) row from the same link formula."""
+    import pyarrow as pa
+
+    from ..stages.anchors import anchor_text_table
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        htmls = []
+        for d, la, s, x in zip(
+            t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+            t["source"].to_pylist(), t["text"].to_pylist(),
+        ):
+            words = (x or "").split()
+            links = "".join(
+                f'<a href="doc://{(int(d) * 3 + j * 31) % 97}">'
+                f"{words[j] if len(words) > j else 'x'}</a>"
+                for j in range(3)
+            )
+            htmls.append(
+                _doc_html(d, la, s, x).replace("</body>",
+                                               links + "</body>")
+            )
+        return pa.table({"doc_id": t["doc_id"],
+                         "html": pa.array(htmls, pa.string())})
+
+    pages = ds.map_batches(build, batch_format="pyarrow")
+    return anchor_text_table(pages)
