@@ -1211,7 +1211,7 @@ def oracle_sql() -> dict[str, str]:
             -- Anchor-text twin (stages/anchors.py): the engine parses
             -- real HTML; SQL re-derives each (target, term) from the
             -- same 3-link formula (target = (doc_id*3 + j*31) % 97,
-            -- term = j-th word or 'x').
+            -- term = j-th word [a-z0-9]-sanitized, or 'x').
             WITH w AS (
                 SELECT doc_id,
                        list_filter(string_split_regex(text, '\\s+'),
@@ -1221,7 +1221,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'doc://' ||
                        CAST((doc_id * 3 + j * 31) % 97 AS VARCHAR)
                            AS target,
-                       COALESCE(ws[j + 1], 'x') AS term
+                       COALESCE(NULLIF(regexp_replace(
+                           ws[j + 1], '[^a-z0-9]', '', 'g'), ''), 'x')
+                           AS term
                 FROM w, (SELECT unnest([0, 1, 2]) AS j)
             ), c AS (
                 SELECT target, term, COUNT(*) AS c
@@ -1268,8 +1270,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT SUM(c) AS t FROM c2
             )
             SELECT c2.w0, c2.w1, c2.c AS c2,
-                   CAST(floor(ln(CAST(c2.c * t.t AS DOUBLE)
-                                 / CAST(a.c * b.c AS DOUBLE))
+                   -- double×double products (same tree as the engine),
+                   -- overflow-free at any corpus size
+                   CAST(floor(ln((CAST(c2.c AS DOUBLE)
+                                  * CAST(t.t AS DOUBLE))
+                                 / (CAST(a.c AS DOUBLE)
+                                    * CAST(b.c AS DOUBLE)))
                               * 10000 + 0.5) AS BIGINT) AS pmi_q4
             FROM c2
             JOIN c1 a ON c2.w0 = a.w

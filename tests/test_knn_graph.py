@@ -81,3 +81,25 @@ def test_each_node_has_k_edges(ray_session):
     counts = got.groupby("src").size()
     assert (counts == 6).all()
     assert (got["src"] != got["dst"]).all()
+
+
+def test_boundary_ties_keep_smallest_dst(ray_session):
+    """Duplicate embeddings create exact cosine ties straddling rank k:
+    the winner must be the smallest dst (the SQL twin's row_number
+    contract), not an argpartition artifact."""
+    import numpy as np
+
+    base = np.array([1.0, 0.0, 0.0, 0.0], dtype=np.float32)
+    other = np.array([0.0, 1.0, 0.0, 0.0], dtype=np.float32)
+    # ids 1..5 all identical (cosine 1.0 with each other), id 0 distinct
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(6, dtype=np.int64),
+            "embedding": [other] + [base] * 5,
+        }
+    )
+    got = knn_graph(rd.from_pandas(df), k=2).to_pandas()
+    for src in range(1, 6):
+        dsts = sorted(got.loc[got["src"] == src, "dst"])
+        want = sorted([d for d in range(1, 6) if d != src])[:2]
+        assert dsts == want, (src, dsts)

@@ -147,13 +147,17 @@ def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
 
     outdeg = np.asarray(outdeg_l, dtype=np.int64)
     ranks = np.full(n, unit, dtype=np.int64)
-    denom = DAMP_DEN * outdeg  # outdeg ≥ 1 for every src by construction
+    # outdeg ≥ 1 for every src by construction; shipped through the
+    # object store ONCE (a closure capture would re-serialize the
+    # node-sized array with every task submission, every iteration)
+    denom_ref = ray.put(DAMP_DEN * outdeg)
 
     for _ in range(iterations):
         ref = ray.put(ranks)
 
         def partial(batch: pa.Table) -> pa.Table:
             rk = ray.get(ref)
+            denom = ray.get(denom_ref)
             s = batch["s"].to_numpy(zero_copy_only=False)
             d = batch["d"].to_numpy(zero_copy_only=False)
             c = (rk[s] * DAMP_NUM) // denom[s]

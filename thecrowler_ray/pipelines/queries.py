@@ -2229,6 +2229,8 @@ def q_anchor_text(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
 
+    import re as _re
+
     def build(t: pa.Table) -> pa.Table:
         htmls = []
         for d, la, s, x in zip(
@@ -2236,14 +2238,21 @@ def q_anchor_text(sf_dir: str):
             t["source"].to_pylist(), t["text"].to_pylist(),
         ):
             words = (x or "").split()
+
+            def term(j: int) -> str:
+                w = words[j] if len(words) > j else ""
+                # HTML-safe charset so parser charref/tag handling can't
+                # transform the anchor away from the SQL derivation
+                return _re.sub(r"[^a-z0-9]", "", w) or "x"
+
             links = "".join(
                 f'<a href="doc://{(int(d) * 3 + j * 31) % 97}">'
-                f"{words[j] if len(words) > j else 'x'}</a>"
+                f"{term(j)}</a>"
                 for j in range(3)
             )
             htmls.append(
                 _doc_html(d, la, s, x).replace("</body>",
-                                               links + "</body>")
+                                               links + "</body>", 1)
             )
         return pa.table({"doc_id": t["doc_id"],
                          "html": pa.array(htmls, pa.string())})

@@ -41,12 +41,9 @@ def explode_anchor_terms(pages, *, html_col: str = "html"):
                 toks = (ln.get("anchor") or "").split()
                 if not toks:
                     toks = [""]
-                for i, t in enumerate(toks):
+                for t in toks:
                     targets.append(ln["href"])
                     terms.append(t)
-                    # first token also marks "one link" for n_anchors
-                    if i == 0:
-                        pass
         return pa.table(
             {
                 "target": pa.array(targets, pa.string()),

@@ -203,11 +203,17 @@ def bigram_lm_scores(
     if n_model <= broadcast_threshold:
         c1: dict = {}
         c2: dict = {}
-        for row in counts.iter_rows():
-            if row["kind"] == 0:
-                c1[row["w0"]] = row["c"]
-            else:
-                c2[row["w0"] + _SEP + row["w1"]] = row["c"]
+        # columnar pull (iter_rows' dict-per-row costs ~10× at the 2M
+        # threshold ceiling)
+        for b in counts.iter_batches(batch_format="pyarrow"):
+            for k, a, w1, c in zip(
+                b["kind"].to_pylist(), b["w0"].to_pylist(),
+                b["w1"].to_pylist(), b["c"].to_pylist(),
+            ):
+                if k == 0:
+                    c1[a] = c
+                else:
+                    c2[a + _SEP + w1] = c
         lut_ref = ray.put((c1, c2, len(c1)))
         return ds.map_batches(
             _BigramScoreStage,
@@ -323,12 +329,12 @@ def bigram_lm_select(
     **kwargs,
 ) -> "ray.data.Dataset":
     """CCNet-style selection: top-``k`` documents by mean log-prob
-    (best model fit ≅ lowest perplexity). Mean comparison is done by the
-    integer cross-product ``logprob_q4 * other.n — other.logprob_q4 * n``
-    equivalently: sort key is the exact rational ``logprob_q4 /
-    n_bigrams`` — materialized as a float only for ordering, with the
-    (id ASC) tie-break making the order deterministic; per-batch partial
-    head bounds the sort input (``search_pages`` combiner shape)."""
+    (best model fit ≅ lowest perplexity). The sort key is the float64
+    quotient ``logprob_q4 / n_bigrams`` with an (id ASC) tie-break —
+    deterministic (same doubles everywhere), though docs whose exact
+    rationals differ only past double precision collapse into the
+    tie-break; per-batch partial head bounds the sort input
+    (``search_pages`` combiner shape)."""
     scored = bigram_lm_scores(ds, **kwargs)
     id_col = kwargs.get("id_col", "doc_id")
 
@@ -381,11 +387,17 @@ def pmi_collocations(
     if not total:
         raise ValueError("pmi_collocations: no target bigrams")
 
-    # unigram LUT: vocab-sized, broadcast once (the model, not the text)
+    # unigram LUT: vocab-sized, broadcast once (the model, not the text);
+    # filter to kind==0 distributed so the driver never iterates the
+    # (much larger) bigram half
+    def only_uni(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.equal(t["kind"], 0))
+
     c1: dict = {}
-    for row in counts.iter_rows():
-        if row["kind"] == 0:
-            c1[row["w0"]] = row["c"]
+    for b in counts.map_batches(
+        only_uni, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        c1.update(zip(b["w0"].to_pylist(), b["c"].to_pylist()))
     lut_ref = ray.put(c1)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -406,8 +418,11 @@ def pmi_collocations(
         c2 = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         a = pd.Series(w0).map(lut).to_numpy(np.int64)
         b = pd.Series(w1).map(lut).to_numpy(np.int64)
-        num = (c2 * total).astype(np.float64)
-        den = (a * b).astype(np.float64)
+        # products as double×double (not int64 — c2·T wraps past 2^63 at
+        # web scale); the SQL twin multiplies the same way, so the
+        # expression trees stay identical AND overflow-free
+        num = c2.astype(np.float64) * np.float64(total)
+        den = a.astype(np.float64) * b.astype(np.float64)
         pmi = np.floor(np.log(num / den) * scale + 0.5).astype(np.int64)
         t = pa.table({
             "w0": pa.array(w0, pa.string()),

@@ -213,9 +213,14 @@ def _knn_rows(ids, emb_unit: np.ndarray, full_ids, full_unit: np.ndarray,
         if kk == 0:
             continue
         part = cand_idx[np.argpartition(-row[cand_idx], kk - 1)[:kk]]
-        # deterministic (cos DESC, dst ASC) within the k winners
-        order = sorted(part.tolist(),
-                       key=lambda j: (-row[j], full_ids_arr[j]))
+        # cosine ties at the k-boundary: argpartition picks an arbitrary
+        # member of the tied set, but the ordering contract (and the SQL
+        # twin's row_number) keeps the smallest dst — widen to every
+        # candidate tied with the boundary value before the final sort
+        boundary = row[part].min()
+        tied = cand_idx[row[cand_idx] >= boundary]
+        order = sorted(tied.tolist(),
+                       key=lambda j: (-row[j], full_ids_arr[j]))[:kk]
         src_out.extend([ids[i]] * kk)
         dst_out.extend(full_ids_arr[order].tolist())
         cos_out.extend(np.round(row[order], round_digits).tolist())
