@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
+        "q_semantic_dedup": q.q_semantic_dedup,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -1207,6 +1208,34 @@ def oracle_sql() -> dict[str, str]:
         "q_moments": _moments_sql(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
+        "q_semantic_dedup": """
+            -- SemDeDup twin: ROUND(,4) cosine edges at tau=0.35, closed
+            -- with a recursive min-label propagation (the
+            -- q_dedup_clusters construction); singletons label
+            -- themselves.
+            WITH RECURSIVE v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), edges0 AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.35
+            ), edges AS (
+                SELECT u, v FROM edges0
+                UNION ALL SELECT v, u FROM edges0
+            ), walk AS (
+                SELECT DISTINCT u AS node, u AS label FROM edges
+                UNION
+                SELECT e.u, w.label FROM edges e JOIN walk w
+                  ON w.node = e.v
+            ), labels AS (
+                SELECT node, MIN(label) AS label FROM walk GROUP BY node
+            )
+            SELECT v.vec_id,
+                   COALESCE(l.label, v.vec_id) AS cluster_id,
+                   v.vec_id = COALESCE(l.label, v.vec_id) AS keep
+            FROM v LEFT JOIN labels l ON v.vec_id = l.node
+        """,
         "q_anchor_text": """
             -- Anchor-text twin (stages/anchors.py): the engine parses
             -- real HTML; SQL re-derives each (target, term) from the

@@ -103,3 +103,47 @@ def test_boundary_ties_keep_smallest_dst(ray_session):
         dsts = sorted(got.loc[got["src"] == src, "dst"])
         want = sorted([d for d in range(1, 6) if d != src])[:2]
         assert dsts == want, (src, dsts)
+
+
+def test_semantic_dedup_clusters(ray_session):
+    """SemDeDup: engineered near-identical groups collapse to min-id
+    representatives; singletons keep themselves."""
+    import numpy as np
+
+    from thecrowler_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base_a = rng.normal(size=8)
+    base_b = rng.normal(size=8)
+    vecs = (
+        [base_a + rng.normal(scale=1e-3, size=8) for _ in range(3)]  # 0-2
+        + [base_b + rng.normal(scale=1e-3, size=8) for _ in range(2)]  # 3-4
+        + [rng.normal(size=8) for _ in range(4)]  # 5-8 singles
+    )
+    df = pd.DataFrame(
+        {"vec_id": np.arange(9, dtype=np.int64),
+         "embedding": [v.astype(np.float32) for v in vecs]}
+    )
+    got = (semantic_dedup(rd.from_pandas(df), tau=0.95)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert got["cluster_id"].tolist()[:5] == [0, 0, 0, 3, 3]
+    assert got["keep"].tolist()[:5] == [True, False, False, True, False]
+    # singletons all keep themselves
+    assert got["keep"].tolist()[5:] == [True] * 4
+    assert (got.loc[5:, "cluster_id"] == got.loc[5:, "vec_id"]).all()
+
+
+def test_cosine_edges_threshold_and_order(ray_session):
+    import numpy as np
+
+    from thecrowler_ray.stages.similarity import cosine_edges
+
+    df = pd.DataFrame(
+        {"vec_id": np.arange(3, dtype=np.int64),
+         "embedding": [np.array([1, 0], dtype=np.float32),
+                       np.array([1, 0.01], dtype=np.float32),
+                       np.array([0, 1], dtype=np.float32)]}
+    )
+    got = (cosine_edges(rd.from_pandas(df), 0.9)
+           .to_pandas().sort_values(["doc_a", "doc_b"]))
+    assert list(zip(got["doc_a"], got["doc_b"])) == [(0, 1)]

@@ -2259,3 +2259,15 @@ def q_anchor_text(sf_dir: str):
 
     pages = ds.map_batches(build, batch_format="pyarrow")
     return anchor_text_table(pages)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (``stages/similarity.py``): exact cosine edges at
+    ROUND(cos,4) ≥ 0.35 over the embeddings table → connected
+    components → keep the min id per cluster; every row labeled. The
+    twin recomputes the edge set by all-pairs join and closes it with a
+    recursive CTE."""
+    from ..stages.similarity import semantic_dedup
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(ds, tau=0.35)

@@ -292,3 +292,76 @@ def knn_graph_ivf(ds, k: int = 5, n_centroids: int = 64,
 
     return assigned.groupby("ivf_list").map_groups(
         group_knn, batch_format="pandas")
+
+
+def cosine_edges(ds, tau: float, *, id_col: str = "vec_id",
+                 emb_col: str = "embedding", max_rows: int = 200_000,
+                 round_digits: int = 4):
+    """All pairs (a < b) with ROUND(cosine, digits) ≥ tau → Dataset
+    (doc_a, doc_b). Exact path: bounded broadcast unit matrix (the
+    ``knn_graph`` budget), per-batch float64 matmul, threshold filter —
+    only the (sparse) edge rows leave a task. The rounding makes the
+    edge SET identical to the SQL twin's despite last-ulp dot-product
+    differences."""
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_edges: {n} rows > max_rows={max_rows}; bucket with "
+            "knn_graph_ivf/ivf_assign_stage for the scale path")
+    ids_all: list = []
+    mats: list = []
+    for b in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow"):
+        ids_all.extend(b[id_col].to_pylist())
+        mats.append(np.asarray(b[emb_col].to_pylist(), dtype=np.float64))
+    full_unit = _unit(np.concatenate(mats)) if mats else np.empty((0, 0))
+    ref = ray.put((np.asarray(ids_all, dtype=np.int64), full_unit))
+
+    def edges(batch: pa.Table) -> pa.Table:
+        fids, funit = ray.get(ref)
+        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        emb = _unit(np.asarray(batch[emb_col].to_pylist(),
+                               dtype=np.float64))
+        sims = np.round(emb @ funit.T, round_digits)
+        # a < b halves the pairs and drops self-edges in one mask
+        mask = (sims >= tau) & (bids[:, None] < fids[None, :])
+        ai, bj = np.nonzero(mask)
+        return pa.table({
+            "doc_a": pa.array(bids[ai]),
+            "doc_b": pa.array(fids[bj]),
+        })
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, tau: float = 0.4, *, id_col: str = "vec_id",
+                   emb_col: str = "embedding", max_rows: int = 200_000):
+    """SemDeDup (Abbas et al. 2023, public method): embedding-similarity
+    edges → connected components → keep the minimum id per component.
+    → Dataset (vec_id, cluster_id, keep) covering EVERY input row
+    (singletons are their own cluster). Composition of
+    :func:`cosine_edges` + ``stages.cluster.connected_components`` —
+    all the scale reasoning lives in those two operators."""
+    from .cluster import connected_components
+
+    labels = connected_components(
+        cosine_edges(ds, tau, id_col=id_col, emb_col=emb_col,
+                     max_rows=max_rows)
+    ).materialize()  # node-sized (only nodes that appear in an edge)
+
+    lab_ref = ray.put({
+        int(r["node"]): int(r["label"]) for r in labels.iter_rows()
+    })
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = np.asarray([lab.get(int(i), int(i)) for i in ids],
+                             dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster_id": pa.array(cluster),
+            "keep": pa.array(ids == cluster),
+        })
+
+    return ds.map_batches(attach, batch_format="pyarrow")
