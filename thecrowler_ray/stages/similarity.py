@@ -349,9 +349,10 @@ def semantic_dedup(ds, tau: float = 0.4, *, id_col: str = "vec_id",
                      max_rows=max_rows)
     ).materialize()  # node-sized (only nodes that appear in an edge)
 
-    lab_ref = ray.put({
-        int(r["node"]): int(r["label"]) for r in labels.iter_rows()
-    })
+    lab: dict = {}
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        lab.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
+    lab_ref = ray.put(lab)
 
     def attach(batch: pa.Table) -> pa.Table:
         lab = ray.get(lab_ref)
