@@ -85,3 +85,30 @@ def test_topk_truncation_and_ties(ray_session):
 def test_empty_terms_raises(ray_session):
     with pytest.raises(ValueError):
         bm25_topk(rd.from_pandas(DOCS), [])
+
+
+def test_property_random_corpora(ray_session):
+    """Engine == brute force on randomized corpora (vocab, lengths,
+    duplicate docs, empty docs) — seeds fixed for reproducibility."""
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        n = int(rng.integers(5, 40))
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [
+                    " ".join(rng.choice(vocab,
+                                        size=int(rng.integers(0, 25))))
+                    for _ in range(n)
+                ],
+            }
+        )
+        terms = list(rng.choice(vocab, size=3, replace=False))
+        got = bm25_topk(rd.from_pandas(docs).repartition(3), terms,
+                        k=15).to_pandas()
+        want = brute_force(docs, terms).head(15)
+        pd.testing.assert_frame_equal(
+            got.astype(want.dtypes.to_dict()).reset_index(drop=True),
+            want.reset_index(drop=True),
+        )

@@ -137,3 +137,35 @@ def test_bpe_token_shards(ray_session, tmp_path):
         assert (ids < model.vocab_size).all()
         # every id decodes to a known token; the stream is valid UTF-8
         decode_doc(model, ids)
+
+
+def test_model_json_roundtrip():
+    from thecrowler_ray.stages.bpe import model_from_json, model_to_json
+
+    m = BpeModel([(b"a", b"b"), (b"ab", b"\xc3\xa9")])  # non-ASCII bytes
+    m2 = model_from_json(model_to_json(m))
+    assert m2.merges == m.merges
+    assert m2.token_to_id == m.token_to_id
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        model_from_json({"format": "nope"})
+
+
+def test_shards_persist_model(ray_session, tmp_path):
+    from thecrowler_ray.pipelines.token_shards import write_token_shards
+    from thecrowler_ray.stages.bpe import model_from_json
+    import json
+    import os
+    import ray.data
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    model = train_bpe(docs, n_merges=32)
+    out = str(tmp_path / "shards_m")
+    idx = write_token_shards(sf, out, bpe_model=model)
+    loaded = model_from_json(
+        json.load(open(os.path.join(out, idx["bpe_model"]))))
+    assert loaded.merges == model.merges
+    # a loader can decode the shards with the persisted model alone
+    assert decode_doc(loaded, encode_doc(loaded, "the cat")) == "the cat"

@@ -172,3 +172,34 @@ def test_pmi_collocations(ray_session):
     top3 = set(zip(got["w0"].head(3), got["w1"].head(3)))
     assert top3 == {("new", "york"), ("york", "city"), ("city", "hall")}
     assert got.iloc[0]["pmi_q4"] > got.iloc[3]["pmi_q4"]
+
+
+def test_property_random_corpora(ray_session):
+    """Engine == brute force across randomized corpora and both
+    execution paths."""
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(20)]
+    for trial in range(4):
+        n = int(rng.integers(4, 25))
+        docs = pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(n)],
+                "text": [
+                    " ".join(rng.choice(vocab,
+                                        size=int(rng.integers(0, 15))))
+                    for _ in range(n)
+                ],
+                "lang": rng.choice(["en", "de"], size=n, p=[0.7, 0.3]),
+            }
+        )
+        if not (docs["lang"] == "en").any():
+            docs.loc[0, "lang"] = "en"
+        if not docs.loc[docs["lang"] == "en", "text"].str.len().sum():
+            docs.loc[docs["lang"] == "en", "text"] = "t0 t1"
+        want = brute_force(docs)
+        threshold = 0 if trial % 2 else 2_000_000  # alternate paths
+        got = _got(bigram_lm_scores(rd.from_pandas(docs).repartition(2),
+                                    broadcast_threshold=threshold))
+        pd.testing.assert_frame_equal(
+            got.astype(want.dtypes.to_dict()), want
+        )

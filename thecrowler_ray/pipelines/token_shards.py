@@ -191,6 +191,17 @@ def write_token_shards(
              "tokenizer": "bpe" if bpe_model is not None else "fnv",
              "seed": seed, "window": window,
              "sf_dir": sf_dir, "dtype": "uint32le", "shards": shards}
+    if bpe_model is not None:
+        # persist the model next to the shards — ids are meaningless to a
+        # loader without the merge table
+        from ..stages.bpe import model_to_json
+
+        mp = os.path.join(out_dir, "bpe_model.json")
+        tmp_m = mp + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump(model_to_json(bpe_model), f)
+        os.replace(tmp_m, mp)
+        index["bpe_model"] = "bpe_model.json"
     tmp = index_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(index, f, indent=1, sort_keys=True)

@@ -296,13 +296,18 @@ def bpe_encode_ds(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed encode → (id, ids, n_tokens, n_bytes, roundtrip_md5).
     ``roundtrip_md5`` is md5 of decode(encode(text)) — equal to md5 of
     the whitespace-normalized source text iff the tokenizer is lossless
     (the ★ oracle invariant)."""
     model_ref = ray.put(model)
+    if concurrency is None:
+        # cluster-aware pool: a fixed pool of 4 starves co-scheduled
+        # upstream ops on a 4-CPU cluster
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, min(4, cpus - 2))
     return ds.map_batches(
         _BpeEncodeStage,
         fn_constructor_args=(model_ref, id_col, text_col),
@@ -328,3 +333,24 @@ def bpe_roundtrip_records(
     return bpe_encode_ds(
         ds, model, id_col=id_col, text_col=text_col
     ).drop_columns(["ids"])
+
+
+def model_to_json(model: BpeModel) -> dict:
+    """Serializable form (latin-1 round-trips arbitrary bytes ↔ str
+    losslessly): the merge list IS the model — ranks/vocab re-derive."""
+    return {
+        "format": "bpe-merges-v1",
+        "merges": [
+            [a.decode("latin-1"), b.decode("latin-1")]
+            for a, b in model.merges
+        ],
+    }
+
+
+def model_from_json(obj: dict) -> BpeModel:
+    if obj.get("format") != "bpe-merges-v1":
+        raise ValueError(f"unknown BPE model format: {obj.get('format')!r}")
+    return BpeModel(
+        [(a.encode("latin-1"), b.encode("latin-1"))
+         for a, b in obj["merges"]]
+    )

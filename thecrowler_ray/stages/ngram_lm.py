@@ -186,7 +186,7 @@ def bigram_lm_scores(
     target_value: str = "en",
     scale: int = 10_000,
     broadcast_threshold: int = 2_000_000,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-document bigram-LM fit: ``(id, n_bigrams, oov_bigrams,
     logprob_q4)`` where ``logprob_q4`` is the fixed-point (1e-4) sum of
@@ -215,6 +215,11 @@ def bigram_lm_scores(
                 else:
                     c2[a + _SEP + w1] = c
         lut_ref = ray.put((c1, c2, len(c1)))
+        if concurrency is None:
+            # leave CPUs for co-scheduled upstream ops (a fixed pool of 4
+            # deadlocks a 4-CPU cluster whose plan also has an AllToAll)
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = max(2, min(4, cpus - 2))
         return ds.map_batches(
             _BigramScoreStage,
             fn_constructor_args=(lut_ref, id_col, text_col, scale),
