@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
         "q_semantic_dedup": q.q_semantic_dedup,
+        "q_substring_dedup": q.q_substring_dedup,
         "q_shuffle_split": q.q_shuffle_split,
         "q_repetition": q.q_repetition,
         "q_training_export": q.q_training_export,
@@ -1235,6 +1236,57 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(l.label, v.vec_id) AS cluster_id,
                    v.vec_id = COALESCE(l.label, v.vec_id) AS keep
             FROM v LEFT JOIN labels l ON v.vec_id = l.node
+        """,
+        "q_substring_dedup": """
+            -- Exact-substring-dedup twin (stages/dedup.py:
+            -- exact_substring_dedup): duplicated 5-gram windows by
+            -- literal n-gram (the engine hashes them — same groups
+            -- modulo 64-bit collisions), token-window union dropped,
+            -- survivors re-joined with single spaces; unaffected docs
+            -- hash their original text verbatim.
+            WITH w AS (
+                SELECT doc_id, COALESCE(text, '') AS text,
+                       list_filter(string_split_regex(
+                           COALESCE(text, ''), '\\s+'),
+                           x -> x <> '') AS ts,
+                       list_filter(string_split_regex(
+                           lower(COALESCE(text, '')), '\\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                       array_to_string(list_slice(ws, p, p + 4), ' ') AS ng
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS p)
+            ), d AS (
+                SELECT ng FROM g GROUP BY ng
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT doc_id, pos FROM g JOIN d USING (ng)
+            ), dropt AS (
+                SELECT DISTINCT doc_id, t FROM hits,
+                LATERAL (SELECT unnest(range(pos, pos + 5)) AS t)
+            ), tok AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS t, ts[i] AS tk
+                FROM w, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)
+            ), kept AS (
+                SELECT tok.doc_id,
+                       string_agg(tok.tk, ' ' ORDER BY tok.t) AS clean
+                FROM tok ANTI JOIN dropt USING (doc_id, t)
+                GROUP BY tok.doc_id
+            ), removed AS (
+                SELECT doc_id, COUNT(*) AS removed_tokens
+                FROM dropt GROUP BY doc_id
+            ), affected AS (SELECT DISTINCT doc_id FROM hits)
+            SELECT w.doc_id,
+                   md5(CASE WHEN a.doc_id IS NOT NULL
+                            THEN COALESCE(k.clean, '')
+                            ELSE w.text END) AS clean_md5,
+                   CAST(len(w.ts) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(r.removed_tokens, 0) AS BIGINT)
+                       AS removed_tokens
+            FROM w LEFT JOIN affected a USING (doc_id)
+                   LEFT JOIN kept k ON w.doc_id = k.doc_id
+                   LEFT JOIN removed r ON w.doc_id = r.doc_id
         """,
         "q_anchor_text": """
             -- Anchor-text twin (stages/anchors.py): the engine parses

@@ -2271,3 +2271,32 @@ def q_semantic_dedup(sf_dir: str):
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     return semantic_dedup(ds, tau=0.35)
+
+
+def q_substring_dedup(sf_dir: str):
+    """Corpus-level exact-substring dedup (``stages/dedup.py:
+    exact_substring_dedup``): cut every word 5-gram window shared with
+    another document, Lee et al. 2021 shape. Hit-finding rides the same
+    two uniform 20 B-row shard exchanges as ``q_dup_ngrams``; positions
+    fold to one slim row per affected doc and re-join the text by
+    broadcast-or-hash-join threshold switch. The twin replays the whole
+    chain in SQL (literal n-grams, window union, token re-assembly) and
+    compares md5 of the cleaned text."""
+    import hashlib as _hl
+
+    from ..stages.dedup import exact_substring_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_substring_dedup(ds, n=5)
+
+    def dig(batch: pa.Table) -> pa.Table:
+        md5 = [_hl.md5((t or "").encode()).hexdigest()
+               for t in batch["clean_text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_md5": pa.array(md5, pa.string()),
+            "n_tokens": batch["n_tokens"],
+            "removed_tokens": batch["removed_tokens"],
+        })
+
+    return out.map_batches(dig, batch_format="pyarrow")

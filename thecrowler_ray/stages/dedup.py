@@ -677,3 +677,156 @@ def cut_duplicate_spans(text: str, positions: list[int], n: int) -> str:
     for p in positions:
         drop[p : p + n] = True
     return " ".join(t for t, d in zip(toks, drop) if not d)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level exact-substring dedup (cut pass)
+# ---------------------------------------------------------------------------
+
+
+def _cut_positions_batch(ids, texts, pos_of, n):
+    """Vectorized cut for one batch: drop the union of [p, p+n) token
+    windows per doc (delta-array + cumsum mask — O(tokens), no per-window
+    loop). Docs absent from ``pos_of`` pass through with their original
+    whitespace; affected docs are re-joined with single spaces (the same
+    contract as ``cut_duplicate_spans``)."""
+    clean, ntok, removed = [], [], []
+    for doc_id, text in zip(ids, texts):
+        toks = (text or "").split()
+        pos = pos_of(doc_id)
+        if isinstance(pos, str):
+            pos = np.fromiter(map(int, pos.split(",")), dtype=np.int64) \
+                if pos else None
+        if pos is None or len(pos) == 0:
+            clean.append(text or "")
+            ntok.append(len(toks))
+            removed.append(0)
+            continue
+        L = len(toks)
+        delta = np.zeros(L + 1, dtype=np.int32)
+        p = np.asarray(pos, dtype=np.int64)
+        np.add.at(delta, np.minimum(p, L), 1)
+        np.add.at(delta, np.minimum(p + n, L), -1)
+        drop = np.cumsum(delta[:L]) > 0
+        kept = [t for t, d in zip(toks, drop) if not d]
+        clean.append(" ".join(kept))
+        ntok.append(L)
+        removed.append(int(drop.sum()))
+    return clean, ntok, removed
+
+
+def exact_substring_dedup(ds, n: int = 5, num_shards: int = 64,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_docs: int = 2,
+                          broadcast_doc_limit: int = 500_000,
+                          num_partitions: int | None = None):
+    """Corpus-level exact-substring deduplication — the *cut* half of the
+    duplicated-window analysis (`duplicate_ngram_stats` is the report
+    half): every word n-gram window that also occurs in ≥ ``min_docs``-1
+    other documents is removed from every document containing it,
+    returning (id, clean_text, n_tokens, removed_tokens) for ALL input
+    docs (unaffected docs pass through verbatim). The shape follows
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), with hashed windows standing in for the suffix array.
+
+    Scale shape: hit-finding is two uniform 20 B-row hash-shard
+    exchanges (never keyed by raw n-gram hash — one shard = one
+    vectorized reduce); duplicate positions then fold to ONE slim row per
+    affected doc (a positions list bounded by that doc's own token
+    count), which re-joins the text either via a broadcast dict (affected
+    docs ≤ ``broadcast_doc_limit``) or a native hash ``Dataset.join`` on
+    the id. The heavy text crosses the wire at most once (through the
+    join) and never enters the shard exchanges.
+
+    Reference: the crawler dedups whole pages by SHA-256
+    (``pkg/crawler/crawler.go:1504-1543``); sub-document dedup is the
+    training-data extension of the same plane.
+    """
+    import ray
+
+    rows = ds.map_batches(
+        lambda t: ngram_hash_rows(t, n, id_col, text_col),
+        batch_format="pyarrow",
+    )
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].to_numpy().astype(np.uint64, copy=False)
+        df["shard"] = (((h * _SHARD_MIX) >> np.uint64(33))
+                       % np.uint64(num_shards)).astype(np.int32)
+        return df
+
+    def dup_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        nun = g.groupby("h", sort=False)[id_col].nunique()
+        dup_h = nun.index[nun >= min_docs]
+        hit = g[g["h"].isin(dup_h)]
+        return hit[[id_col, "pos"]]
+
+    hits = (
+        rows.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(dup_in_shard, batch_format="pandas")
+    )
+
+    def add_doc_shard(df: pd.DataFrame) -> pd.DataFrame:
+        key = pd.util.hash_array(df[id_col].to_numpy()).astype(np.uint64)
+        df["dshard"] = (key % np.uint64(num_shards)).astype(np.int32)
+        return df
+
+    def fold_positions(g: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_pos = [], []
+        for doc_id, grp in g.groupby(id_col, sort=False):
+            out_ids.append(doc_id)
+            # comma-joined string, not a list column: numpy lists become
+            # Ray tensor-extension columns, which Dataset.join rejects as
+            # a non-key payload — and the string is just as slim
+            p = np.unique(grp["pos"].to_numpy())
+            out_pos.append(",".join(map(str, p)))
+        return pd.DataFrame({id_col: out_ids, "dup_pos": out_pos})
+
+    pos_ds = (
+        hits.map_batches(add_doc_shard, batch_format="pandas")
+        .groupby("dshard")
+        .map_groups(fold_positions, batch_format="pandas")
+    ).materialize()
+
+    n_affected = pos_ds.count()
+
+    def out_table(batch: pa.Table, clean, ntok, removed) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "clean_text": pa.array(clean, pa.string()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "removed_tokens": pa.array(removed, pa.int64()),
+        })
+
+    if n_affected == 0 or n_affected <= broadcast_doc_limit:
+        if n_affected == 0:
+            lut: dict = {}
+        else:
+            pdf = pos_ds.to_pandas()
+            lut = {i: p for i, p in zip(pdf[id_col], pdf["dup_pos"])}
+        lut_ref = ray.put(lut)
+
+        def cut_broadcast(batch: pa.Table) -> pa.Table:
+            table = ray.get(lut_ref)
+            ids = batch[id_col].to_pylist()
+            clean, ntok, removed = _cut_positions_batch(
+                ids, batch[text_col].to_pylist(), table.get, n)
+            return out_table(batch, clean, ntok, removed)
+
+        return ds.map_batches(cut_broadcast, batch_format="pyarrow")
+
+    # join path: text meets its positions list exactly once
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = num_partitions or max(2, min(64, cpus // 2))
+    joined = ds.join(pos_ds, join_type="left_outer",
+                     num_partitions=nparts, on=(id_col,))
+
+    def cut_joined(batch: pa.Table) -> pa.Table:
+        pos_list = batch["dup_pos"].to_pylist()
+        clean, ntok, removed = _cut_positions_batch(
+            list(range(len(pos_list))), batch[text_col].to_pylist(),
+            lambda i: pos_list[i], n)
+        return out_table(batch, clean, ntok, removed)
+
+    return joined.map_batches(cut_joined, batch_format="pyarrow")
