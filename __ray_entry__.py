@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_pairs": q.q_simhash_pairs,
         "q_pii_redact": q.q_pii_redact,
         "q_line_dedup": q.q_line_dedup,
+        "q_global_line_dedup": q.q_global_line_dedup,
         "q_asof_attribution": q.q_asof_attribution,
         "q_range_join": q.q_range_join,
         "q_seq_packing": q.q_seq_packing,
@@ -1044,6 +1045,40 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(s.n_lines, 1), 6) AS dup_line_ratio,
                    ds.dedup_md5
             FROM stats s JOIN dstats ds USING (doc_id) ORDER BY s.doc_id
+        """,
+        # corpus-GLOBAL line dedup (C4): ROW_NUMBER over (doc_id, line_no)
+        # per distinct line = the engine's groupby(line_md5).min(rank)
+        "q_global_line_dedup": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       unnest(generate_series(1, len(string_split(text, ' ')))) AS ord
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, (ord - 1) // 6 AS line_no,
+                       string_agg(w, ' ' ORDER BY ord) AS line
+                FROM words GROUP BY doc_id, (ord - 1) // 6
+            ), ranked AS (
+                SELECT doc_id, line_no, line,
+                       ROW_NUMBER() OVER (PARTITION BY line
+                                          ORDER BY doc_id, line_no) AS rn
+                FROM lines
+            ), stats AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM lines GROUP BY doc_id
+            ), kept AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY line_no))
+                           AS kept_md5
+                FROM ranked WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_lines,
+                   COALESCE(k.n_kept, 0) AS n_kept,
+                   ROUND((s.n_lines - COALESCE(k.n_kept, 0))
+                         / GREATEST(s.n_lines, 1), 6) AS dup_line_ratio,
+                   COALESCE(k.kept_md5, md5('')) AS kept_md5
+            FROM stats s LEFT JOIN kept k USING (doc_id)
+            ORDER BY s.doc_id
         """,
         # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
         # co-partitioned groupby+searchsorted merge in ops/asof.py

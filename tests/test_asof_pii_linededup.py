@@ -128,3 +128,74 @@ def test_line_dedup_first_win(ray_session):
         ("\n".join([" ".join(words[:6]), " ".join(words[6:])])).encode()
     ).hexdigest()
     assert out.loc[0, "dedup_md5"] == expect
+
+
+# ---------------------------------------------------------------------------
+# corpus-GLOBAL line dedup (stages/dedup.py:global_line_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _gld_oracle(docs: list[tuple[int, str]], line_words=3):
+    """Pure-Python oracle: first (doc_id, line_no) occurrence of each
+    distinct line corpus-wide wins."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        words = text.split(" ") if text else []
+        lines = [" ".join(words[i:i + line_words])
+                 for i in range(0, len(words), line_words)]
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        out[doc_id] = (len(lines), len(kept),
+                       hashlib.md5("\n".join(kept).encode()).hexdigest())
+    return out
+
+
+def _gld_docs(seed=0, n_docs=40, vocab=14, n_words=24):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for d in range(n_docs):
+        words = [f"w{int(v)}" for v in rng.integers(0, vocab, n_words)]
+        docs.append((d, " ".join(words)))
+    docs.append((n_docs, ""))           # empty doc
+    docs.append((n_docs + 1, "w0 w1"))  # single short line
+    return docs
+
+
+@pytest.mark.parametrize("threshold", [2_000_000, 0])
+def test_global_line_dedup_both_paths(ray_session, threshold):
+    from thecrowler_ray.stages.dedup import global_line_dedup
+
+    docs = _gld_docs()
+    oracle = _gld_oracle(docs, line_words=3)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}))
+    out = global_line_dedup(ds, line_words=3,
+                            broadcast_threshold=threshold).to_pandas()
+    assert len(out) == len(docs)
+    for _, r in out.iterrows():
+        nl, nk, md = oracle[int(r["doc_id"])]
+        assert (int(r["n_lines"]), int(r["n_kept"])) == (nl, nk), r["doc_id"]
+        assert r["kept_md5"] == md
+        assert abs(r["dup_line_ratio"]
+                   - round((nl - nk) / max(nl, 1), 6)) < 1e-12
+    # the corpus must actually contain cross-doc duplicates for this test
+    # to exercise the global half
+    assert (out["n_kept"] < out["n_lines"]).any()
+
+
+def test_global_line_dedup_all_lines_lost(ray_session):
+    """A doc whose every line was seen earlier keeps nothing: md5('')."""
+    from thecrowler_ray.stages.dedup import global_line_dedup
+
+    docs = [(1, "a b c d e f"), (2, "a b c d e f")]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}))
+    out = (global_line_dedup(ds, line_words=3)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[2, "n_kept"] == 0
+    assert out.loc[2, "kept_md5"] == hashlib.md5(b"").hexdigest()
+    assert out.loc[1, "n_kept"] == 2

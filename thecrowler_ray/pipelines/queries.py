@@ -1646,6 +1646,18 @@ def q_line_dedup(sf_dir: str):
     )
 
 
+def q_global_line_dedup(sf_dir: str):
+    """Corpus-GLOBAL line dedup (C4 recipe): every distinct 6-word line is
+    kept once corpus-wide at its first (doc_id, line_no) occurrence; later
+    occurrences anywhere are cut (``stages/dedup.py:global_line_dedup``).
+    Slim (md5, rank) rows shuffle; text never does."""
+    from ..stages.dedup import global_line_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return global_line_dedup(ds, id_col="doc_id", text_col="text",
+                             line_words=6)
+
+
 def q_asof_attribution(sf_dir: str):
     """As-of join (``ops/asof.py``): attribute each purchase event to the
     user's most recent click at-or-before it — one co-partitioning

@@ -830,3 +830,164 @@ def exact_substring_dedup(ds, n: int = 5, num_shards: int = 64,
         return out_table(batch, clean, ntok, removed)
 
     return joined.map_batches(cut_joined, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-GLOBAL line dedup (C4-style: keep the first occurrence of every
+# fixed-width line across the WHOLE corpus, not just within a document)
+# ---------------------------------------------------------------------------
+
+_GLD_MAXL = 1 << 20          # max lines per doc (rank encoding bound)
+_GLD_MAXDOC = 1 << 43        # max doc id  (rank = doc_id * MAXL + line_no)
+
+
+def _line_rank_rows(batch: pa.Table, id_col: str, text_col: str,
+                    line_words: int) -> pa.Table:
+    """Slim (line_md5, rank) rows for one batch — the ONLY thing that
+    shuffles. rank = doc_id * 2^20 + line_no orders occurrences by
+    (doc_id, line_no) lexicographically under int64 min (both factors
+    bounds-checked; widen to string keys past 2^43 docs)."""
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    hs: list[str] = []
+    rk: list[int] = []
+    for doc_id, x in zip(ids, texts):
+        words = x.split(" ") if x else []
+        nl = (len(words) + line_words - 1) // line_words
+        if nl >= _GLD_MAXL or not (0 <= doc_id < _GLD_MAXDOC):
+            raise ValueError(
+                f"global_line_dedup rank bounds exceeded: doc_id={doc_id} "
+                f"n_lines={nl} (widen the rank encoding)")
+        base = int(doc_id) * _GLD_MAXL
+        for i in range(nl):
+            ln = " ".join(words[i * line_words:(i + 1) * line_words])
+            hs.append(hashlib.md5(ln.encode("utf-8")).hexdigest())
+            rk.append(base + i)
+    return pa.table({"line_md5": pa.array(hs, pa.string()),
+                     "rank": pa.array(rk, pa.int64())})
+
+
+def _gld_finalize(ids, texts, kept_of, line_words):
+    """Per-batch finalize: recompute lines locally (text never shuffled on
+    the broadcast path), keep the globally-first occurrences, report
+    counts + md5 of the kept text in line order."""
+    n_lines_l, n_kept_l, md5_l = [], [], []
+    for doc_id, x in zip(ids, texts):
+        words = x.split(" ") if x else []
+        lines = [" ".join(words[i:i + line_words])
+                 for i in range(0, len(words), line_words)]
+        kept = kept_of(doc_id)
+        if kept is None:
+            kept_lines = []
+        else:
+            kept_lines = [lines[i] for i in kept if i < len(lines)]
+        n_lines_l.append(len(lines))
+        n_kept_l.append(len(kept_lines))
+        md5_l.append(hashlib.md5(
+            "\n".join(kept_lines).encode("utf-8")).hexdigest())
+    return n_lines_l, n_kept_l, md5_l
+
+
+def global_line_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      line_words: int = 6,
+                      broadcast_threshold: int = 2_000_000,
+                      num_partitions: int | None = None):
+    """Corpus-global line-level dedup (the C4 recipe, Raffel et al. 2020
+    §2.2 — public method: "we discarded all but one of any three-sentence
+    span occurring more than once in the data set", here at fixed
+    ``line_words``-word line granularity): every distinct line is kept
+    exactly once corpus-wide, at its first occurrence in (doc_id, line_no)
+    order; later occurrences are cut. Returns per-doc
+    ``(doc_id, n_lines, n_kept, dup_line_ratio, kept_md5)``.
+
+    Scale shape: one pass emits slim (line_md5, rank) rows (16 B hash +
+    8 B rank — the text itself NEVER shuffles); one uniform
+    ``groupby(line_md5).min(rank)`` picks winners; the kept (doc, line_no)
+    sets come back either as a broadcast LUT (≤ ``broadcast_threshold``
+    distinct lines) or via a per-doc ``groupby`` + native left join
+    (above it, the ``q_nation_revenue`` switch pattern). The reference has
+    no corpus-dedup plane (its dedup is whole-page SHA-256,
+    ``pkg/crawler/crawler.go:1504-1543``); this is a training-data
+    operator this engine adds."""
+    import ray
+
+    rows = ds.map_batches(
+        lambda t: _line_rank_rows(t, id_col, text_col, line_words),
+        batch_format="pyarrow",
+    )
+    winners = rows.groupby("line_md5").min("rank").materialize()
+    n_winners = winners.count()
+
+    if n_winners <= broadcast_threshold:
+        # broadcast path: kept sets are slim ints — pull columnar, split
+        # into per-doc sorted line_no arrays, ship once via ray.put
+        parts = []
+        for b in winners.iter_batches(batch_format="pyarrow"):
+            parts.append(np.asarray(b["min(rank)"], dtype=np.int64))
+        ranks = (np.sort(np.concatenate(parts))
+                 if parts else np.empty(0, np.int64))
+        doc_ids, line_nos = np.divmod(ranks, _GLD_MAXL)
+        cut = np.nonzero(np.diff(doc_ids))[0] + 1
+        lut = {int(d[0]): ln for d, ln in
+               zip(np.split(doc_ids, cut), np.split(line_nos, cut))
+               if len(d)}
+        lut_ref = ray.put(lut)
+
+        def finalize_broadcast(batch: pa.Table) -> pa.Table:
+            table = ray.get(lut_ref)
+            ids = batch[id_col].to_pylist()
+            nl, nk, md = _gld_finalize(
+                ids, batch[text_col].to_pylist(), table.get, line_words)
+            return pa.table({
+                id_col: batch[id_col],
+                "n_lines": pa.array(nl, pa.int64()),
+                "n_kept": pa.array(nk, pa.int64()),
+                "dup_line_ratio": pa.array(
+                    [round((a - b) / max(a, 1), 6) for a, b in zip(nl, nk)],
+                    pa.float64()),
+                "kept_md5": pa.array(md, pa.string()),
+            })
+
+        return ds.map_batches(finalize_broadcast, batch_format="pyarrow")
+
+    # join path: decode winners → per-doc kept csv → left join with docs
+    def decode(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["min(rank)"], dtype=np.int64)
+        d, ln = np.divmod(r, _GLD_MAXL)
+        return pa.table({id_col: pa.array(d, pa.int64()),
+                         "line_no": pa.array(ln, pa.int64())})
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        ln = np.sort(g["line_no"].to_numpy())
+        return pd.DataFrame({id_col: [g[id_col].iloc[0]],
+                             "kept_csv": [",".join(map(str, ln))]})
+
+    kept_ds = (winners.map_batches(decode, batch_format="pyarrow")
+               .groupby(id_col).map_groups(collect, batch_format="pandas"))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = num_partitions or max(2, min(64, cpus // 2))
+    joined = ds.join(kept_ds, join_type="left_outer",
+                     num_partitions=nparts, on=(id_col,))
+
+    def finalize_joined(batch: pa.Table) -> pa.Table:
+        csvs = batch["kept_csv"].to_pylist()
+        kept_arrays = [
+            (np.fromiter(map(int, c.split(",")), dtype=np.int64)
+             if c else np.empty(0, np.int64)) if c is not None else None
+            for c in csvs
+        ]
+        ids = list(range(len(csvs)))
+        nl, nk, md = _gld_finalize(
+            ids, batch[text_col].to_pylist(),
+            lambda i: kept_arrays[i], line_words)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_lines": pa.array(nl, pa.int64()),
+            "n_kept": pa.array(nk, pa.int64()),
+            "dup_line_ratio": pa.array(
+                [round((a - b) / max(a, 1), 6) for a, b in zip(nl, nk)],
+                pa.float64()),
+            "kept_md5": pa.array(md, pa.string()),
+        })
+
+    return joined.map_batches(finalize_joined, batch_format="pyarrow")
