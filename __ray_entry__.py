@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pii_redact": q.q_pii_redact,
         "q_line_dedup": q.q_line_dedup,
         "q_global_line_dedup": q.q_global_line_dedup,
+        "q_nb_classify": q.q_nb_classify,
         "q_asof_attribution": q.q_asof_attribution,
         "q_range_join": q.q_range_join,
         "q_seq_packing": q.q_seq_packing,
@@ -1045,6 +1046,79 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(s.n_lines, 1), 6) AS dup_line_ratio,
                    ds.dedup_md5
             FROM stats s JOIN dstats ds USING (doc_id) ORDER BY s.doc_id
+        """,
+        # Naive Bayes classifier twin (stages/classify.py): add-1 counts
+        # over the doc_id%10<8 train split, per-token fixed-point terms
+        # (the ngram_lm floor(ln(int/int)*1e4+0.5) contract), argmax with
+        # label-ascending tie-break via ROW_NUMBER
+        "q_nb_classify": r"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(ws) AS tok FROM w
+            ), train AS (
+                SELECT * FROM w WHERE doc_id % 10 < 8
+            ), ttok AS (
+                SELECT lang AS label, unnest(ws) AS tok FROM train
+            ), c AS (
+                SELECT label, tok, COUNT(*) AS c
+                FROM ttok GROUP BY label, tok
+            ), nd AS (
+                SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS nd
+                FROM train GROUP BY lang
+            ), tl AS (
+                SELECT label, CAST(SUM(c) AS BIGINT) AS t
+                FROM c GROUP BY label
+            ), v AS (
+                SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vv FROM c
+            ), nt AS (
+                SELECT CAST(SUM(nd) AS BIGINT) AS n_total FROM nd
+            ), lab AS (
+                SELECT nd.label, nd.nd, tl.t,
+                       CAST(floor(ln(CAST(nd.nd AS DOUBLE)
+                                     / CAST(nt.n_total AS DOUBLE))
+                                  * 10000 + 0.5) AS BIGINT) AS prior_q4,
+                       CAST(floor(ln(1.0 / CAST(tl.t + v.vv AS DOUBLE))
+                                  * 10000 + 0.5) AS BIGINT) AS default_q4
+                FROM nd JOIN tl USING (label), v, nt
+            ), base AS (
+                SELECT d.doc_id, l.label,
+                       l.prior_q4
+                       + CAST(len(d.ws) AS BIGINT) * l.default_q4
+                           AS base_q4,
+                       CAST(len(d.ws) AS BIGINT) AS n_tokens,
+                       d.lang AS true_lang
+                FROM w d CROSS JOIN lab l
+            ), delta AS (
+                SELECT t.doc_id, c.label,
+                       CAST(SUM(
+                           CAST(floor(ln(CAST(c.c + 1 AS DOUBLE)
+                                         / CAST(l.t + v.vv AS DOUBLE))
+                                      * 10000 + 0.5) AS BIGINT)
+                           - l.default_q4) AS BIGINT) AS dq
+                FROM tok t
+                JOIN c ON c.tok = t.tok
+                JOIN lab l ON l.label = c.label, v
+                GROUP BY t.doc_id, c.label
+            ), scored AS (
+                SELECT b.doc_id, b.label,
+                       b.base_q4 + COALESCE(d.dq, 0) AS score_q4,
+                       b.n_tokens, b.true_lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.doc_id
+                           ORDER BY b.base_q4 + COALESCE(d.dq, 0) DESC,
+                                    b.label ASC) AS rn
+                FROM base b
+                LEFT JOIN delta d
+                  ON d.doc_id = b.doc_id AND d.label = b.label
+            )
+            SELECT doc_id, label AS pred_lang, score_q4, n_tokens,
+                   CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS is_train,
+                   CASE WHEN label = true_lang THEN 1 ELSE 0 END AS correct
+            FROM scored WHERE rn = 1 ORDER BY doc_id
         """,
         # corpus-GLOBAL line dedup (C4): ROW_NUMBER over (doc_id, line_no)
         # per distinct line = the engine's groupby(line_md5).min(rank)

@@ -1658,6 +1658,18 @@ def q_global_line_dedup(sf_dir: str):
                              line_words=6)
 
 
+def q_nb_classify(sf_dir: str):
+    """Multinomial Naive Bayes language classifier (fastText-analog,
+    ``stages/classify.py``): trained on the ``doc_id % 10 < 8`` split in
+    one count pass, every doc scored with fixed-point log-probs,
+    argmax label with label-ascending tie-break."""
+    from ..stages.classify import nb_classify
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return nb_classify(ds, id_col="doc_id", text_col="text",
+                       label_col="lang", split_mod=8)
+
+
 def q_asof_attribution(sf_dir: str):
     """As-of join (``ops/asof.py``): attribute each purchase event to the
     user's most recent click at-or-before it — one co-partitioning
