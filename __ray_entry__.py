@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": q.q_weighted_sample,
         "q_knn_graph": q.q_knn_graph,
         "q_pagerank": q.q_pagerank,
+        "q_hits": q.q_hits,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -502,6 +503,52 @@ def _dsir_sql(k: int = 100, n_buckets: int = 2048) -> str:
         ORDER BY score DESC, s.doc_id
         LIMIT {k}
     """
+
+
+def _hits_sql(iterations: int = 5, unit: int = 10**12,
+              off: int = 1_000_000_000, k: int = 100) -> str:
+    """Chained-CTE replay of ops/hits.py's integer recurrence over the
+    directed part→supplier lineitem graph: q12 scores, per-half-step
+    normalization x // max(ceil(max/unit), 1) — pure int64, hash-exact."""
+    ctes = [
+        f"""e AS MATERIALIZED (
+            SELECT l_partkey AS src, l_suppkey + {off} AS dst FROM lineitem
+        ), nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), h0 AS MATERIALIZED (
+            SELECT node, CAST({unit} AS BIGINT) AS s FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        for raw, out, prev, jk, gk in (
+            (f"ar{i}", f"a{i}", f"h{i - 1}", "src", "dst"),
+            (f"hr{i}", f"h{i}", f"a{i}", "dst", "src"),
+        ):
+            # AS MATERIALIZED: each raw CTE is referenced twice (the sum
+            # and the scalar MAX) — inlining would re-expand the whole
+            # chain per reference, exponentially
+            ctes.append(f"""{raw} AS MATERIALIZED (
+                SELECT n.node,
+                       COALESCE(CAST(s.m AS BIGINT), 0) AS m
+                FROM nodes n LEFT JOIN (
+                    SELECT e.{gk} AS node, SUM({prev}.s) AS m
+                    FROM e JOIN {prev} ON {prev}.node = e.{jk}
+                    GROUP BY e.{gk}) s USING (node))""")
+            ctes.append(f"""{out} AS MATERIALIZED (
+                SELECT node, m // GREATEST(
+                    ((SELECT MAX(m) FROM {raw}) + {unit - 1}) // {unit},
+                    1) AS s
+                FROM {raw})""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT a{iterations}.node,
+               a{iterations}.s AS auth_q,
+               h{iterations}.s AS hub_q
+        FROM a{iterations} JOIN h{iterations} USING (node)
+        ORDER BY auth_q DESC, hub_q DESC, node ASC LIMIT {k}
+    """
+    )
 
 
 def _pagerank_sql(iterations: int = 5, unit: int = 10**12,
@@ -1315,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
         "q_pagerank": _pagerank_sql(),
+        "q_hits": _hits_sql(),
         "q_moments": _moments_sql(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),

@@ -2186,6 +2186,33 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(ds, k=5)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (``ops/hits.py``) over the DIRECTED
+    part→supplier graph from lineitem (parallel edges = multiplicity):
+    integer q12 scores, per-half-step ``x // ceil(max/unit)``
+    normalization, 5 iterations — every step an exact int64 recurrence
+    the SQL twin replays with chained CTEs. Broadcast path below the
+    node threshold, distributed join path above (parity-tested)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.hits import hits
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    OFF = 1_000_000_000
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["l_partkey"],
+                         "dst": pc.add(batch["l_suppkey"], OFF)})
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return (
+        hits(edges)
+        .sort(["auth_q", "hub_q", "node"], descending=[True, True, False])
+        .limit(100)
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point PageRank (``ops/pagerank.py``) over the bidirectional
     part↔supplier graph from lineitem (parallel edges = multiplicity).
