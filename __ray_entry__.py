@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_line_dedup": q.q_line_dedup,
         "q_global_line_dedup": q.q_global_line_dedup,
         "q_nb_classify": q.q_nb_classify,
+        "q_snapshot_diff": q.q_snapshot_diff,
+        "q_change_rates": q.q_change_rates,
         "q_asof_attribution": q.q_asof_attribution,
         "q_range_join": q.q_range_join,
         "q_seq_packing": q.q_seq_packing,
@@ -1093,6 +1095,65 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(s.n_lines, 1), 6) AS dup_line_ratio,
                    ds.dedup_md5
             FROM stats s JOIN dstats ds USING (doc_id) ORDER BY s.doc_id
+        """,
+        # snapshot delta (stages/diff.py): the old side is derived with
+        # the same %7 / %5 / %11 rules, then a FULL OUTER JOIN on doc_id
+        # classifies each id by null-ness and md5 equality
+        "q_snapshot_diff": """
+            WITH new AS (
+                SELECT doc_id, source, md5(text) AS h FROM documents
+            ), old AS (
+                SELECT doc_id, source,
+                       md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v1'
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000, source,
+                       md5('gone-' || CAST(doc_id AS VARCHAR))
+                FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+                   CASE WHEN o.h IS NULL THEN 'added'
+                        WHEN n.h IS NULL THEN 'removed'
+                        WHEN n.h = o.h THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   COALESCE(n.source, o.source) AS source
+            FROM new n FULL OUTER JOIN old o USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "q_change_rates": """
+            WITH new AS (
+                SELECT doc_id, source, md5(text) AS h FROM documents
+            ), old AS (
+                SELECT doc_id, source,
+                       md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v1'
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000, source,
+                       md5('gone-' || CAST(doc_id AS VARCHAR))
+                FROM documents WHERE doc_id % 11 = 0
+            ), d AS (
+                SELECT COALESCE(n.source, o.source) AS source,
+                       CASE WHEN o.h IS NULL THEN 'added'
+                            WHEN n.h IS NULL THEN 'removed'
+                            WHEN n.h = o.h THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM new n FULL OUTER JOIN old o USING (doc_id)
+            )
+            SELECT source,
+                   CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added,
+                   CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changed,
+                   CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_unchanged,
+                   ROUND((SUM(CASE WHEN status <> 'unchanged' THEN 1
+                              ELSE 0 END)) / GREATEST(COUNT(*), 1), 6)
+                       AS change_rate
+            FROM d GROUP BY source ORDER BY source
         """,
         # Naive Bayes classifier twin (stages/classify.py): add-1 counts
         # over the doc_id%10<8 train split, per-token fixed-point terms

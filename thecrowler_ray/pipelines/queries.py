@@ -1658,6 +1658,55 @@ def q_global_line_dedup(sf_dir: str):
                              line_words=6)
 
 
+def _snapshot_sides(sf_dir: str):
+    """(old, new) snapshot pair derived deterministically from documents:
+    docs with doc_id%7==0 are missing from old (→ added), docs with
+    doc_id%5==0 had different old text (→ changed), and old carries
+    extra rows at doc_id+10M for doc_id%11==0 (→ removed)."""
+    new = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def old_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        o_id, o_t, o_s = [], [], []
+        for i, t, s in zip(ids, texts, srcs):
+            if i % 7 != 0:
+                o_id.append(i)
+                o_t.append((t or "") + " v1" if i % 5 == 0 else t)
+                o_s.append(s)
+            if i % 11 == 0:
+                o_id.append(i + 10_000_000)
+                o_t.append(f"gone-{i}")
+                o_s.append(s)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "text": pa.array(o_t, pa.string()),
+                         "source": pa.array(o_s, pa.string())})
+
+    old = new.map_batches(old_rows, batch_format="pyarrow")
+    return old, new
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Re-crawl snapshot delta (``stages/diff.py:snapshot_diff``): full
+    outer hash join of slim (id, md5) rows → added / removed / changed /
+    unchanged per doc; text never shuffles."""
+    from ..stages.diff import snapshot_diff
+
+    old, new = _snapshot_sides(sf_dir)
+    return snapshot_diff(old, new)
+
+
+def q_change_rates(sf_dir: str):
+    """Per-source change-rate rollup over the snapshot delta
+    (``stages/diff.py:change_rates``): one groupby over partial
+    (source, status) counts."""
+    from ..stages.diff import change_rates, snapshot_diff
+
+    old, new = _snapshot_sides(sf_dir)
+    return change_rates(snapshot_diff(old, new))
+
+
 def q_nb_classify(sf_dir: str):
     """Multinomial Naive Bayes language classifier (fastText-analog,
     ``stages/classify.py``): trained on the ``doc_id % 10 < 8`` split in
