@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_graph": q.q_knn_graph,
         "q_pagerank": q.q_pagerank,
         "q_hits": q.q_hits,
+        "q_triangles": q.q_triangles,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -1424,6 +1425,29 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_select": _dsir_sql(),
         "q_pagerank": _pagerank_sql(),
         "q_hits": _hits_sql(),
+        # triangle counting twin: canonical x<y edges from the part
+        # co-order graph, the classic a<b<c three-way self-join — same
+        # triangle set the degree-oriented engine closes once per apex
+        "q_triangles": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+            ), e AS MATERIALIZED (
+                SELECT DISTINCT a.p AS x, b.p AS y
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            ), tri AS MATERIALIZED (
+                SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                FROM e e1
+                JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+                JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+            ), n AS (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM n GROUP BY node ORDER BY node
+        """,
         "q_moments": _moments_sql(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),

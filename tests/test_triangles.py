@@ -1,0 +1,65 @@
+"""Triangle counting (ops/triangles.py): brute-force oracle on random
+graphs, broadcast-vs-join parity, dirty-input canonicalization."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from thecrowler_ray.ops.triangles import triangle_counts
+
+
+def brute_force(edges):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _ds(edges):
+    return rd.from_pandas(
+        pd.DataFrame(edges, columns=["x", "y"]).astype("int64"))
+
+
+def _got(ds):
+    df = ds.to_pandas()
+    if df.empty:  # empty to_pandas drops columns (Ray quirk)
+        return {}
+    return dict(zip(df["node"], df["triangles"]))
+
+
+def test_k4_plus_tail(ray_session):
+    # K4 (4 triangles, each node in 3) + a tail edge (no triangle)
+    edges = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5)]
+    got = _got(triangle_counts(_ds(edges)))
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_dirty_input_canonicalized(ray_session):
+    # duplicates, reversed orientation, self-loops — one triangle
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    got = _got(triangle_counts(_ds(edges)))
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+@pytest.mark.parametrize("threshold", [2_000_000, 0])
+def test_random_graph_vs_brute_force(ray_session, threshold):
+    rng = np.random.default_rng(5)
+    edges = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 25, 160), rng.integers(0, 25, 160))]
+    got = _got(triangle_counts(_ds(edges), broadcast_threshold=threshold))
+    assert got == brute_force(edges)
+
+
+def test_no_triangles(ray_session):
+    got = _got(triangle_counts(_ds([(1, 2), (3, 4), (2, 3)])))
+    assert got == {}

@@ -1,0 +1,168 @@
+"""Distributed triangle counting with degree orientation.
+
+Graph-shape statistics for the link/co-occurrence plane (clustering
+coefficients, community density — the standard corpus-graph health
+signals). Degree orientation is the classic trick (Suri & Vassilvitskii
+2011, "Counting Triangles and the Curse of the Last Reducer" — public
+method): orient every undirected edge from the endpoint with the
+smaller ``(degree, id)`` key to the larger, making the graph a DAG
+where every out-degree is O(√E) — so the wedge (2-path) explosion that
+kills naive triangle counting on hot nodes is bounded by construction,
+and each triangle is enumerated exactly once (at its lowest-key apex).
+
+Shape:
+
+1. dedup + self-loop drop → canonical undirected edges (x < y), one
+   ``groupby`` on slim id pairs;
+2. degrees: one ``groupby`` over exploded endpoints;
+3. orientation: degrees attach via broadcast dict (≤ threshold nodes)
+   or two native joins (above — the usual switch);
+4. wedges: ``groupby(apex)`` emits orientation-ordered out-neighbor
+   pairs (group size ≤ out-degree ≤ O(√E));
+5. close: wedge rows inner-join the oriented edges on (v, w) — each
+   match is one triangle; per-node counts are a flat-map (3 rows per
+   triangle) + one count groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _canonical_edges(edges):
+    """Distinct undirected edges as (x, y) with x < y; self-loops drop."""
+    def canon(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = x != y
+        x, y = x[keep], y[keep]
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        # per-batch dedup (combiner) before the global one
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"x": pa.array(u[:, 0]), "y": pa.array(u[:, 1])})
+
+    return (edges.map_batches(canon, batch_format="pyarrow")
+            .groupby(["x", "y"]).count().drop_columns(["count()"]))
+
+
+def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
+                    num_partitions: int | None = None):
+    """Edge-list Dataset (x, y int64; duplicates/self-loops/either
+    orientation fine) → Dataset (node, triangles) for nodes in ≥1
+    triangle."""
+    from ray.data.aggregate import Sum
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = num_partitions or max(2, min(64, cpus // 2))
+    e = _canonical_edges(edges).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        xs = batch["x"].to_numpy(zero_copy_only=False)
+        ys = batch["y"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(np.concatenate([xs, ys]), return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "d": pa.array(c.astype(np.int64))})
+
+    deg = (e.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("d", alias_name="deg"))
+           .materialize())
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64())}))
+
+    if n_nodes <= broadcast_threshold:
+        dmap: dict = {}
+        for b in deg.iter_batches(batch_format="pyarrow"):
+            for n_, d_ in zip(b["node"].to_pylist(), b["deg"].to_pylist()):
+                dmap[n_] = d_
+        deg_ref = ray.put(dmap)
+
+        def orient(batch: pa.Table) -> pa.Table:
+            dm = ray.get(deg_ref)
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            dx = np.fromiter((dm[v] for v in x), np.int64, len(x))
+            dy = np.fromiter((dm[v] for v in y), np.int64, len(y))
+            fwd = (dx < dy) | ((dx == dy) & (x < y))
+            return pa.table({
+                "src": pa.array(np.where(fwd, x, y).astype(np.int64)),
+                "dst": pa.array(np.where(fwd, y, x).astype(np.int64)),
+                "kd": pa.array(np.where(fwd, dy, dx).astype(np.int64)),
+            })
+
+        ep = e.map_batches(orient, batch_format="pyarrow").materialize()
+    else:
+        # join path: attach each endpoint's degree via two hash joins
+        dx = deg.map_batches(
+            lambda b: b.rename_columns(["x", "dx"]),
+            batch_format="pyarrow")
+        dy = deg.map_batches(
+            lambda b: b.rename_columns(["y", "dy"]),
+            batch_format="pyarrow")
+        j = (e.join(dx, join_type="inner", num_partitions=nparts,
+                    on=("x",))
+             .join(dy, join_type="inner", num_partitions=nparts,
+                   on=("y",)))
+
+        def orient_j(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            dx_ = batch["dx"].to_numpy(zero_copy_only=False)
+            dy_ = batch["dy"].to_numpy(zero_copy_only=False)
+            fwd = (dx_ < dy_) | ((dx_ == dy_) & (x < y))
+            return pa.table({
+                "src": pa.array(np.where(fwd, x, y).astype(np.int64)),
+                "dst": pa.array(np.where(fwd, y, x).astype(np.int64)),
+                "kd": pa.array(np.where(fwd, dy_, dx_).astype(np.int64)),
+            })
+
+        ep = j.map_batches(orient_j, batch_format="pyarrow").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # out-neighbors sorted by the orientation key (deg, id) so the
+        # emitted pair (v, w) is exactly the orientation E+ stores
+        order = np.lexsort((g["dst"].to_numpy(), g["kd"].to_numpy()))
+        nb = g["dst"].to_numpy()[order]
+        k = len(nb)
+        if k < 2:
+            return pd.DataFrame({"apex": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(k, 1)
+        return pd.DataFrame({
+            "apex": np.full(len(iu), g["src"].iloc[0], dtype=np.int64),
+            "v": nb[iu].astype(np.int64),
+            "w": nb[ju].astype(np.int64),
+        })
+
+    # the join shuffles the wedge set anyway; materializing first lets us
+    # early-exit the (schema-less) zero-wedge case
+    wedge_ds = (ep.groupby("src").map_groups(wedges, batch_format="pandas")
+                .materialize())
+    if wedge_ds.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64())}))
+    evw = ep.map_batches(
+        lambda b: pa.table({"v": b["src"], "w": b["dst"]}),
+        batch_format="pyarrow")
+    tri = wedge_ds.join(evw, join_type="inner", num_partitions=nparts,
+                        on=("v", "w"))
+
+    def per_node(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            batch["apex"].to_numpy(zero_copy_only=False),
+            batch["v"].to_numpy(zero_copy_only=False),
+            batch["w"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "t": pa.array(c.astype(np.int64))})
+
+    return (tri.map_batches(per_node, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("t", alias_name="triangles")))

@@ -2235,6 +2235,29 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(ds, k=5)
 
 
+def q_triangles(sf_dir: str):
+    """Degree-oriented triangle counting (``ops/triangles.py``) over the
+    part co-order graph (parts sharing an l_orderkey are connected):
+    wedge generation bounded by O(√E) out-degrees, each triangle closed
+    once at its lowest-(deg, id) apex; per-node triangle counts."""
+    from ..ops.triangles import triangle_counts
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.unique(g["l_partkey"].to_numpy())
+        if len(p) < 2:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(len(p), 1)
+        return pd.DataFrame({"x": p[iu].astype(np.int64),
+                             "y": p[ju].astype(np.int64)})
+
+    edges = (li.groupby("l_orderkey")
+             .map_groups(pairs, batch_format="pandas"))
+    return triangle_counts(edges).sort("node")
+
+
 def q_hits(sf_dir: str):
     """HITS hubs & authorities (``ops/hits.py``) over the DIRECTED
     part→supplier graph from lineitem (parallel edges = multiplicity):
