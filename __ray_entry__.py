@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_select": q.q_dsir_select,
         "q_ngram_lm": q.q_ngram_lm,
         "q_bm25": q.q_bm25,
+        "q_rrf_fusion": q.q_rrf_fusion,
         "q_bpe_roundtrip": q.q_bpe_roundtrip,
         "q_heavy_hitters": q.q_heavy_hitters,
         "q_weighted_sample": q.q_weighted_sample,
@@ -1714,6 +1715,69 @@ def oracle_sql() -> dict[str, str]:
             FROM contrib GROUP BY doc_id
             ORDER BY score_q4 DESC, doc_id ASC
             LIMIT 50
+        """,
+        # RRF fusion twin (stages/fusion.py): the q_bm25 pipeline as run
+        # A, token-count top-50 as run B, integer 10^6 // (60 + rank)
+        # contributions summed per doc
+        "q_rrf_fusion": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w
+            ), stats AS (
+                SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+            ), tok AS (
+                SELECT doc_id, unnest(ws) AS tok FROM w
+            ), tf AS (
+                SELECT doc_id, tok AS term, COUNT(*) AS tf FROM tok
+                WHERE tok IN ('spark', 'window', 'merge')
+                GROUP BY doc_id, tok
+            ), df AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), contrib AS (
+                SELECT tf.doc_id,
+                       CAST(floor(((
+                           ln(1.0 + (CAST(s.n_docs AS DOUBLE)
+                                     - CAST(df.df AS DOUBLE) + 0.5)
+                                    / (CAST(df.df AS DOUBLE) + 0.5))
+                           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)))
+                          / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75)
+                             + 1.2 * 0.75
+                               * (CAST(dl.dl * s.n_docs AS DOUBLE)
+                                  / CAST(s.total_dl AS DOUBLE))))
+                          * 10000 + 0.5) AS BIGINT) AS term_q4
+                FROM tf
+                JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id, stats s
+            ), bm AS (
+                SELECT doc_id, CAST(SUM(term_q4) AS BIGINT) AS score_q4
+                FROM contrib GROUP BY doc_id
+                ORDER BY score_q4 DESC, doc_id ASC LIMIT 50
+            ), run_a AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score_q4 DESC,
+                                          doc_id ASC) AS rank
+                FROM bm
+            ), top_dl AS (
+                SELECT doc_id, dl FROM dl
+                ORDER BY dl DESC, doc_id ASC LIMIT 50
+            ), run_b AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY dl DESC,
+                                          doc_id ASC) AS rank
+                FROM top_dl
+            ), runs AS (
+                SELECT * FROM run_a UNION ALL SELECT * FROM run_b
+            )
+            SELECT doc_id,
+                   CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_q6,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MIN(rank) AS BIGINT) AS best_rank
+            FROM runs GROUP BY doc_id
+            ORDER BY rrf_q6 DESC, doc_id ASC
         """,
         "q_ngram_lm": """
             -- Bigram-LM domain-fit twin (stages/ngram_lm.py): add-1

@@ -2183,6 +2183,37 @@ def q_bm25(sf_dir: str):
     return bm25_topk(ds, ["spark", "window", "merge"], k=50)
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal Rank Fusion (``stages/fusion.py``): the BM25 top-50
+    (lexical run) fused with the token-count top-50 (a stand-in second
+    run with the same shape an embedding run has) via integer-exact
+    ``10^6 // (60 + rank)`` contributions — one groupby over slim rank
+    rows."""
+    from ..stages.bm25 import bm25_topk
+    from ..stages.fusion import add_rank, rrf_fuse
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    run_a = add_rank(
+        bm25_topk(docs, ["spark", "window", "merge"], k=50),
+        ["score_q4", "doc_id"], [True, False],
+    ).select_columns(["doc_id", "rank"])
+
+    def dl_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        dl = [len((x or "").lower().split()) for x in texts]
+        return pa.table({"doc_id": t["doc_id"],
+                         "dl": pa.array(dl, pa.int64())})
+
+    run_b = add_rank(
+        docs.map_batches(dl_rows, batch_format="pyarrow")
+        .sort(["dl", "doc_id"], descending=[True, False]).limit(50),
+        ["dl", "doc_id"], [True, False],
+    ).select_columns(["doc_id", "rank"])
+
+    fused = rrf_fuse(run_a.union(run_b))
+    return fused.sort(["rrf_q6", "doc_id"], descending=[True, False])
+
+
 def q_bpe_roundtrip(sf_dir: str):
     """Byte-level BPE tokenizer (``stages/bpe.py``): one distributed
     word-count pass trains the merges (bounded driver loop over word
