@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_lm": q.q_ngram_lm,
         "q_bm25": q.q_bm25,
         "q_rrf_fusion": q.q_rrf_fusion,
+        "q_centroid_classify": q.q_centroid_classify,
         "q_bpe_roundtrip": q.q_bpe_roundtrip,
         "q_heavy_hitters": q.q_heavy_hitters,
         "q_weighted_sample": q.q_weighted_sample,
@@ -1715,6 +1716,43 @@ def oracle_sql() -> dict[str, str]:
             FROM contrib GROUP BY doc_id
             ORDER BY score_q4 DESC, doc_id ASC
             LIMIT 50
+        """,
+        # nearest-centroid twin (stages/centroid.py): q4 quantization,
+        # q8 integer centroids via DuckDB's TRUNCATING // (the engine
+        # mirrors trunc explicitly — numpy floors), exact int64 distances
+        "q_centroid_classify": """
+            WITH x AS (
+                SELECT vec_id, label,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                           AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 10000 + 0.5) AS BIGINT) AS xq
+                FROM embeddings
+            ), cent AS MATERIALIZED (
+                SELECT label, dim,
+                       (CAST(SUM(xq) AS BIGINT) * 10000) // COUNT(*) AS cq
+                FROM x WHERE vec_id % 10 < 8 GROUP BY label, dim
+            ), d AS (
+                SELECT x.vec_id, c.label,
+                       CAST(SUM((x.xq * 10000 - c.cq)
+                                * (x.xq * 10000 - c.cq)) AS BIGINT)
+                           AS dist
+                FROM x JOIN cent c USING (dim)
+                GROUP BY x.vec_id, c.label
+            ), ranked AS (
+                SELECT vec_id, label, dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, label ASC)
+                           AS rn
+                FROM d
+            )
+            SELECT r.vec_id, r.label AS pred_label, r.dist AS dist_q,
+                   CASE WHEN r.vec_id % 10 < 8 THEN 1 ELSE 0 END
+                       AS is_train,
+                   CASE WHEN r.label = e.label THEN 1 ELSE 0 END
+                       AS correct
+            FROM ranked r JOIN embeddings e USING (vec_id)
+            WHERE r.rn = 1 ORDER BY r.vec_id
         """,
         # RRF fusion twin (stages/fusion.py): the q_bm25 pipeline as run
         # A, token-count top-50 as run B, integer 10^6 // (60 + rank)

@@ -2183,6 +2183,17 @@ def q_bm25(sf_dir: str):
     return bm25_topk(ds, ["spark", "window", "merge"], k=50)
 
 
+def q_centroid_classify(sf_dir: str):
+    """Nearest-centroid (Rocchio) classifier over embeddings
+    (``stages/centroid.py``): one per-label sum pass trains q8 integer
+    centroids (truncating division — DuckDB ``//`` semantics), exact
+    int64 squared distances, argmin with label-asc tie-break."""
+    from ..stages.centroid import centroid_classify
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return centroid_classify(ds)
+
+
 def q_rrf_fusion(sf_dir: str):
     """Reciprocal Rank Fusion (``stages/fusion.py``): the BM25 top-50
     (lexical run) fused with the token-count top-50 (a stand-in second
