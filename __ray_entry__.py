@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nb_classify": q.q_nb_classify,
         "q_snapshot_diff": q.q_snapshot_diff,
         "q_change_rates": q.q_change_rates,
+        "q_recrawl": q.q_recrawl,
         "q_asof_attribution": q.q_asof_attribution,
         "q_range_join": q.q_range_join,
         "q_seq_packing": q.q_seq_packing,
@@ -1157,6 +1158,49 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END)) / GREATEST(COUNT(*), 1), 6)
                        AS change_rate
             FROM d GROUP BY source ORDER BY source
+        """,
+        # re-crawl intervals (stages/diff.py:recrawl_intervals): Cho &
+        # Garcia-Molina λ = -ln((2u+1)/(2n+1)) in fixed point over the
+        # change-rates delta, base/λ clamped to [1h, 30d]
+        "q_recrawl": """
+            WITH new AS (
+                SELECT doc_id, source, md5(text) AS h FROM documents
+            ), old AS (
+                SELECT doc_id, source,
+                       md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v1'
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000, source,
+                       md5('gone-' || CAST(doc_id AS VARCHAR))
+                FROM documents WHERE doc_id % 11 = 0
+            ), d AS (
+                SELECT COALESCE(n.source, o.source) AS source,
+                       CASE WHEN o.h IS NULL THEN 'added'
+                            WHEN n.h IS NULL THEN 'removed'
+                            WHEN n.h = o.h THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM new n FULL OUTER JOIN old o USING (doc_id)
+            ), s AS (
+                SELECT source,
+                       CAST(SUM(CASE WHEN status = 'changed' THEN 1
+                                ELSE 0 END) AS BIGINT) AS c,
+                       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1
+                                ELSE 0 END) AS BIGINT) AS u
+                FROM d GROUP BY source
+            ), lam AS (
+                SELECT source, c + u AS n_observed,
+                       CAST(floor(-ln(CAST(2 * u + 1 AS DOUBLE)
+                                      / CAST(2 * (c + u) + 1 AS DOUBLE))
+                                  * 1000000 + 0.5) AS BIGINT)
+                           AS lambda_q6
+                FROM s
+            )
+            SELECT source, n_observed, lambda_q6,
+                   LEAST(GREATEST((CAST(86400 AS BIGINT) * 1000000)
+                                  // GREATEST(lambda_q6, 1), 3600),
+                         2592000) AS next_interval_s
+            FROM lam ORDER BY source
         """,
         # Naive Bayes classifier twin (stages/classify.py): add-1 counts
         # over the doc_id%10<8 train split, per-token fixed-point terms

@@ -1707,6 +1707,16 @@ def q_change_rates(sf_dir: str):
     return change_rates(snapshot_diff(old, new))
 
 
+def q_recrawl(sf_dir: str):
+    """Adaptive re-crawl intervals (``stages/diff.py:recrawl_intervals``,
+    Cho & Garcia-Molina estimator): per-source Poisson change rate from
+    the snapshot delta, fixed-point λ, clamped next interval."""
+    from ..stages.diff import change_rates, recrawl_intervals, snapshot_diff
+
+    old, new = _snapshot_sides(sf_dir)
+    return recrawl_intervals(change_rates(snapshot_diff(old, new)))
+
+
 def q_nb_classify(sf_dir: str):
     """Multinomial Naive Bayes language classifier (fastText-analog,
     ``stages/classify.py``): trained on the ``doc_id % 10 < 8`` split in

@@ -118,3 +118,42 @@ def change_rates(diff_ds, *, group_col: str = "source"):
             pa.array(np.round((a + r + c) / tot, 6), pa.float64()))
 
     return agg.map_batches(rate, batch_format="pyarrow")
+
+
+def recrawl_intervals(rates_ds, *, group_col: str = "source",
+                      base_interval_s: int = 86_400,
+                      min_interval_s: int = 3_600,
+                      max_interval_s: int = 2_592_000):
+    """Adaptive re-crawl interval per source from one snapshot delta —
+    the Cho & Garcia-Molina (2003) Poisson change-rate estimator
+    (public method): with n surviving docs observed and u unchanged,
+    ``λ̂ = −ln((u + 0.5) / (n + 0.5))`` changes per base interval; the
+    next interval is ``base / λ̂`` clamped to [min, max]. The reference
+    drives re-crawl from fixed per-source windows
+    (``pkg/database/source.go`` update_sources); this derives the
+    window from observed change behaviour instead.
+
+    **Fixed point**: ``lambda_q6 = floor(−ln((u+0.5)/(n+0.5))·10^6+0.5)``
+    — ln of a ratio of exactly-representable halves (both sides compute
+    ``(2u+1)/(2n+1)``, an exact-int ratio, the ngram_lm portability
+    contract); ``next_interval_s = clamp(base·10^6 // max(λ_q6, 1))``
+    stays integer. Removed/added docs don't enter n (they have no
+    change observation); n = changed + unchanged survivors."""
+    def interval(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["n_changed"], dtype=np.int64)
+        u = np.asarray(batch["n_unchanged"], dtype=np.int64)
+        n = c + u
+        lam = np.floor(
+            -np.log((2 * u + 1).astype(np.float64)
+                    / (2 * n + 1).astype(np.float64)) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        nxt = (base_interval_s * 1_000_000) // np.maximum(lam, 1)
+        nxt = np.clip(nxt, min_interval_s, max_interval_s)
+        return pa.table({
+            group_col: batch[group_col],
+            "n_observed": pa.array(n),
+            "lambda_q6": pa.array(lam),
+            "next_interval_s": pa.array(nxt.astype(np.int64)),
+        })
+
+    return rates_ds.map_batches(interval, batch_format="pyarrow")
