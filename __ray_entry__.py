@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": q.q_pagerank,
         "q_hits": q.q_hits,
         "q_triangles": q.q_triangles,
+        "q_exact_quantiles": q.q_exact_quantiles,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -1471,6 +1472,28 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_select": _dsir_sql(),
         "q_pagerank": _pagerank_sql(),
         "q_hits": _hits_sql(),
+        # exact-quantiles twin (ops/quantiles.py): 0-based rank
+        # floor(q*(n-1)) over the ascending sort via ROW_NUMBER — the
+        # pinned "lower" method, no interpolation ambiguity
+        "q_exact_quantiles": """
+            WITH c AS (
+                SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM lineitem
+            ), s AS (
+                SELECT cents,
+                       ROW_NUMBER() OVER (ORDER BY cents) - 1 AS r
+                FROM c
+            ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+            qs(q_permille) AS (
+                VALUES (10), (250), (500), (750), (900), (990)
+            )
+            SELECT qs.q_permille, n.n, s.cents AS value
+            FROM qs, n
+            JOIN s ON s.r = CAST(floor(
+                (qs.q_permille / 1000.0) * (n.n - 1)) AS BIGINT)
+            ORDER BY qs.q_permille
+        """,
         # triangle counting twin: canonical x<y edges from the part
         # co-order graph, the classic a<b<c three-way self-join — same
         # triangle set the degree-oriented engine closes once per apex

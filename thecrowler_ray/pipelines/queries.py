@@ -2287,6 +2287,26 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(ds, k=5)
 
 
+def q_exact_quantiles(sf_dir: str):
+    """Exact distributed quantiles (``ops/quantiles.py``): lineitem
+    extended price in cents, six order statistics resolved in
+    ≤ log_4096(range) streaming histogram passes — no sort, no
+    shuffle."""
+    from ..ops.quantiles import exact_quantiles
+
+    li = _rp(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(np.asarray(t["l_extendedprice"], dtype=np.float64)
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({"cents": pa.array(v)})
+
+    ds = li.map_batches(cents, batch_format="pyarrow")
+    return exact_quantiles(
+        ds, "cents", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ).sort("q_permille")
+
+
 def q_triangles(sf_dir: str):
     """Degree-oriented triangle counting (``ops/triangles.py``) over the
     part co-order graph (parts sharing an l_orderkey are connected):
