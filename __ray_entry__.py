@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hits": q.q_hits,
         "q_triangles": q.q_triangles,
         "q_exact_quantiles": q.q_exact_quantiles,
+        "q_skew_join": q.q_skew_join,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -1472,6 +1473,22 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_select": _dsir_sql(),
         "q_pagerank": _pagerank_sql(),
         "q_hits": _hits_sql(),
+        # skew-join twin (ops/salted.py:skew_join): the hot/cold split is
+        # an execution strategy — semantics are the plain inner join
+        "q_skew_join": """
+            WITH fact AS (
+                SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1
+                            ELSE l_orderkey END AS k,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM lineitem
+            )
+            SELECT o.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM fact f JOIN orders o ON o.o_orderkey = f.k
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
         # exact-quantiles twin (ops/quantiles.py): 0-based rank
         # floor(q*(n-1)) over the ascending sort via ROW_NUMBER — the
         # pinned "lower" method, no interpolation ambiguity

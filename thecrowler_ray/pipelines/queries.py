@@ -2287,6 +2287,39 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(ds, k=5)
 
 
+def q_skew_join(sf_dir: str):
+    """Skew-aware join (``ops/salted.py:skew_join``): a deliberately
+    skewed fact table (~25 % of lineitem rows re-keyed onto orderkey 1)
+    joins the orders dim — the hot key goes through a broadcast lookup,
+    the cold tail through the normal hash join, detected by a salted
+    count. Inner-join semantics identical to the plain SQL join."""
+    from ..ops.salted import skew_join
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def fact(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["l_orderkey"], dtype=np.int64)
+        k = np.where(k % 4 == 0, 1, k)
+        cents = np.floor(np.asarray(t["l_extendedprice"],
+                                    dtype=np.float64) * 100 + 0.5
+                         ).astype(np.int64)
+        return pa.table({"k": pa.array(k), "cents": pa.array(cents)})
+
+    dim = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+              ).map_batches(
+        lambda t: pa.table({"k": t["o_orderkey"],
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+    joined = skew_join(li.map_batches(fact, batch_format="pyarrow"),
+                       dim, on="k", hot_threshold=1_000)
+
+    from ray.data.aggregate import Count, Sum
+
+    return (joined.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_items"),
+                       Sum("cents", alias_name="revenue_cents")))
+
+
 def q_exact_quantiles(sf_dir: str):
     """Exact distributed quantiles (``ops/quantiles.py``): lineitem
     extended price in cents, six order statistics resolved in
