@@ -131,6 +131,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangles": q.q_triangles,
         "q_exact_quantiles": q.q_exact_quantiles,
         "q_skew_join": q.q_skew_join,
+        "q_bfs_dist": q.q_bfs_dist,
+        "q_lpa_communities": q.q_lpa_communities,
+        "q_scd2": q.q_scd2,
+        "q_kmeans": q.q_kmeans,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -2569,5 +2573,262 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
                                         x -> x <> '')) AS BIGINT) AS ws_tokens
             FROM documents d LEFT JOIN nk ON d.doc_id = nk.doc_id
+        """,
+        # BFS twin (ops/bfs.py): 4 synchronous min-relaxation rounds
+        # over the bidirectional part<->supplier graph; sentinel 2^62
+        # instead of NULL keeps the recurrence pure int64. The d CTEs
+        # are referenced twice per round -> AS MATERIALIZED
+        # (DuckDB re-inlines multi-referenced CTEs otherwise).
+        "q_bfs_dist": """
+            WITH edges AS MATERIALIZED (
+                SELECT l_partkey AS src,
+                       l_suppkey + 1000000000 AS dst FROM lineitem
+                UNION ALL
+                SELECT l_suppkey + 1000000000 AS src,
+                       l_partkey AS dst FROM lineitem
+            ), seeds AS (
+                SELECT p_partkey AS node FROM part
+                WHERE p_partkey % 500 = 0
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM edges
+                    UNION ALL SELECT dst FROM edges
+                    UNION ALL SELECT node FROM seeds)
+            ), d0 AS MATERIALIZED (
+                SELECT n.node,
+                       CASE WHEN s.node IS NULL
+                            THEN 4611686018427387904 ELSE 0 END AS dist
+                FROM nodes n LEFT JOIN seeds s USING (node)
+            ), m1 AS (
+                SELECT e.dst AS node, MIN(p.dist) + 1 AS cand
+                FROM edges e JOIN d0 p ON p.node = e.src
+                WHERE p.dist < 4611686018427387904 GROUP BY e.dst
+            ), d1 AS MATERIALIZED (
+                SELECT p.node,
+                       LEAST(p.dist, COALESCE(m.cand,
+                                              4611686018427387904))
+                           AS dist
+                FROM d0 p LEFT JOIN m1 m USING (node)
+            ), m2 AS (
+                SELECT e.dst AS node, MIN(p.dist) + 1 AS cand
+                FROM edges e JOIN d1 p ON p.node = e.src
+                WHERE p.dist < 4611686018427387904 GROUP BY e.dst
+            ), d2 AS MATERIALIZED (
+                SELECT p.node,
+                       LEAST(p.dist, COALESCE(m.cand,
+                                              4611686018427387904))
+                           AS dist
+                FROM d1 p LEFT JOIN m2 m USING (node)
+            ), m3 AS (
+                SELECT e.dst AS node, MIN(p.dist) + 1 AS cand
+                FROM edges e JOIN d2 p ON p.node = e.src
+                WHERE p.dist < 4611686018427387904 GROUP BY e.dst
+            ), d3 AS MATERIALIZED (
+                SELECT p.node,
+                       LEAST(p.dist, COALESCE(m.cand,
+                                              4611686018427387904))
+                           AS dist
+                FROM d2 p LEFT JOIN m3 m USING (node)
+            ), m4 AS (
+                SELECT e.dst AS node, MIN(p.dist) + 1 AS cand
+                FROM edges e JOIN d3 p ON p.node = e.src
+                WHERE p.dist < 4611686018427387904 GROUP BY e.dst
+            ), d4 AS MATERIALIZED (
+                SELECT p.node,
+                       LEAST(p.dist, COALESCE(m.cand,
+                                              4611686018427387904))
+                           AS dist
+                FROM d3 p LEFT JOIN m4 m USING (node)
+            )
+            SELECT node,
+                   CASE WHEN dist < 4611686018427387904
+                        THEN dist ELSE -1 END AS dist
+            FROM d4 ORDER BY node
+        """,
+        # LPA twin (ops/lpa.py): 3 synchronous rounds of
+        # (count DESC, label ASC) argmax adoption, then the community
+        # histogram. Label CTEs multi-referenced -> AS MATERIALIZED.
+        "q_lpa_communities": """
+            WITH edges AS MATERIALIZED (
+                SELECT l_partkey AS src,
+                       l_suppkey + 1000000000 AS dst FROM lineitem
+                UNION ALL
+                SELECT l_suppkey + 1000000000 AS src,
+                       l_partkey AS dst FROM lineitem
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM edges
+                    UNION ALL SELECT dst FROM edges)
+            ), l0 AS MATERIALIZED (
+                SELECT node, node AS lab FROM nodes
+            ), c1 AS (
+                SELECT e.dst AS node, p.lab, COUNT(*) AS c
+                FROM edges e JOIN l0 p ON p.node = e.src
+                GROUP BY e.dst, p.lab
+            ), p1 AS (
+                SELECT node, lab FROM (
+                    SELECT node, lab,
+                           ROW_NUMBER() OVER (PARTITION BY node
+                               ORDER BY c DESC, lab ASC) AS rn
+                    FROM c1) WHERE rn = 1
+            ), l1 AS MATERIALIZED (
+                SELECT n.node, COALESCE(p.lab, n.lab) AS lab
+                FROM l0 n LEFT JOIN p1 p USING (node)
+            ), c2 AS (
+                SELECT e.dst AS node, p.lab, COUNT(*) AS c
+                FROM edges e JOIN l1 p ON p.node = e.src
+                GROUP BY e.dst, p.lab
+            ), p2 AS (
+                SELECT node, lab FROM (
+                    SELECT node, lab,
+                           ROW_NUMBER() OVER (PARTITION BY node
+                               ORDER BY c DESC, lab ASC) AS rn
+                    FROM c2) WHERE rn = 1
+            ), l2 AS MATERIALIZED (
+                SELECT n.node, COALESCE(p.lab, n.lab) AS lab
+                FROM l1 n LEFT JOIN p2 p USING (node)
+            ), c3 AS (
+                SELECT e.dst AS node, p.lab, COUNT(*) AS c
+                FROM edges e JOIN l2 p ON p.node = e.src
+                GROUP BY e.dst, p.lab
+            ), p3 AS (
+                SELECT node, lab FROM (
+                    SELECT node, lab,
+                           ROW_NUMBER() OVER (PARTITION BY node
+                               ORDER BY c DESC, lab ASC) AS rn
+                    FROM c3) WHERE rn = 1
+            ), l3 AS MATERIALIZED (
+                SELECT n.node, COALESCE(p.lab, n.lab) AS lab
+                FROM l2 n LEFT JOIN p3 p USING (node)
+            )
+            SELECT lab AS label, CAST(COUNT(*) AS BIGINT) AS members,
+                   MIN(node) AS min_member
+            FROM l3 GROUP BY lab
+            ORDER BY members DESC, label ASC LIMIT 100
+        """,
+        # SCD2 twin (stages/cdc.py): tie-collapse to MIN(state), LAG
+        # change detection, LEAD validity intervals
+        "q_scd2": """
+            WITH dedup AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS seq,
+                       MIN(event_type) AS state
+                FROM events GROUP BY user_id, 2
+            ), flagged AS (
+                SELECT user_id, seq, state,
+                       LAG(state) OVER (PARTITION BY user_id
+                                        ORDER BY seq) AS prev
+                FROM dedup
+            ), keep AS (
+                SELECT user_id, seq, state FROM flagged
+                WHERE prev IS NULL OR state <> prev
+            ), v AS (
+                SELECT user_id, state,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY seq) AS BIGINT)
+                           AS version,
+                       seq AS valid_from,
+                       COALESCE(LEAD(seq) OVER (PARTITION BY user_id
+                                                ORDER BY seq), -1)
+                           AS valid_to
+                FROM keep
+            )
+            SELECT user_id, state, version, valid_from, valid_to,
+                   CASE WHEN valid_to = -1 THEN 1 ELSE 0 END
+                       AS is_current
+            FROM v ORDER BY user_id, version
+        """,
+        # k-means twin (stages/kmeans.py): init = the 4 smallest
+        # vec_ids' quantized vectors, then 3 Lloyd rounds — assignment
+        # argmin (dist ASC, cluster ASC), centroid update
+        # (SUM(xq)*10000) // COUNT (DuckDB // truncates toward zero,
+        # matching the engine's trunc-div)
+        "q_kmeans": """
+            WITH x AS MATERIALIZED (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                           AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 10000 + 0.5) AS BIGINT) AS xq
+                FROM embeddings
+            ), init_ids AS (
+                SELECT vec_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                            AS BIGINT) AS cluster
+                FROM (SELECT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT 4)
+            ), c0 AS MATERIALIZED (
+                SELECT i.cluster, x.dim, x.xq * 10000 AS cq
+                FROM x JOIN init_ids i USING (vec_id)
+            ), a1 AS MATERIALIZED (
+                SELECT vec_id, cluster FROM (
+                    SELECT x.vec_id, c.cluster,
+                           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                               ORDER BY SUM((x.xq * 10000 - c.cq)
+                                          * (x.xq * 10000 - c.cq)) ASC,
+                                        c.cluster ASC) AS rn
+                    FROM x JOIN c0 c USING (dim)
+                    GROUP BY x.vec_id, c.cluster)
+                WHERE rn = 1
+            ), u1 AS (
+                SELECT a.cluster, x.dim,
+                       CAST((SUM(x.xq) * 10000) // COUNT(*) AS BIGINT)
+                           AS cq
+                FROM x JOIN a1 a USING (vec_id)
+                GROUP BY a.cluster, x.dim
+            ), c1 AS MATERIALIZED (
+                SELECT p.cluster, p.dim, COALESCE(u.cq, p.cq) AS cq
+                FROM c0 p LEFT JOIN u1 u USING (cluster, dim)
+            ), a2 AS MATERIALIZED (
+                SELECT vec_id, cluster FROM (
+                    SELECT x.vec_id, c.cluster,
+                           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                               ORDER BY SUM((x.xq * 10000 - c.cq)
+                                          * (x.xq * 10000 - c.cq)) ASC,
+                                        c.cluster ASC) AS rn
+                    FROM x JOIN c1 c USING (dim)
+                    GROUP BY x.vec_id, c.cluster)
+                WHERE rn = 1
+            ), u2 AS (
+                SELECT a.cluster, x.dim,
+                       CAST((SUM(x.xq) * 10000) // COUNT(*) AS BIGINT)
+                           AS cq
+                FROM x JOIN a2 a USING (vec_id)
+                GROUP BY a.cluster, x.dim
+            ), c2 AS MATERIALIZED (
+                SELECT p.cluster, p.dim, COALESCE(u.cq, p.cq) AS cq
+                FROM c1 p LEFT JOIN u2 u USING (cluster, dim)
+            ), a3 AS MATERIALIZED (
+                SELECT vec_id, cluster FROM (
+                    SELECT x.vec_id, c.cluster,
+                           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                               ORDER BY SUM((x.xq * 10000 - c.cq)
+                                          * (x.xq * 10000 - c.cq)) ASC,
+                                        c.cluster ASC) AS rn
+                    FROM x JOIN c2 c USING (dim)
+                    GROUP BY x.vec_id, c.cluster)
+                WHERE rn = 1
+            ), u3 AS (
+                SELECT a.cluster, x.dim,
+                       CAST((SUM(x.xq) * 10000) // COUNT(*) AS BIGINT)
+                           AS cq
+                FROM x JOIN a3 a USING (vec_id)
+                GROUP BY a.cluster, x.dim
+            ), c3 AS MATERIALIZED (
+                SELECT p.cluster, p.dim, COALESCE(u.cq, p.cq) AS cq
+                FROM c2 p LEFT JOIN u3 u USING (cluster, dim)
+            ), fin AS (
+                SELECT x.vec_id, c.cluster,
+                       CAST(SUM((x.xq * 10000 - c.cq)
+                                * (x.xq * 10000 - c.cq)) AS BIGINT)
+                           AS dist_q,
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                           ORDER BY SUM((x.xq * 10000 - c.cq)
+                                      * (x.xq * 10000 - c.cq)) ASC,
+                                    c.cluster ASC) AS rn
+                FROM x JOIN c3 c USING (dim)
+                GROUP BY x.vec_id, c.cluster
+            )
+            SELECT vec_id, cluster, dist_q FROM fin
+            WHERE rn = 1 ORDER BY vec_id
         """,
     }

@@ -2528,3 +2528,101 @@ def q_substring_dedup(sf_dir: str):
         })
 
     return out.map_batches(dig, batch_format="pyarrow")
+
+
+def q_bfs_dist(sf_dir: str):
+    """Multi-source BFS shortest distances (``ops/bfs.py``) over the
+    bidirectional part↔supplier graph from lineitem: seeds are parts
+    with partkey % 500 == 0, 4 synchronous relaxation rounds —
+    integer-exact, replayed by the twin with chained min-CTEs."""
+    import pyarrow.compute as pc
+
+    from ..ops.bfs import bfs_distances
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    OFF = 1_000_000_000
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"]
+        s = pc.add(batch["l_suppkey"], OFF)
+        return pa.concat_tables([
+            pa.table({"src": p, "dst": s}),
+            pa.table({"src": s, "dst": p}),
+        ])
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    part = _rp(sf_dir, "part", ["p_partkey"])
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(pk[pk % 500 == 0]
+                                          .astype(np.int64))})
+
+    seeds = part.map_batches(seed_rows, batch_format="pyarrow")
+    return bfs_distances(edges, seeds, rounds=4).sort("node")
+
+
+def q_lpa_communities(sf_dir: str):
+    """Deterministic synchronous label propagation (``ops/lpa.py``)
+    over the bidirectional part↔supplier graph: 3 rounds of
+    (count DESC, label ASC) argmax adoption; output is the per-label
+    community-size histogram plus each community's minimum member —
+    slim enough to hash-gate while still pinning every label."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from ..ops.lpa import label_propagation
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    OFF = 1_000_000_000
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"]
+        s = pc.add(batch["l_suppkey"], OFF)
+        return pa.concat_tables([
+            pa.table({"src": p, "dst": s}),
+            pa.table({"src": s, "dst": p}),
+        ])
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    labels = label_propagation(edges, iterations=3)
+    return (labels.groupby("label")
+            .aggregate(Count(alias_name="members"),
+                       Min("node", alias_name="min_member"))
+            .sort(["members", "label"], descending=[True, False])
+            .limit(100))
+
+
+def q_scd2(sf_dir: str):
+    """SCD Type-2 historization (``stages/cdc.py``) of the events
+    stream: per user, the versioned history of event_type states with
+    half-open validity intervals, collapsed on consecutive repeats —
+    everything inside one groupby(user_id) shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.cdc import scd2_history
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "seq": pc.cast(batch["ts"], pa.int64()),
+            "state": batch["event_type"],
+        })
+
+    stream = ev.map_batches(prep, batch_format="pyarrow")
+    hist = scd2_history(stream, key="user_id", seq="seq", state="state")
+    return hist.sort(["user_id", "version"])
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (``stages/kmeans.py``): k=4 clusters
+    over the embeddings table, 3 full-data iterations from the
+    deterministic k-smallest-id init, integer fixed-point centroids —
+    per-vector final (cluster, dist_q) assignment, bit-replayed by the
+    chained-CTE twin."""
+    from ..stages.kmeans import kmeans_assign
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign(emb, k=4, iterations=3).sort("vec_id")
