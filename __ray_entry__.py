@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lpa_communities": q.q_lpa_communities,
         "q_scd2": q.q_scd2,
         "q_kmeans": q.q_kmeans,
+        "q_interval_merge": q.q_interval_merge,
+        "q_funnel": q.q_funnel,
+        "q_cohort": q.q_cohort,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -2830,5 +2833,91 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cluster, dist_q FROM fin
             WHERE rn = 1 ORDER BY vec_id
+        """,
+        # interval-merge twin (stages/intervals.py): shifted running
+        # max end per user, strict-gt island breaks, cumsum island ids
+        "q_interval_merge": """
+            WITH iv AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 1000000 AS s,
+                       CAST(epoch_us(ts) AS BIGINT) // 1000000
+                           + 60 + CAST(floor(value) AS BIGINT) AS e
+                FROM events
+            ), flagged AS (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id
+                                    ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+                FROM iv
+            ), isl AS (
+                SELECT user_id, s, e,
+                       SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+                FROM flagged
+            )
+            SELECT user_id, MIN(s) AS island_start,
+                   MAX(e) AS island_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   MAX(e) - MIN(s) AS covered
+            FROM isl GROUP BY user_id, island
+            ORDER BY user_id, island_start
+        """,
+        # funnel twin (stages/funnel.py): chained strictly-after MINs
+        "q_funnel": """
+            WITH ev AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS seq,
+                       event_type
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ), users AS (
+                SELECT DISTINCT user_id FROM ev
+            ), s1 AS (
+                SELECT user_id, MIN(seq) AS t_1 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, MIN(e.seq) AS t_2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.seq > s1.t_1
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, MIN(e.seq) AS t_3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.seq > s2.t_2
+                GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.t_3 IS NOT NULL THEN 3
+                             WHEN s2.t_2 IS NOT NULL THEN 2
+                             WHEN s1.t_1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS steps_completed,
+                   COALESCE(s1.t_1, -1) AS t_1,
+                   COALESCE(s2.t_2, -1) AS t_2,
+                   COALESCE(s3.t_3, -1) AS t_3
+            FROM users u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+            ORDER BY u.user_id
+        """,
+        # cohort-retention twin (stages/cohort.py): first-activity week
+        # per user, distinct (user, week) activity, offset histogram
+        "q_cohort": """
+            WITH up AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 604800000000
+                           AS period
+                FROM events
+            ), coh AS (
+                SELECT user_id, MIN(period) AS cohort FROM up
+                GROUP BY user_id
+            )
+            SELECT c.cohort, u.period - c.cohort AS "offset",
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM up u JOIN coh c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

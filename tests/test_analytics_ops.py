@@ -1,0 +1,123 @@
+"""Analytics operators: interval merge (stages/intervals.py), funnel
+(stages/funnel.py), cohort retention (stages/cohort.py)."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from thecrowler_ray.stages.cohort import cohort_retention
+from thecrowler_ray.stages.funnel import funnel
+from thecrowler_ray.stages.intervals import merge_intervals
+
+
+class TestIntervalMerge:
+    def test_semantics(self, ray_session):
+        iv = pd.DataFrame({
+            "k": [1, 1, 1, 1, 2, 2],
+            "start": [0, 5, 10, 30, 100, 300],
+            "end": [6, 8, 20, 40, 200, 400],
+        })
+        got = (merge_intervals(rd.from_pandas(iv), key="k")
+               .to_pandas().sort_values(["k", "island_start"])
+               .reset_index(drop=True))
+        # key 1: [0,6)+[5,8) overlap; [10,20) TOUCHES nothing ([8<10])
+        # wait: 10 > 8 -> new island; [30,40) new island
+        k1 = got[got["k"] == 1]
+        assert list(k1["island_start"]) == [0, 10, 30]
+        assert list(k1["island_end"]) == [8, 20, 40]
+        assert list(k1["n_intervals"]) == [2, 1, 1]
+        assert list(k1["covered"]) == [8, 10, 10]
+        assert len(got[got["k"] == 2]) == 2
+
+    def test_touching_merges(self, ray_session):
+        iv = pd.DataFrame({"k": [1, 1], "start": [0, 5],
+                           "end": [5, 9]})
+        got = merge_intervals(rd.from_pandas(iv), key="k").to_pandas()
+        assert len(got) == 1
+        assert int(got["island_end"].iloc[0]) == 9
+
+    def test_contained_interval(self, ray_session):
+        # [0,100) swallows [10,20); [50,60) also inside — prev running
+        # max must be a cummax, not just the previous row's end
+        iv = pd.DataFrame({"k": [1, 1, 1, 1],
+                           "start": [0, 10, 50, 150],
+                           "end": [100, 20, 60, 160]})
+        got = (merge_intervals(rd.from_pandas(iv), key="k")
+               .to_pandas().sort_values("island_start"))
+        assert list(got["island_start"]) == [0, 150]
+        assert list(got["n_intervals"]) == [3, 1]
+
+
+class TestFunnel:
+    def _stream(self, rows):
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["user_id", "seq", "event_type"]))
+
+    def test_strict_order(self, ray_session):
+        rows = [
+            (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),   # full funnel
+            (2, 10, "b"), (2, 20, "a"), (2, 30, "b"),   # b-after-a ok
+            (3, 10, "a"), (3, 10, "b"),                  # tie: NOT after
+            (4, 10, "b"), (4, 20, "c"),                  # no step 1
+        ]
+        got = (funnel(self._stream(rows), ["a", "b", "c"],
+                      user="user_id", event="event_type", seq="seq")
+               .to_pandas().set_index("user"))
+        assert int(got.loc[1, "steps_completed"]) == 3
+        assert list(got.loc[1, ["t_1", "t_2", "t_3"]]) == [10, 20, 30]
+        assert int(got.loc[2, "steps_completed"]) == 2
+        assert list(got.loc[2, ["t_1", "t_2"]]) == [20, 30]
+        # user 3: b at the same seq as a does not count (strictly after)
+        assert int(got.loc[3, "steps_completed"]) == 1
+        assert int(got.loc[3, "t_2"]) == -1
+        assert int(got.loc[4, "steps_completed"]) == 0
+
+    def test_non_step_events_dropped(self, ray_session):
+        rows = [(1, 10, "x"), (1, 20, "a"), (2, 5, "zz")]
+        got = (funnel(self._stream(rows), ["a", "b"],
+                      user="user_id", event="event_type", seq="seq")
+               .to_pandas())
+        # user 2 has no step events at all -> absent from the output
+        assert set(got["user"]) == {1}
+
+    def test_empty_steps_raise(self, ray_session):
+        with pytest.raises(ValueError):
+            funnel(self._stream([(1, 1, "a")]), [],
+                   user="user_id", event="event_type", seq="seq")
+
+
+class TestCohort:
+    def test_triangle(self, ray_session):
+        rows = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "seq": [0, 10, 25, 10, 25, 25],
+        })
+        got = (cohort_retention(rd.from_pandas(rows), user="user_id",
+                                seq="seq", period_len=10)
+               .to_pandas().sort_values(["cohort", "offset"])
+               .reset_index(drop=True))
+        # periods: u1 {0,1,2}, u2 {1,2}, u3 {2}
+        want = pd.DataFrame({
+            "cohort": [0, 0, 0, 1, 1, 2],
+            "offset": [0, 1, 2, 0, 1, 0],
+            "n_users": [1, 1, 1, 1, 1, 1],
+        })
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64"))
+
+    def test_path_parity(self, ray_session):
+        rows = pd.DataFrame({
+            "user_id": [7, 7, 8, 9, 9, 9],
+            "seq": [3, 33, 13, 5, 15, 45],
+        })
+        a = (cohort_retention(rd.from_pandas(rows), user="user_id",
+                              seq="seq", period_len=10,
+                              broadcast_threshold=10**6)
+             .to_pandas().sort_values(["cohort", "offset"])
+             .reset_index(drop=True))
+        b = (cohort_retention(rd.from_pandas(rows), user="user_id",
+                              seq="seq", period_len=10,
+                              broadcast_threshold=0)
+             .to_pandas().sort_values(["cohort", "offset"])
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)

@@ -2626,3 +2626,81 @@ def q_kmeans(sf_dir: str):
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     return kmeans_assign(emb, k=4, iterations=3).sort("vec_id")
+
+
+def q_interval_merge(sf_dir: str):
+    """Gaps-and-islands interval merging (``stages/intervals.py``):
+    per-user activity windows [ts, ts + 60 + floor(value)) seconds
+    coalesced into maximal islands — one groupby(user) shuffle of slim
+    int rows."""
+    import pyarrow.compute as pc
+
+    from ..stages.intervals import merge_intervals
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        start = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000)
+        dur = 60 + np.floor(batch["value"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "start": pa.array(start),
+            "end": pa.array(start + dur),
+        })
+
+    iv = ev.map_batches(prep, batch_format="pyarrow")
+    return (merge_intervals(iv, key="user_id")
+            .sort(["user_id", "island_start"]))
+
+
+def q_funnel(sf_dir: str):
+    """Ordered funnel analysis (``stages/funnel.py``): per user the
+    strictly-ordered view → click → purchase completion chain over the
+    events stream; non-step events never enter the shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.funnel import funnel
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "seq": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    stream = ev.map_batches(prep, batch_format="pyarrow")
+    out = funnel(stream, ["view", "click", "purchase"],
+                 user="user_id", event="event_type", seq="seq")
+    return (out.map_batches(
+        lambda b: b.rename_columns(
+            ["user_id"] + b.column_names[1:]),
+        batch_format="pyarrow")
+        .sort("user_id"))
+
+
+def q_cohort(sf_dir: str):
+    """Cohort retention (``stages/cohort.py``): users bucketed by
+    first-activity week over the events stream; one row per
+    (cohort, offset) with distinct active users — the growth
+    triangle."""
+    import pyarrow.compute as pc
+
+    from ..stages.cohort import cohort_retention
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "seq": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    stream = ev.map_batches(prep, batch_format="pyarrow")
+    return (cohort_retention(stream, user="user_id", seq="seq",
+                             period_len=WEEK_US)
+            .sort(["cohort", "offset"]))
