@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_merge": q.q_interval_merge,
         "q_funnel": q.q_funnel,
         "q_cohort": q.q_cohort,
+        "q_hyperball": q.q_hyperball,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -2919,5 +2920,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM up u JOIN coh c USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # HyperBall twin (ops/hyperball.py): p=4 HLL registers from the
+        # md5-high-64 idiom (q_hll_users), 2 sparse max-merge rounds —
+        # UNION ALL own rows + in-neighbor rows, GROUP BY MAX
+        "q_hyperball": """
+            WITH edges AS MATERIALIZED (
+                SELECT l_partkey AS src,
+                       l_suppkey + 1000000000 AS dst FROM lineitem
+                UNION ALL
+                SELECT l_suppkey + 1000000000 AS src,
+                       l_partkey AS dst FROM lineitem
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM edges
+                    UNION ALL SELECT dst FROM edges)
+            ), h AS (
+                SELECT node,
+                       ('0x' || substr(md5(CAST(node AS VARCHAR)),
+                                       1, 16))::UBIGINT AS h
+                FROM nodes
+            ), r0 AS MATERIALIZED (
+                SELECT node, CAST(h >> 60 AS BIGINT) AS ri,
+                       CAST(CASE WHEN strpos(substr(lpad(bin(h), 64,
+                                                         '0'), 5),
+                                             '1') = 0
+                                 THEN 61
+                                 ELSE strpos(substr(lpad(bin(h), 64,
+                                                         '0'), 5), '1')
+                            END AS BIGINT) AS rv
+                FROM h
+            ), r1 AS MATERIALIZED (
+                SELECT node, ri, MAX(rv) AS rv FROM (
+                    SELECT node, ri, rv FROM r0
+                    UNION ALL
+                    SELECT DISTINCT e.dst AS node, p.ri, p.rv
+                    FROM edges e JOIN r0 p ON p.node = e.src
+                ) GROUP BY node, ri
+            ), r2 AS MATERIALIZED (
+                SELECT node, ri, MAX(rv) AS rv FROM (
+                    SELECT node, ri, rv FROM r1
+                    UNION ALL
+                    SELECT DISTINCT e.dst AS node, p.ri, p.rv
+                    FROM edges e JOIN r1 p ON p.node = e.src
+                ) GROUP BY node, ri
+            )
+            SELECT node, ri, rv FROM r2 ORDER BY node, ri
         """,
     }

@@ -210,3 +210,73 @@ class TestKMeans:
         got = kmeans_assign(rd.from_arrow(t), k=2,
                             iterations=1).to_pandas()
         assert len(got) == 0
+
+
+class TestHyperBall:
+    @staticmethod
+    def _brute(edges, rounds):
+        import hashlib
+
+        from thecrowler_ray.ops.hyperball import N_REG, RHO_CAP
+
+        nodes = sorted({n for e in edges for n in e})
+
+        def own(v):
+            h = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[:8], "big")
+            s = format(h, "064b")
+            ri = int(s[:4], 2)
+            payload = s[4:]
+            rv = payload.find("1") + 1 if "1" in payload else RHO_CAP
+            return ri, rv
+
+        regs = {}
+        for v in nodes:
+            ri, rv = own(v)
+            r = [0] * N_REG
+            r[ri] = rv
+            regs[v] = r
+        for _ in range(rounds):
+            nxt = {v: list(r) for v, r in regs.items()}
+            for s, d in edges:
+                for i in range(N_REG):
+                    nxt[d][i] = max(nxt[d][i], regs[s][i])
+            regs = nxt
+        return {(v, i): r[i] for v, r in regs.items()
+                for i in range(N_REG) if r[i]}
+
+    def test_brute_force(self, ray_session):
+        from thecrowler_ray.ops.hyperball import hyperball
+
+        got = hyperball(_edges_ds(EDGES), rounds=2).to_pandas()
+        want = self._brute(EDGES, 2)
+        assert {(n, i): v for n, i, v in
+                zip(got["node"], got["ri"], got["rv"])} == want
+
+    def test_path_parity(self, ray_session):
+        from thecrowler_ray.ops.hyperball import hyperball
+
+        a = (hyperball(_edges_ds(EDGES), rounds=2,
+                       broadcast_threshold=10**6)
+             .to_pandas().sort_values(["node", "ri"])
+             .reset_index(drop=True))
+        b = (hyperball(_edges_ds(EDGES), rounds=2,
+                       broadcast_threshold=0)
+             .to_pandas().sort_values(["node", "ri"])
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_estimate_tracks_ball_size(self, ray_session):
+        # a 30-node star: hub's 1-hop in-ball = 31 nodes, leaves' = 2;
+        # the p=4 estimate is coarse but must separate the two scales
+        from thecrowler_ray.ops.hyperball import (
+            estimate_sizes,
+            hyperball,
+        )
+
+        edges = [(i, 999) for i in range(1, 31)] \
+            + [(999, i) for i in range(1, 31)]
+        regs = hyperball(_edges_ds(edges), rounds=1)
+        est = estimate_sizes(regs).to_pandas().set_index("node")
+        assert est.loc[999, "est"] > 12
+        assert est.loc[5, "est"] < est.loc[999, "est"]

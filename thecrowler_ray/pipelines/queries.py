@@ -2704,3 +2704,27 @@ def q_cohort(sf_dir: str):
     return (cohort_retention(stream, user="user_id", seq="seq",
                              period_len=WEEK_US)
             .sort(["cohort", "offset"]))
+
+
+def q_hyperball(sf_dir: str):
+    """HyperBall neighborhood sketches (``ops/hyperball.py``): 2
+    max-merge rounds over the bidirectional part↔supplier graph give
+    every node an HLL(p=4) sketch of its ≤2-hop in-neighborhood; the
+    sparse register table pins the whole computation integer-exactly."""
+    import pyarrow.compute as pc
+
+    from ..ops.hyperball import hyperball
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    OFF = 1_000_000_000
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"]
+        s = pc.add(batch["l_suppkey"], OFF)
+        return pa.concat_tables([
+            pa.table({"src": p, "dst": s}),
+            pa.table({"src": s, "dst": p}),
+        ])
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return hyperball(edges, rounds=2).sort(["node", "ri"])
