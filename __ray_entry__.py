@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": q.q_funnel,
         "q_cohort": q.q_cohort,
         "q_hyperball": q.q_hyperball,
+        "q_markov": q.q_markov,
+        "q_ols_trend": q.q_ols_trend,
+        "q_twa": q.q_twa,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -2966,5 +2969,94 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY node, ri
             )
             SELECT node, ri, rv FROM r2 ORDER BY node, ri
+        """,
+        # Markov twin (stages/markov.py): (user,seq) tie-collapse,
+        # LEAD pairs, ppm via integer // (non-negative -> trunc=floor)
+        "q_markov": """
+            WITH dedup AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS seq,
+                       MIN(event_type) AS state
+                FROM events GROUP BY 1, 2
+            ), tr AS (
+                SELECT state AS from_state,
+                       LEAD(state) OVER (PARTITION BY user_id
+                                         ORDER BY seq) AS to_state
+                FROM dedup
+            ), c AS (
+                SELECT from_state, to_state,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM tr WHERE to_state IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+                SELECT from_state, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.from_state, c.to_state, c.n,
+                   CAST((c.n * 1000000) // t.tot AS BIGINT) AS p_ppm
+            FROM c JOIN t USING (from_state)
+            ORDER BY 1, 2
+        """,
+        # grouped-OLS twin (stages/regression.py): HUGEINT sufficient
+        # statistics, decimal-string numerators, q6 truncating slope
+        "q_ols_trend": """
+            WITH pts AS (
+                SELECT o_orderpriority AS grp,
+                       CAST(epoch_us(o_orderdate) AS BIGINT)
+                           // 86400000000 AS x,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS y
+                FROM orders
+            ), s AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx
+                FROM pts GROUP BY grp
+            ), d AS (
+                SELECT grp, n,
+                       n * sxy - sx * sy AS num,
+                       n * sxx - sx * sx AS den,
+                       sy * sxx - sx * sxy AS icpt
+                FROM s
+            )
+            SELECT grp, n,
+                   CASE WHEN n < 2 OR den = 0 THEN '0'
+                        ELSE CAST(num AS VARCHAR) END AS slope_num,
+                   CASE WHEN n < 2 OR den = 0 THEN '0'
+                        ELSE CAST(den AS VARCHAR) END AS slope_den,
+                   CASE WHEN n < 2 OR den = 0 THEN '0'
+                        ELSE CAST(icpt AS VARCHAR) END AS icpt_num,
+                   CAST(CASE WHEN n < 2 OR den = 0 THEN 0
+                             ELSE (num * 1000000) // den
+                        END AS BIGINT) AS slope_q6
+            FROM d ORDER BY grp
+        """,
+        # TWA twin (stages/twa.py): tie-collapse, LEAD step integral,
+        # HUGEINT ppm scaling, single-sample pin
+        "q_twa": """
+            WITH pts AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 1000000 AS t,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), dedup AS (
+                SELECT user_id, t, MIN(v) AS v FROM pts GROUP BY 1, 2
+            ), seg AS (
+                SELECT user_id, t, v,
+                       LEAD(t) OVER (PARTITION BY user_id
+                                     ORDER BY t) AS nt
+                FROM dedup
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(v * (COALESCE(nt, t) - t)) AS BIGINT)
+                       AS integral,
+                   MAX(t) - MIN(t) AS weight,
+                   CAST(CASE WHEN MAX(t) - MIN(t) = 0
+                             THEN MIN(v) * 1000000
+                             ELSE (CAST(SUM(v * (COALESCE(nt, t) - t))
+                                        AS HUGEINT) * 1000000)
+                                  // (MAX(t) - MIN(t))
+                        END AS BIGINT) AS twa_ppm
+            FROM seg GROUP BY user_id ORDER BY user_id
         """,
     }

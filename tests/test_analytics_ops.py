@@ -121,3 +121,109 @@ class TestCohort:
              .to_pandas().sort_values(["cohort", "offset"])
              .reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestMarkov:
+    def test_semantics(self, ray_session):
+        from thecrowler_ray.stages.markov import markov_transitions
+
+        rows = pd.DataFrame({
+            "k": [1, 1, 1, 1, 2, 2, 2],
+            "seq": [1, 2, 3, 4, 1, 1, 2],
+            "state": ["a", "b", "a", "b", "z", "b", "a"],
+        })
+        got = (markov_transitions(rd.from_pandas(rows), key="k",
+                                  seq="seq", state="state")
+               .to_pandas()
+               .sort_values(["from_state", "to_state"])
+               .reset_index(drop=True))
+        # user 1: a->b, b->a, a->b; user 2: tie at seq 1 collapses to
+        # MIN('z','b')='b', so b->a
+        want = {("a", "b"): 2, ("b", "a"): 2}
+        assert {(f, t): n for f, t, n in
+                zip(got["from_state"], got["to_state"],
+                    got["n"])} == want
+        # p_ppm: a always goes to b (10^6); b always to a
+        assert set(got["p_ppm"]) == {1000000}
+
+    def test_ppm_split(self, ray_session):
+        from thecrowler_ray.stages.markov import markov_transitions
+
+        rows = pd.DataFrame({
+            "k": [1] * 4,
+            "seq": [1, 2, 3, 4],
+            "state": ["a", "b", "a", "c"],
+        })
+        got = (markov_transitions(rd.from_pandas(rows), key="k",
+                                  seq="seq", state="state")
+               .to_pandas().set_index(["from_state", "to_state"]))
+        # from a: one ->b, one ->c: 500000 each
+        assert int(got.loc[("a", "b"), "p_ppm"]) == 500000
+        assert int(got.loc[("a", "c"), "p_ppm"]) == 500000
+
+
+class TestGroupedOLS:
+    def test_exact_line(self, ray_session):
+        import numpy as np
+
+        from thecrowler_ray.stages.regression import grouped_ols
+
+        # y = 3x + 7 exactly: slope_q6 == 3_000_000, residual-free
+        x = np.arange(10, dtype=np.int64)
+        rows = pd.DataFrame({"grp": ["g"] * 10, "x": x, "y": 3 * x + 7})
+        got = grouped_ols(rd.from_pandas(rows), group="grp", x="x",
+                          y="y")
+        assert int(got["slope_q6"].iloc[0]) == 3_000_000
+        n, sx, sy = 10, int(x.sum()), int((3 * x + 7).sum())
+        sxy = int((x * (3 * x + 7)).sum())
+        sxx = int((x * x).sum())
+        assert got["slope_num"].iloc[0] == str(n * sxy - sx * sy)
+        assert got["slope_den"].iloc[0] == str(n * sxx - sx * sx)
+
+    def test_degenerate_constant_x(self, ray_session):
+        from thecrowler_ray.stages.regression import grouped_ols
+
+        rows = pd.DataFrame({"grp": ["g"] * 3, "x": [5, 5, 5],
+                             "y": [1, 2, 3]})
+        got = grouped_ols(rd.from_pandas(rows), group="grp", x="x",
+                          y="y")
+        assert got["slope_num"].iloc[0] == "0"
+        assert int(got["slope_q6"].iloc[0]) == 0
+
+    def test_matches_polyfit(self, ray_session):
+        import numpy as np
+
+        from thecrowler_ray.stages.regression import grouped_ols
+
+        rng = np.random.default_rng(11)
+        x = rng.integers(0, 1000, 200).astype(np.int64)
+        y = (2 * x + rng.integers(-50, 50, 200)).astype(np.int64)
+        rows = pd.DataFrame({"grp": ["g"] * 200, "x": x, "y": y})
+        got = grouped_ols(rd.from_pandas(rows), group="grp", x="x",
+                          y="y")
+        want = np.polyfit(x.astype(float), y.astype(float), 1)[0]
+        assert abs(int(got["slope_q6"].iloc[0]) / 1e6 - want) < 1e-4
+
+
+class TestTWA:
+    def test_step_integral(self, ray_session):
+        from thecrowler_ray.stages.twa import time_weighted_avg
+
+        # value 10 held for 5s, then 20 held for 5s: TWA = 15
+        rows = pd.DataFrame({"k": [1, 1, 1],
+                             "t": [0, 5, 10],
+                             "v": [10, 20, 99]})
+        got = time_weighted_avg(rd.from_pandas(rows), key="k", ts="t",
+                                value="v").to_pandas()
+        assert int(got["integral"].iloc[0]) == 10 * 5 + 20 * 5
+        assert int(got["weight"].iloc[0]) == 10
+        assert int(got["twa_ppm"].iloc[0]) == 15_000_000
+
+    def test_single_sample(self, ray_session):
+        from thecrowler_ray.stages.twa import time_weighted_avg
+
+        rows = pd.DataFrame({"k": [1], "t": [100], "v": [7]})
+        got = time_weighted_avg(rd.from_pandas(rows), key="k", ts="t",
+                                value="v").to_pandas()
+        assert int(got["twa_ppm"].iloc[0]) == 7_000_000
+        assert int(got["weight"].iloc[0]) == 0

@@ -2728,3 +2728,82 @@ def q_hyperball(sf_dir: str):
 
     edges = li.map_batches(to_edges, batch_format="pyarrow")
     return hyperball(edges, rounds=2).sort(["node", "ri"])
+
+
+def q_markov(sf_dir: str):
+    """First-order Markov transition mining (``stages/markov.py``):
+    per-user event-type navigation transitions with integer ppm
+    probabilities — one groupby(user) shuffle + one slim pair
+    groupby."""
+    import pyarrow.compute as pc
+
+    from ..stages.markov import markov_transitions
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "seq": pc.cast(batch["ts"], pa.int64()),
+            "state": batch["event_type"],
+        })
+
+    stream = ev.map_batches(prep, batch_format="pyarrow")
+    out = markov_transitions(stream, key="user_id", seq="seq",
+                             state="state")
+    return out.sort(["from_state", "to_state"])
+
+
+def q_ols_trend(sf_dir: str):
+    """Grouped exact OLS trend (``stages/regression.py``): price-cents
+    vs order-day slope per order priority from exact integer sufficient
+    statistics (Python ints ↔ HUGEINT) — order-free, rendered as
+    decimal strings plus a q6 truncating-division slope."""
+    import pyarrow.compute as pc
+
+    from ..stages.regression import grouped_ols
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderpriority", "o_orderdate", "o_totalprice"])
+    DAY_US = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = (pc.cast(batch["o_orderdate"], pa.int64())
+             .to_numpy(zero_copy_only=False) // DAY_US)
+        y = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "grp": batch["o_orderpriority"],
+            "x": pa.array(x),
+            "y": pa.array(y),
+        })
+
+    pts = orders.map_batches(prep, batch_format="pyarrow")
+    return grouped_ols(pts, group="grp", x="x", y="y")
+
+
+def q_twa(sf_dir: str):
+    """Time-weighted average (``stages/twa.py``): per-user mean event
+    value weighted by how long each reading was current (left-constant
+    step integral over seconds) — one groupby(user) shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.twa import time_weighted_avg
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = (pc.cast(batch["ts"], pa.int64())
+             .to_numpy(zero_copy_only=False) // 1_000_000)
+        v = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 1000 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t": pa.array(t),
+            "v": pa.array(v),
+        })
+
+    stream = ev.map_batches(prep, batch_format="pyarrow")
+    return (time_weighted_avg(stream, key="user_id", ts="t",
+                              value="v")
+            .sort("user_id"))
