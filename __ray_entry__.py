@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_markov": q.q_markov,
         "q_ols_trend": q.q_ols_trend,
         "q_twa": q.q_twa,
+        "q_copurchase": q.q_copurchase,
+        "q_mutual_info": q.q_mutual_info,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3058,5 +3060,59 @@ def oracle_sql() -> dict[str, str]:
                                   // (MAX(t) - MIN(t))
                         END AS BIGINT) AS twa_ppm
             FROM seg GROUP BY user_id ORDER BY user_id
+        """,
+        # market-basket twin (stages/basket.py): per-order distinct
+        # parts self-joined x < y, support count, top-100
+        "q_copurchase": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS basket,
+                       l_partkey AS item
+                FROM lineitem
+            )
+            SELECT a.item AS x, b.item AS y,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM items a JOIN items b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2
+            ORDER BY support DESC, x ASC, y ASC
+            LIMIT 100
+        """,
+        # entropy/MI twin (stages/infostats.py): q4-nats·N integer
+        # numerators over the source×lang contingency table; the ln
+        # argument is CAST(int-product AS DOUBLE)/CAST(int-product AS
+        # DOUBLE) to match the engine's exact-int-then-divide order
+        "q_mutual_info": """
+            WITH j AS (
+                SELECT source AS x, lang AS y,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2
+            ), tot AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n FROM j
+            ), mxt AS (
+                SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM j
+                GROUP BY x
+            ), myt AS (
+                SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM j
+                GROUP BY y
+            ), hx AS (
+                SELECT CAST(SUM(cx * CAST(floor(
+                           ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE))
+                           * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+                FROM mxt, tot
+            ), hy AS (
+                SELECT CAST(SUM(cy * CAST(floor(
+                           ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE))
+                           * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+                FROM myt, tot
+            ), mi AS (
+                SELECT CAST(SUM(j.c * CAST(floor(
+                           ln(CAST(j.c * n AS DOUBLE)
+                              / CAST(cx * cy AS DOUBLE))
+                           * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+                FROM j JOIN mxt USING (x) JOIN myt USING (y), tot
+            )
+            SELECT tot.n AS n, hx.v AS h_x_q4n, hy.v AS h_y_q4n,
+                   mi.v AS mi_q4n
+            FROM tot, hx, hy, mi
         """,
     }

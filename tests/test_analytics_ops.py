@@ -227,3 +227,70 @@ class TestTWA:
                                 value="v").to_pandas()
         assert int(got["twa_ppm"].iloc[0]) == 7_000_000
         assert int(got["weight"].iloc[0]) == 0
+
+
+class TestBasket:
+    def test_support(self, ray_session):
+        from thecrowler_ray.stages.basket import pair_support
+
+        rows = pd.DataFrame({
+            "b": [1, 1, 1, 2, 2, 3, 3, 3],
+            "i": [10, 20, 30, 10, 20, 10, 20, 20],
+        })
+        got = (pair_support(rd.from_pandas(rows), basket="b",
+                            item="i", k=10)
+               .to_pandas())
+        sup = {(x, y): s for x, y, s in
+               zip(got["x"], got["y"], got["support"])}
+        # (10,20) in baskets 1,2,3 (basket 3's duplicate 20 dedupes)
+        assert sup[(10, 20)] == 3
+        assert sup[(10, 30)] == 1
+        assert sup[(20, 30)] == 1
+        # ordering: support desc then x asc
+        assert list(got.iloc[0][["x", "y"]]) == [10, 20]
+
+    def test_k_truncation(self, ray_session):
+        from thecrowler_ray.stages.basket import pair_support
+
+        rows = pd.DataFrame({"b": [1] * 5, "i": [1, 2, 3, 4, 5]})
+        got = pair_support(rd.from_pandas(rows), basket="b",
+                           item="i", k=3).to_pandas()
+        assert len(got) == 3
+
+
+class TestInfoStats:
+    def test_independent_columns_zero_mi(self, ray_session):
+        import itertools
+
+        from thecrowler_ray.stages.infostats import entropy_mi
+
+        # perfectly independent uniform 2x2 grid, 25 of each cell
+        cells = list(itertools.product(["a", "b"], ["u", "v"]))
+        rows = pd.DataFrame(
+            [c for c in cells for _ in range(25)],
+            columns=["x", "y"])
+        got = entropy_mi(rd.from_pandas(rows), "x", "y")
+        assert int(got["mi_q4n"].iloc[0]) == 0
+        # H(X) = ln 2 per row: n * floor(ln(2)*1e4+0.5) = 100 * 6931
+        assert int(got["h_x_q4n"].iloc[0]) == 100 * 6931
+
+    def test_identical_columns_mi_equals_h(self, ray_session):
+        from thecrowler_ray.stages.infostats import entropy_mi
+
+        rows = pd.DataFrame({"x": ["a", "b", "c", "a"] * 10})
+        rows["y"] = rows["x"]
+        got = entropy_mi(rd.from_pandas(rows), "x", "y")
+        assert (int(got["mi_q4n"].iloc[0])
+                == int(got["h_x_q4n"].iloc[0])
+                == int(got["h_y_q4n"].iloc[0]))
+        assert int(got["mi_q4n"].iloc[0]) > 0
+
+    def test_empty(self, ray_session):
+        import pyarrow as pa
+
+        from thecrowler_ray.stages.infostats import entropy_mi
+
+        t = pa.table({"x": pa.array([], pa.string()),
+                      "y": pa.array([], pa.string())})
+        got = entropy_mi(rd.from_arrow(t), "x", "y")
+        assert int(got["n"].iloc[0]) == 0

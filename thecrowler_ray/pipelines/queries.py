@@ -2807,3 +2807,25 @@ def q_twa(sf_dir: str):
     return (time_weighted_avg(stream, key="user_id", ts="t",
                               value="v")
             .sort("user_id"))
+
+
+def q_copurchase(sf_dir: str):
+    """Market-basket pair mining (``stages/basket.py``): the 100
+    most-co-ordered part pairs with support counts — quadratic only in
+    basket size, slim pair rows through the one count groupby."""
+    from ..stages.basket import pair_support
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return pair_support(li, basket="l_orderkey", item="l_partkey",
+                        k=100)
+
+
+def q_mutual_info(sf_dir: str):
+    """Information statistics (``stages/infostats.py``): Shannon
+    entropies of documents.source / documents.lang and their mutual
+    information as q4-nats·N integer numerators — the PMI fixed-point
+    contract over an alphabet-bounded joint table."""
+    from ..stages.infostats import entropy_mi
+
+    ds = _rp(sf_dir, "documents", ["source", "lang"])
+    return entropy_mi(ds, "source", "lang")
