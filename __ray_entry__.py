@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_twa": q.q_twa,
         "q_copurchase": q.q_copurchase,
         "q_mutual_info": q.q_mutual_info,
+        "q_url_templates": q.q_url_templates,
+        "q_session_paths": q.q_session_paths,
+        "q_quantile_bucket": q.q_quantile_bucket,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3114,5 +3117,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT tot.n AS n, hx.v AS h_x_q4n, hy.v AS h_y_q4n,
                    mi.v AS mi_q4n
             FROM tot, hx, hy, mi
+        """,
+        # URL-template twin (stages/urlmine.py): same deterministic
+        # path synthesis from doc_id, same two-pass normalization
+        # (hex16+ -> {h} first, then digits -> {n})
+        "q_url_templates": """
+            WITH u AS (
+                SELECT source AS host,
+                       CASE doc_id % 3
+                         WHEN 0 THEN '/obj/' ||
+                             substr(md5(CAST(doc_id AS VARCHAR)),
+                                    1, 20) || '/raw'
+                         WHEN 1 THEN '/cat-' ||
+                             CAST(doc_id % 7 AS VARCHAR) || '/item/' ||
+                             CAST(doc_id * doc_id % 100000 AS VARCHAR)
+                             || '/v'
+                         ELSE '/about/team' ||
+                             CAST(doc_id % 5 AS VARCHAR)
+                       END AS path
+                FROM documents
+            ), t AS (
+                SELECT host,
+                       regexp_replace(
+                           regexp_replace(path, '[0-9a-f]{16,}',
+                                          '{h}', 'g'),
+                           '[0-9]+', '{n}', 'g') AS template
+                FROM u
+            )
+            SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_pages
+            FROM t GROUP BY 1, 2
+            ORDER BY host, n_pages DESC, template
+        """,
+        # session-path twin (stages/paths.py): tie-collapse, ordered
+        # string_agg per (user, day), top-100 journeys
+        "q_session_paths": """
+            WITH dedup AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                           AS day,
+                       CAST(epoch_us(ts) AS BIGINT) AS seq,
+                       MIN(event_type) AS state
+                FROM events GROUP BY 1, 2, 3
+            ), p AS (
+                SELECT string_agg(state, '>' ORDER BY seq) AS path
+                FROM dedup GROUP BY user_id, day
+            )
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY path
+            ORDER BY n DESC, path ASC LIMIT 100
+        """,
+        # quantile-bucket twin (stages/discretize.py): exact-rank
+        # quartile boundaries, bucket = #{boundary <= v}
+        "q_quantile_bucket": """
+            WITH vals AS (
+                SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS v
+                FROM lineitem
+            ), ranked AS (
+                SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn
+                FROM vals
+            ), nn AS (
+                SELECT COUNT(*) AS n FROM vals
+            ), b AS (
+                SELECT
+                    (SELECT v FROM ranked, nn
+                     WHERE rn = CAST(floor(0.25 * (n - 1)) AS BIGINT)
+                                + 1) AS b1,
+                    (SELECT v FROM ranked, nn
+                     WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                                + 1) AS b2,
+                    (SELECT v FROM ranked, nn
+                     WHERE rn = CAST(floor(0.75 * (n - 1)) AS BIGINT)
+                                + 1) AS b3
+            ), assigned AS (
+                SELECT CAST((v >= b1)::INT + (v >= b2)::INT
+                            + (v >= b3)::INT AS BIGINT) AS bucket, v
+                FROM vals, b
+            )
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(v) AS lo, MAX(v) AS hi
+            FROM assigned GROUP BY bucket ORDER BY bucket
         """,
     }

@@ -53,10 +53,18 @@ def bfs_distances(
     ``node`` column; seed nodes absent from the edge list still appear
     in the output (dist 0)."""
     edges = edges.select_columns(["src", "dst"]).materialize()
+    # bounded block count — each round re-maps the edges (ops/hits.py)
+    n_edges = edges.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(min(cpus, 8),
+                   min(64, int(n_edges // 2_000_000) + 1))
+    edges = edges.repartition(n_blocks).materialize()
     if isinstance(seeds, ray.data.Dataset):
+        from .gutil import collect_tables
+
         seed_ids = np.unique(np.concatenate(
-            [b["node"].to_numpy(zero_copy_only=False)
-             for b in seeds.iter_batches(batch_format="pyarrow")]
+            [t["node"].to_numpy(zero_copy_only=False)
+             for t in collect_tables(seeds)]
             or [np.array([], dtype=np.int64)]).astype(np.int64))
     else:
         seed_ids = np.unique(np.asarray(sorted(seeds), dtype=np.int64))
@@ -86,30 +94,14 @@ def bfs_distances(
 def _bfs_broadcast(edges, nodes, seed_ids: np.ndarray, rounds: int):
     """Dense-index path: one ``np.minimum.at`` scatter map per round,
     zero shuffles (the dense re-key is the only one-time exchange)."""
-    node_ids = []
-    for b in nodes.iter_batches(batch_format="pyarrow"):
-        node_ids.extend(b["node"].to_pylist())
-    node_arr = np.asarray(node_ids, dtype=np.int64)
+    from .gutil import dense_rekey, sorted_node_array
+
+    node_arr = sorted_node_array(nodes)
     n = len(node_arr)
-    idx_ref = ray.put({v: i for i, v in enumerate(node_ids)})
-
-    def rekey(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        m = ray.get(idx_ref)
-        return pa.table({
-            "s": pa.array(pd.Series(batch["src"].to_pylist()).map(m)
-                          .to_numpy(np.int32)),
-            "d": pa.array(pd.Series(batch["dst"].to_pylist()).map(m)
-                          .to_numpy(np.int32)),
-        })
-
-    dense = edges.map_batches(rekey, batch_format="pyarrow",
-                              batch_size=None).materialize()
+    dense = dense_rekey(edges, node_arr)
 
     dist = np.full(n, UNREACHED, dtype=np.int64)
-    seed_set = set(seed_ids.tolist())
-    dist[[i for i, v in enumerate(node_ids) if v in seed_set]] = 0
+    dist[np.isin(node_arr, seed_ids)] = 0
 
     for _ in range(rounds):
         ref = ray.put(dist)
@@ -128,10 +120,12 @@ def _bfs_broadcast(edges, nodes, seed_ids: np.ndarray, rounds: int):
             return pa.table({"i": pa.array(nz.astype(np.int64)),
                              "v": pa.array(acc[nz])})
 
+        from .gutil import collect_tables
+
         merged = np.full(n, UNREACHED, dtype=np.int64)
-        for b in dense.map_batches(
+        for b in collect_tables(dense.map_batches(
             partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow"):
+        )):
             np.minimum.at(merged, b["i"].to_numpy(zero_copy_only=False),
                           b["v"].to_numpy(zero_copy_only=False))
         new = np.minimum(dist, merged)
@@ -169,21 +163,74 @@ def _bfs_join(edges, nodes, seed_ids: np.ndarray, rounds: int):
 
     import pyarrow.compute as pc
 
+    from .gutil import collect_tables
+
     def reached_as_src(batch: pa.Table) -> pa.Table:
         keep = batch.filter(pc.less(batch["dist"], UNREACHED))
         return keep.rename_columns(["src", "dist"])
 
     for _ in range(rounds):
-        keyed = state.map_batches(reached_as_src, batch_format="pyarrow")
-        cand = (edges.join(keyed, join_type="inner",
-                           num_partitions=nparts, on=("src",))
-                .map_batches(
-                    lambda b: pa.table(
-                        {"node": b["dst"],
-                         "cand": pc.add(b["dist"], 1)}),
-                    batch_format="pyarrow")
-                .groupby("node")
+        keyed = state.map_batches(reached_as_src,
+                                  batch_format="pyarrow").materialize()
+        n_reached = keyed.count()
+        if n_reached <= max(nparts * 8, 10_000):
+            # tiny frontier: Ray's hash join crashes on empty right
+            # partitions, and a join is overkill anyway — broadcast
+            # the reached rows and emit candidates map-side (bounded:
+            # ≤ 10k rows)
+            rd_parts = collect_tables(keyed)
+            rmap = {}
+            for t in rd_parts:
+                rmap.update(zip(t["src"].to_pylist(),
+                                t["dist"].to_pylist()))
+            rref = ray.put(rmap)
+
+            def emit_cand(batch: pa.Table) -> pa.Table:
+                rm = ray.get(rref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                dv = np.fromiter((rm.get(int(v), -1) for v in src),
+                                 dtype=np.int64, count=len(src))
+                ok = dv >= 0
+                return pa.table({
+                    "node": pa.array(dst[ok].astype(np.int64)),
+                    "cand": pa.array(dv[ok] + 1)})
+
+            joined = edges.map_batches(emit_cand,
+                                       batch_format="pyarrow")
+        else:
+            joined = (edges.join(keyed, join_type="inner",
+                                 num_partitions=nparts, on=("src",))
+                      .map_batches(
+                          lambda b: pa.table(
+                              {"node": b["dst"],
+                               "cand": pc.add(b["dist"], 1)}),
+                          batch_format="pyarrow"))
+        cand = (joined.groupby("node")
                 .aggregate(Min("cand", alias_name="cand")))
+
+        cand = cand.materialize()
+        if cand.count() <= max(nparts * 8, 10_000):
+            cmap = {}
+            for t in collect_tables(cand):
+                cmap.update(zip(t["node"].to_pylist(),
+                                t["cand"].to_pylist()))
+            cref = ray.put(cmap)
+
+            def relax_bc(batch: pa.Table) -> pa.Table:
+                cm = ray.get(cref)
+                node = batch["node"].to_numpy(zero_copy_only=False)
+                d = batch["dist"].to_numpy(zero_copy_only=False)
+                c = np.fromiter(
+                    (cm.get(int(v), UNREACHED) for v in node),
+                    dtype=np.int64, count=len(node))
+                return pa.table({"node": batch["node"],
+                                 "dist": pa.array(np.minimum(d, c))})
+
+            state = (state.map_batches(relax_bc,
+                                       batch_format="pyarrow")
+                     .materialize())
+            continue
 
         def relax(batch: pa.Table) -> pa.Table:
             d = batch["dist"].to_numpy(zero_copy_only=False)

@@ -84,25 +84,11 @@ def _hits_broadcast(edges, nodes, iterations: int, unit: int):
     """Dense-index path (node table ≤ threshold): edges re-keyed once,
     each half-step is one streaming map over the edge blocks emitting
     sparse node-dense scatter partials — zero shuffles per iteration."""
-    node_ids = []
-    for b in nodes.iter_batches(batch_format="pyarrow"):
-        node_ids.extend(b["node"].to_pylist())
-    n = len(node_ids)
-    idx_ref = ray.put({v: i for i, v in enumerate(node_ids)})
+    from .gutil import dense_rekey, sorted_node_array
 
-    def rekey(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        m = ray.get(idx_ref)
-        return pa.table({
-            "s": pa.array(pd.Series(batch["src"].to_pylist()).map(m)
-                          .to_numpy(np.int32)),
-            "d": pa.array(pd.Series(batch["dst"].to_pylist()).map(m)
-                          .to_numpy(np.int32)),
-        })
-
-    dense = edges.map_batches(rekey, batch_format="pyarrow",
-                              batch_size=None).materialize()
+    node_arr = sorted_node_array(nodes)
+    n = len(node_arr)
+    dense = dense_rekey(edges, node_arr)
 
     def half_step(vec: np.ndarray, gather: str, scatter: str) -> np.ndarray:
         ref = ray.put(vec)
@@ -117,10 +103,12 @@ def _hits_broadcast(edges, nodes, iterations: int, unit: int):
             return pa.table({"i": pa.array(nz.astype(np.int64)),
                              "v": pa.array(acc[nz])})
 
+        from .gutil import collect_tables
+
         acc = np.zeros(n, dtype=np.int64)
-        for b in dense.map_batches(
+        for b in collect_tables(dense.map_batches(
             partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow"):
+        )):
             np.add.at(acc, b["i"].to_numpy(zero_copy_only=False),
                       b["v"].to_numpy(zero_copy_only=False))
         d = _rescale_div(int(acc.max(initial=0)), unit)
@@ -132,11 +120,10 @@ def _hits_broadcast(edges, nodes, iterations: int, unit: int):
         a = half_step(h, gather="s", scatter="d")   # authorities ← hubs
         h = half_step(a, gather="d", scatter="s")   # hubs ← authorities
 
-    order = np.argsort(np.asarray(node_ids))
     return ray.data.from_arrow(pa.table({
-        "node": pa.array(np.asarray(node_ids)[order], pa.int64()),
-        "auth_q": pa.array(a[order], pa.int64()),
-        "hub_q": pa.array(h[order], pa.int64()),
+        "node": pa.array(node_arr, pa.int64()),
+        "auth_q": pa.array(a, pa.int64()),
+        "hub_q": pa.array(h, pa.int64()),
     }))
 
 

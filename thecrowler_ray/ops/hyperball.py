@@ -80,6 +80,12 @@ def hyperball(
     folds src's sketch into dst's) → sparse register Dataset
     (node, ri, rv) after ``rounds`` max-merge rounds."""
     edges = edges.select_columns(["src", "dst"]).materialize()
+    # bounded block count — each round re-maps the edges (ops/hits.py)
+    n_edges = edges.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(min(cpus, 8),
+                   min(64, int(n_edges // 2_000_000) + 1))
+    edges = edges.repartition(n_blocks).materialize()
 
     def node_rows(batch: pa.Table) -> pa.Table:
         s = np.unique(batch["src"].to_numpy(zero_copy_only=False))
@@ -111,26 +117,11 @@ def _init_sparse(batch: pa.Table) -> pa.Table:
 
 
 def _hb_broadcast(edges, nodes, rounds: int):
-    node_ids = []
-    for b in nodes.iter_batches(batch_format="pyarrow"):
-        node_ids.extend(b["node"].to_pylist())
-    node_arr = np.asarray(node_ids, dtype=np.int64)
+    from .gutil import dense_rekey, sorted_node_array
+
+    node_arr = sorted_node_array(nodes)
     n = len(node_arr)
-    idx_ref = ray.put({v: i for i, v in enumerate(node_ids)})
-
-    def rekey(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        m = ray.get(idx_ref)
-        return pa.table({
-            "s": pa.array(pd.Series(batch["src"].to_pylist()).map(m)
-                          .to_numpy(np.int32)),
-            "d": pa.array(pd.Series(batch["dst"].to_pylist()).map(m)
-                          .to_numpy(np.int32)),
-        })
-
-    dense = edges.map_batches(rekey, batch_format="pyarrow",
-                              batch_size=None).materialize()
+    dense = dense_rekey(edges, node_arr)
 
     regs = np.zeros((n, N_REG), dtype=np.int64)
     bucket, rho = _bucket_rho(_hash64(node_arr))
@@ -152,12 +143,12 @@ def _hb_broadcast(edges, nodes, rounds: int):
                               type=pa.list_(pa.int64())),
             })
 
+        from .gutil import collect_tables
+
         merged = np.zeros((n, N_REG), dtype=np.int64)
-        for b in dense.map_batches(
+        for b in collect_tables(dense.map_batches(
             partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow"):
-            if b.num_rows == 0:
-                continue
+        )):
             ii = b["i"].to_numpy(zero_copy_only=False)
             rr = np.stack(b["r"].to_pandas().to_numpy())
             np.maximum.at(merged, ii, rr)

@@ -56,6 +56,14 @@ def label_propagation(
     graph; parallel edges = multiplicity) → Dataset (node, label) after
     ``iterations`` synchronous rounds."""
     edges = edges.select_columns(["src", "dst"]).materialize()
+    # coalesce to a bounded block count: every iteration re-maps the
+    # edge list, so hundreds of tiny input blocks become hundreds of
+    # scheduled tasks PER ROUND (the ops/hits.py lesson)
+    n_edges = edges.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(min(cpus, 8),
+                   min(64, int(n_edges // 2_000_000) + 1))
+    edges = edges.repartition(n_blocks).materialize()
 
     def node_rows(batch: pa.Table) -> pa.Table:
         s = np.unique(batch["src"].to_numpy(zero_copy_only=False))
@@ -80,19 +88,32 @@ def label_propagation(
     return _lpa_join(edges, nodes, iterations)
 
 
+def _pair_count_arrays(
+    dst: np.ndarray, lab: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """In-batch combiner: distinct (dst, label) pairs + counts via one
+    lexsort (np.unique(axis=1) is an order of magnitude slower — it
+    round-trips through a void dtype)."""
+    d = dst.astype(np.int64)
+    l = lab.astype(np.int64)
+    order = np.lexsort((l, d))
+    d_s, l_s = d[order], l[order]
+    first = np.ones(len(d_s), dtype=bool)
+    if len(d_s):
+        first[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+    idx = np.nonzero(first)[0]
+    counts = np.diff(np.append(idx, len(d_s)))
+    return d_s[idx], l_s[idx], counts.astype(np.int64)
+
+
 def _partial_counts(dst: np.ndarray, lab: np.ndarray) -> pa.Table:
-    """In-batch combiner: (dst, neighbor-label) pair counts via one
-    np.unique over the packed pair — the shuffle moves ≤ distinct-pairs
-    rows per block instead of one row per edge."""
-    # dst ids < 2^33 (guarded at build) and labels < 2^33: pack the
-    # PAIR as float128-free two-column lexsort-equivalent — np.unique
-    # over a (2, n) stack.
-    pairs = np.stack([dst.astype(np.int64), lab.astype(np.int64)])
-    uniq, counts = np.unique(pairs, axis=1, return_counts=True)
+    """Arrow wrapper over ``_pair_count_arrays`` — the shuffle moves
+    ≤ distinct-pairs rows per block instead of one row per edge."""
+    d, l, c = _pair_count_arrays(dst, lab)
     return pa.table({
-        "node": pa.array(uniq[0]),
-        "lab": pa.array(uniq[1]),
-        "c": pa.array(counts.astype(np.int64)),
+        "node": pa.array(d),
+        "lab": pa.array(l),
+        "c": pa.array(c),
     })
 
 
@@ -118,26 +139,15 @@ def _argmax_labels(pair_counts):
 
 
 def _lpa_broadcast(edges, nodes, iterations: int):
-    node_ids = []
-    for b in nodes.iter_batches(batch_format="pyarrow"):
-        node_ids.extend(b["node"].to_pylist())
-    node_arr = np.asarray(node_ids, dtype=np.int64)
+    """Dense-index path: zero shuffles per iteration — the per-batch
+    (dense-dst, label) pair-count partials fold on the driver (bounded
+    by the distinct-pair count ≤ |E|, the same budget as the edge
+    list), and the argmax is one vectorized lexsort."""
+    from .gutil import dense_rekey, sorted_node_array
+
+    node_arr = sorted_node_array(nodes)
     n = len(node_arr)
-    idx = {v: i for i, v in enumerate(node_ids)}
-    idx_ref = ray.put(idx)
-
-    def rekey(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        m = ray.get(idx_ref)
-        return pa.table({
-            "s": pa.array(pd.Series(batch["src"].to_pylist()).map(m)
-                          .to_numpy(np.int32)),
-            "d": pa.array(batch["dst"]),  # keep original id: it IS the
-        })                                # groupby key and output node
-
-    dense = edges.map_batches(rekey, batch_format="pyarrow",
-                              batch_size=None).materialize()
+    dense = dense_rekey(edges, node_arr)
 
     labels = node_arr.copy()  # label0(v) = v
     for _ in range(iterations):
@@ -147,25 +157,50 @@ def _lpa_broadcast(edges, nodes, iterations: int):
             lv = ray.get(ref)
             s = batch["s"].to_numpy(zero_copy_only=False)
             d = batch["d"].to_numpy(zero_copy_only=False)
-            return _partial_counts(d, lv[s])
+            dd, ll, cc = _pair_count_arrays(d, lv[s])
+            # pack (dense idx, label) into one int64: idx ≤ threshold
+            # < 2^30, label < 2^33 — guarded at build
+            return pa.table({
+                "k": pa.array((dd << LAB_BITS) + ll),
+                "c": pa.array(cc),
+            })
 
-        picked = _argmax_labels(dense.map_batches(
-            partial, batch_format="pyarrow", batch_size=None))
+        from .gutil import collect_tables
+
+        ks, cs = [], []
+        for b in collect_tables(dense.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        )):
+            ks.append(b["k"].to_numpy(zero_copy_only=False))
+            cs.append(b["c"].to_numpy(zero_copy_only=False))
+        if not ks:
+            break
+        k = np.concatenate(ks)
+        c = np.concatenate(cs)
+        # fold duplicate pair keys across blocks, then argmax per node
+        # by (count DESC, label ASC) in one lexsort
+        order = np.argsort(k, kind="mergesort")
+        k_s, c_s = k[order], c[order]
+        first = np.ones(len(k_s), dtype=bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        idx0 = np.nonzero(first)[0]
+        c_tot = np.add.reduceat(c_s, idx0)
+        k_u = k_s[idx0]
+        d_u = (k_u >> LAB_BITS).astype(np.int64)
+        l_u = (k_u & LAB_MASK).astype(np.int64)
+        pick = np.lexsort((l_u, -c_tot, d_u))
+        d_p = d_u[pick]
+        lead = np.ones(len(d_p), dtype=bool)
+        lead[1:] = d_p[1:] != d_p[:-1]
         new = labels.copy()
-        for b in picked.iter_batches(batch_format="pyarrow"):
-            nn = b["node"].to_numpy(zero_copy_only=False)
-            pk = b["packed"].to_numpy(zero_copy_only=False)
-            ii = np.fromiter((idx[int(v)] for v in nn), dtype=np.int64,
-                             count=len(nn))
-            new[ii] = LAB_MASK - (pk & LAB_MASK)
+        new[d_p[lead]] = l_u[pick][lead]
         if np.array_equal(new, labels):
             break  # fixed point — further rounds are identity
         labels = new
 
-    order = np.argsort(node_arr)
     return ray.data.from_arrow(pa.table({
-        "node": pa.array(node_arr[order], pa.int64()),
-        "label": pa.array(labels[order], pa.int64()),
+        "node": pa.array(node_arr, pa.int64()),
+        "label": pa.array(labels, pa.int64()),
     }))
 
 

@@ -116,36 +116,21 @@ def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
     scatter into a node-dense partial, returned sparse (idx, val) — and
     a driver-side add of the ≤node-sized partials. No groupby, no
     per-edge dict lookups after the re-key."""
-    node_ids: list = []
-    outdeg_l: list = []
-    for r in nodes.iter_rows():
-        node_ids.append(r["node"])
-        outdeg_l.append(r["outdeg"])
+    from .gutil import collect_tables, dense_rekey
+
+    id_parts: list = []
+    od_parts: list = []
+    for b in collect_tables(nodes):
+        id_parts.append(b["node"].to_numpy(zero_copy_only=False))
+        od_parts.append(b["outdeg"].to_numpy(zero_copy_only=False))
+    node_ids = np.concatenate(id_parts).astype(np.int64)
+    outdeg = np.concatenate(od_parts).astype(np.int64)
+    sort_order = np.argsort(node_ids)
+    node_ids = node_ids[sort_order]
+    outdeg = outdeg[sort_order]
     n = len(node_ids)
-    idx_ref = ray.put({v: i for i, v in enumerate(node_ids)})
 
-    def rekey(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        m = ray.get(idx_ref)
-        return pa.table(
-            {
-                "s": pa.array(
-                    pd.Series(batch["src"].to_pylist()).map(m)
-                    .to_numpy(np.int32)
-                ),
-                "d": pa.array(
-                    pd.Series(batch["dst"].to_pylist()).map(m)
-                    .to_numpy(np.int32)
-                ),
-            }
-        )
-
-    dense_edges = edges.map_batches(
-        rekey, batch_format="pyarrow", batch_size=None
-    ).materialize()
-
-    outdeg = np.asarray(outdeg_l, dtype=np.int64)
+    dense_edges = dense_rekey(edges, node_ids)
     ranks = np.full(n, unit, dtype=np.int64)
     # outdeg ≥ 1 for every src by construction; shipped through the
     # object store ONCE (a closure capture would re-serialize the
@@ -174,12 +159,12 @@ def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
         acc = np.full(n, base, dtype=np.int64)
         # batch_size=None → whole blocks: the node-dense partial is
         # allocated per block, not per 1024-row micro-batch
-        for b in dense_edges.map_batches(
+        for b in collect_tables(dense_edges.map_batches(
             partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow"):
-            # iter_batches re-batches across blocks, so an index can
-            # repeat within one batch — fancy-index += would drop the
-            # duplicates; add.at is the unbuffered scatter-add
+        )):
+            # collected blocks may repeat an index across tables —
+            # fancy-index += would drop the duplicates; add.at is the
+            # unbuffered scatter-add
             np.add.at(
                 acc,
                 b["i"].to_numpy(zero_copy_only=False),
@@ -187,14 +172,11 @@ def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
             )
         ranks = acc
 
-    order = np.argsort(np.asarray(node_ids))
     return ray.data.from_arrow(
         pa.table(
             {
-                "node": pa.array(
-                    np.asarray(node_ids)[order], pa.int64()
-                ),
-                "rank_q": pa.array(ranks[order], pa.int64()),
+                "node": pa.array(node_ids, pa.int64()),
+                "rank_q": pa.array(ranks, pa.int64()),
             }
         )
     )

@@ -93,10 +93,12 @@ def exact_quantiles(ds, col: str, qs: list[float], *,
                 "c": pa.array(out_c, pa.int64()),
             })
 
+        from .gutil import collect_tables
+
         hist = {i: np.zeros(n_buckets, dtype=np.int64) for i in active}
-        for bt in slim.map_batches(
+        for bt in collect_tables(slim.map_batches(
             partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow"):
+        )):
             qi = bt["qi"].to_numpy(zero_copy_only=False)
             bb = bt["b"].to_numpy(zero_copy_only=False)
             cc = bt["c"].to_numpy(zero_copy_only=False)

@@ -77,18 +77,23 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
             "triangles": pa.array([], pa.int64())}))
 
     if n_nodes <= broadcast_threshold:
-        dmap: dict = {}
-        for b in deg.iter_batches(batch_format="pyarrow"):
-            for n_, d_ in zip(b["node"].to_pylist(), b["deg"].to_pylist()):
-                dmap[n_] = d_
-        deg_ref = ray.put(dmap)
+        from .gutil import collect_tables
+
+        id_parts, dg_parts = [], []
+        for b in collect_tables(deg):
+            id_parts.append(b["node"].to_numpy(zero_copy_only=False))
+            dg_parts.append(b["deg"].to_numpy(zero_copy_only=False))
+        nid = np.concatenate(id_parts).astype(np.int64)
+        dgv = np.concatenate(dg_parts).astype(np.int64)
+        so = np.argsort(nid)
+        deg_ref = ray.put((nid[so], dgv[so]))
 
         def orient(batch: pa.Table) -> pa.Table:
-            dm = ray.get(deg_ref)
+            nid_s, dgv_s = ray.get(deg_ref)
             x = batch["x"].to_numpy(zero_copy_only=False)
             y = batch["y"].to_numpy(zero_copy_only=False)
-            dx = np.fromiter((dm[v] for v in x), np.int64, len(x))
-            dy = np.fromiter((dm[v] for v in y), np.int64, len(y))
+            dx = dgv_s[np.searchsorted(nid_s, x)]
+            dy = dgv_s[np.searchsorted(nid_s, y)]
             fwd = (dx < dy) | ((dx == dy) & (x < y))
             return pa.table({
                 "src": pa.array(np.where(fwd, x, y).astype(np.int64)),
@@ -97,7 +102,85 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
             })
 
         ep = e.map_batches(orient, batch_format="pyarrow").materialize()
-    else:
+
+        # Broadcast close path: the oriented edge set ships ONCE as a
+        # sorted packed-int64 array; wedges are generated per src-hash
+        # SHARD (a bounded number of vectorized map_groups calls, not
+        # one pandas call per node) and closed in-worker against the
+        # set with searchsorted — the wedge explosion NEVER leaves the
+        # worker, no 10^7-row shuffle, no join. Output is per-shard
+        # (node, count) partials.
+        packed_parts = []
+        for b in collect_tables(ep):
+            s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(s) and (s.max() >= (1 << 31) or d.max() >= (1 << 31)
+                           or s.min() < 0 or d.min() < 0):
+                packed_parts = None  # ids too wide to pack — join path
+                break
+            packed_parts.append((s << 31) + d)
+        if packed_parts is not None:
+            edge_set = np.sort(np.concatenate(packed_parts)
+                               if packed_parts
+                               else np.array([], dtype=np.int64))
+            set_ref = ray.put(edge_set)
+            n_shards = max(16, nparts * 2)
+
+            def add_shard(batch: pa.Table) -> pa.Table:
+                s = batch["src"].to_numpy(zero_copy_only=False)
+                return batch.append_column(
+                    "shard", pa.array((s * 2654435761 % n_shards)
+                                      .astype(np.int64)))
+
+            def close_shard(g: pd.DataFrame) -> pd.DataFrame:
+                es = ray.get(set_ref)
+                order = np.lexsort((g["dst"].to_numpy(),
+                                    g["kd"].to_numpy(),
+                                    g["src"].to_numpy()))
+                src = g["src"].to_numpy()[order]
+                dst = g["dst"].to_numpy()[order]
+                run_starts = np.flatnonzero(
+                    np.r_[True, src[1:] != src[:-1]])
+                run_ends = np.r_[run_starts[1:], len(src)]
+                nodes_acc, cnt_acc = [], []
+                for a, b_ in zip(run_starts, run_ends):
+                    nb = dst[a:b_]
+                    k = len(nb)
+                    if k < 2:
+                        continue
+                    iu, ju = np.triu_indices(k, 1)
+                    v, w = nb[iu], nb[ju]
+                    hit = np.searchsorted(es, (v << 31) + w)
+                    ok = (hit < len(es)) & (es[np.minimum(
+                        hit, len(es) - 1)] == (v << 31) + w)
+                    if not ok.any():
+                        continue
+                    tri_nodes = np.concatenate([
+                        np.full(int(ok.sum()), src[a], dtype=np.int64),
+                        v[ok], w[ok]])
+                    u, c = np.unique(tri_nodes, return_counts=True)
+                    nodes_acc.append(u)
+                    cnt_acc.append(c)
+                if not nodes_acc:
+                    return pd.DataFrame({
+                        "node": pd.Series([], dtype="int64"),
+                        "t": pd.Series([], dtype="int64")})
+                allu = np.concatenate(nodes_acc)
+                allc = np.concatenate(cnt_acc)
+                o2 = np.argsort(allu, kind="mergesort")
+                u_s, c_s = allu[o2], allc[o2]
+                first = np.r_[True, u_s[1:] != u_s[:-1]]
+                idx = np.flatnonzero(first)
+                return pd.DataFrame({
+                    "node": u_s[idx],
+                    "t": np.add.reduceat(c_s, idx).astype(np.int64)})
+
+            return (ep.map_batches(add_shard, batch_format="pyarrow")
+                    .groupby("shard")
+                    .map_groups(close_shard, batch_format="pandas")
+                    .groupby("node")
+                    .aggregate(Sum("t", alias_name="triangles")))
+    if True:
         # join path: attach each endpoint's degree via two hash joins
         dx = deg.map_batches(
             lambda b: b.rename_columns(["x", "dx"]),

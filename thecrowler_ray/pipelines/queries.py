@@ -2829,3 +2829,76 @@ def q_mutual_info(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["source", "lang"])
     return entropy_mi(ds, "source", "lang")
+
+
+def q_url_templates(sf_dir: str):
+    """URL template mining (``stages/urlmine.py``): per (source,
+    template) page counts over documents-derived deterministic paths —
+    numeric ids and 16+-char hex runs collapse to {n}/{h}."""
+    import hashlib
+
+    from ..stages.urlmine import url_templates
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        paths = []
+        for d in ids:
+            d = int(d)
+            if d % 3 == 0:
+                h = hashlib.md5(str(d).encode()).hexdigest()[:20]
+                paths.append(f"/obj/{h}/raw")
+            elif d % 3 == 1:
+                paths.append(f"/cat-{d % 7}/item/{d * d % 100000}/v")
+            else:
+                paths.append(f"/about/team{d % 5}")
+        return pa.table({
+            "host": batch["source"],
+            "path": pa.array(paths, pa.string()),
+        })
+
+    urls = ds.map_batches(synth, batch_format="pyarrow")
+    return url_templates(urls, host="host", path="path")
+
+
+def q_session_paths(sf_dir: str):
+    """Session path mining (``stages/paths.py``): the 100 most common
+    per-(user, day) event-type journeys as '>'-joined strings."""
+    import pyarrow.compute as pc
+
+    from ..stages.paths import session_paths
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+    DAY_US = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "user_id": batch["user_id"],
+            "day": pc.divide(us, DAY_US),
+            "seq": us,
+            "state": batch["event_type"],
+        })
+
+    stream = ev.map_batches(prep, batch_format="pyarrow")
+    return session_paths(stream, key="user_id", window="day",
+                         seq="seq", state="state", k=100)
+
+
+def q_quantile_bucket(sf_dir: str):
+    """Quantile bucketing (``stages/discretize.py``): lineitem price
+    cents discretized at the exact quartiles (``ops/quantiles.py``
+    boundaries, no data sort) — per-bucket counts and value ranges."""
+    from ..stages.discretize import quantile_buckets
+
+    li = _rp(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(np.asarray(t["l_extendedprice"],
+                                dtype=np.float64) * 100
+                     + 0.5).astype(np.int64)
+        return pa.table({"cents": pa.array(v)})
+
+    ds = li.map_batches(cents, batch_format="pyarrow")
+    return quantile_buckets(ds, "cents", [0.25, 0.5, 0.75])

@@ -68,7 +68,9 @@ def entropy_mi(ds, x: str, y: str) -> pd.DataFrame:
     n = 0
     jrows: list[tuple] = []
     # the joint table is alphabet² rows — driver-bounded by design
-    for b in joint.iter_batches(batch_format="pyarrow"):
+    from ..ops.gutil import collect_tables
+
+    for b in collect_tables(joint):
         for xv, yv, c in zip(b[x].to_pylist(), b[y].to_pylist(),
                              b["c"].to_pylist()):
             mx[xv] = mx.get(xv, 0) + c

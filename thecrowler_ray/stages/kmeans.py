@@ -71,9 +71,11 @@ def kmeans_assign(
         return pa.Table.from_pandas(
             df.nsmallest(k, id_col), preserve_index=False)
 
-    parts = [b.to_pandas() for b in
-             slim.map_batches(head_k, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")]
+    from ..ops.gutil import collect_tables
+
+    parts = [t.to_pandas() for t in
+             collect_tables(slim.map_batches(head_k,
+                                             batch_format="pyarrow"))]
     cand = (pd.concat(parts, ignore_index=True)
             .nsmallest(k, id_col).sort_values(id_col)
             if parts else pd.DataFrame(columns=[id_col, vec_col]))
@@ -116,9 +118,9 @@ def kmeans_assign(
 
         tot_sum = np.zeros((kk, dims), dtype=np.int64)
         tot_cnt = np.zeros(kk, dtype=np.int64)
-        for b in slim.map_batches(
+        for b in collect_tables(slim.map_batches(
             partial, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow"):
+        )):
             # iter_batches may coalesce several partial tables into one
             # batch, so cluster ids repeat — np.add.at, never
             # fancy-index += (which silently drops duplicates)

@@ -56,11 +56,13 @@ def markov_transitions(
               .aggregate(Sum("n", alias_name="n"))
               .materialize())
 
+    from ..ops.gutil import collect_tables
+
     totals = {}
-    for b in (counts.groupby("from_state")
-              .aggregate(Sum("n", alias_name="tot"))
-              .iter_batches(batch_format="pandas")):
-        totals.update(zip(b["from_state"], b["tot"]))
+    for t in collect_tables(counts.groupby("from_state")
+                            .aggregate(Sum("n", alias_name="tot"))):
+        totals.update(zip(t["from_state"].to_pylist(),
+                          t["tot"].to_pylist()))
     import ray
     tot_ref = ray.put(totals)
 

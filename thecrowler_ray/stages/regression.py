@@ -74,9 +74,12 @@ def grouped_ols(
             "sxx": pa.array(out["sxx"].astype(str)),
         })
 
+    from ..ops.gutil import collect_tables
+
     acc: dict[str, list[int]] = {}
-    for b in (slim.map_batches(partial, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
+    for b in collect_tables(
+        slim.map_batches(partial, batch_format="pyarrow")
+    ):
         for gname, n, sx, sy, sxy, sxx in zip(
             b["g"].to_pylist(), b["n"].to_pylist(),
             b["sx"].to_pylist(), b["sy"].to_pylist(),
