@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url_templates": q.q_url_templates,
         "q_session_paths": q.q_session_paths,
         "q_quantile_bucket": q.q_quantile_bucket,
+        "q_kcore": q.q_kcore,
+        "q_tfidf": q.q_tfidf,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3165,6 +3167,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(COUNT(*) AS BIGINT) AS n
             FROM p GROUP BY path
             ORDER BY n DESC, path ASC LIMIT 100
+        """,
+        # k-core twin (ops/kcore.py): 2 peel rounds at k=110 over the
+        # part co-order graph; survivors reported with their degree in
+        # the surviving subgraph (COALESCE 0 — the all-neighbours-
+        # peeled pin)
+        "q_kcore": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+            ), e AS MATERIALIZED (
+                SELECT DISTINCT a.p AS x, b.p AS y
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            ), d1 AS MATERIALIZED (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+                ) GROUP BY node
+            ), n1 AS MATERIALIZED (
+                SELECT node FROM d1 WHERE deg >= 110
+            ), e1 AS MATERIALIZED (
+                SELECT e.x, e.y FROM e
+                JOIN n1 a ON e.x = a.node JOIN n1 b ON e.y = b.node
+            ), d2 AS MATERIALIZED (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT x AS node FROM e1 UNION ALL SELECT y FROM e1
+                ) GROUP BY node
+            ), n2 AS MATERIALIZED (
+                SELECT node FROM d2 WHERE deg >= 110
+            ), e2 AS MATERIALIZED (
+                SELECT e.x, e.y FROM e
+                JOIN n2 a ON e.x = a.node JOIN n2 b ON e.y = b.node
+            ), d3 AS MATERIALIZED (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT x AS node FROM e2 UNION ALL SELECT y FROM e2
+                ) GROUP BY node
+            )
+            SELECT n2.node,
+                   CAST(COALESCE(d3.deg, 0) AS BIGINT) AS degree
+            FROM n2 LEFT JOIN d3 ON n2.node = d3.node
+            ORDER BY n2.node
+        """,
+        # TF-IDF twin (stages/tfidf.py): bm25-contract tokenization,
+        # score = floor(tf*ln(N/df)*1e4+0.5) with the identical double
+        # tree, per-doc top-3 by (score DESC, term ASC)
+        "q_tfidf": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(COALESCE(text, '')), '\\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), n AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w
+            ), tf AS (
+                SELECT doc_id, tok AS term,
+                       CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+                GROUP BY doc_id, tok
+            ), df AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       CAST(floor(CAST(tf.tf AS DOUBLE)
+                                  * ln(CAST(n.n AS DOUBLE)
+                                       / CAST(df.df AS DOUBLE))
+                                  * 10000 + 0.5) AS BIGINT) AS score_q4
+                FROM tf JOIN df USING (term), n
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_q4 DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, score_q4,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

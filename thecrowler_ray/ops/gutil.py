@@ -14,18 +14,20 @@ import ray
 
 
 def dense_rekey(edges, sorted_nodes: np.ndarray,
-                out_cols: tuple[str, str] = ("s", "d")):
-    """Edge Dataset (src, dst) → Dataset with both endpoints replaced
+                out_cols: tuple[str, str] = ("s", "d"),
+                in_cols: tuple[str, str] = ("src", "dst")):
+    """Edge Dataset (``in_cols``) → Dataset with both endpoints replaced
     by their index in ``sorted_nodes`` (which MUST be sorted and cover
     every endpoint). One streaming map; the node array ships once via
     the object store."""
     ref = ray.put(np.ascontiguousarray(sorted_nodes, dtype=np.int64))
     a, b = out_cols
+    ia, ib = in_cols
 
     def rekey(batch: pa.Table) -> pa.Table:
         nodes = ray.get(ref)
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        src = batch[ia].to_numpy(zero_copy_only=False)
+        dst = batch[ib].to_numpy(zero_copy_only=False)
         return pa.table({
             a: pa.array(np.searchsorted(nodes, src).astype(np.int32)),
             b: pa.array(np.searchsorted(nodes, dst).astype(np.int32)),

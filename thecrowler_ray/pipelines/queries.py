@@ -2902,3 +2902,35 @@ def q_quantile_bucket(sf_dir: str):
 
     ds = li.map_batches(cents, batch_format="pyarrow")
     return quantile_buckets(ds, "cents", [0.25, 0.5, 0.75])
+
+
+def q_kcore(sf_dir: str):
+    """k-core peeling (``ops/kcore.py``) over the part co-order graph
+    at k=110, 2 rounds (at sf0.01: 2000 -> 1203 -> 77 survivors) —
+    survivors with their degree inside the surviving subgraph."""
+    from ..ops.kcore import k_core
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.unique(g["l_partkey"].to_numpy())
+        if len(p) < 2:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "dst": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(len(p), 1)
+        return pd.DataFrame({"src": p[iu].astype(np.int64),
+                             "dst": p[ju].astype(np.int64)})
+
+    edges = (li.groupby("l_orderkey")
+             .map_groups(pairs, batch_format="pandas"))
+    return k_core(edges, 110, rounds=2)
+
+
+def q_tfidf(sf_dir: str):
+    """TF-IDF top terms (``stages/tfidf.py``): each document's top-3
+    terms by the fixed-point floor(tf*ln(N/df)*1e4+0.5) score,
+    (score DESC, term ASC) ties."""
+    from ..stages.tfidf import tfidf_top_terms
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(docs, m=3)
