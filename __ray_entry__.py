@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_bucket": q.q_quantile_bucket,
         "q_kcore": q.q_kcore,
         "q_tfidf": q.q_tfidf,
+        "q_adamic_adar": q.q_adamic_adar,
+        "q_walks": q.q_walks,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3244,6 +3246,114 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 3
             ORDER BY doc_id, rank
+        """,
+        # Adamic-Adar twin (ops/linkpred.py): wedge contributions
+        # floor(1e6/ln(deg)+0.5) summed per non-adjacent pair over the
+        # undirected synthetic doc link graph
+        "q_adamic_adar": """
+            WITH nn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), e0 AS (
+                SELECT doc_id AS src, (doc_id*doc_id+1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (31*doc_id+7) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, doc_id % 25 FROM documents
+            ), eu AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src, dst) AS x,
+                       GREATEST(src, dst) AS y
+                FROM e0 WHERE src <> dst
+            ), adj AS (
+                SELECT x AS w, y AS nb FROM eu
+                UNION ALL SELECT y, x FROM eu
+            ), degs AS (
+                SELECT w, COUNT(*) AS k FROM adj GROUP BY w
+            ), contrib AS (
+                SELECT w, CAST(floor(1000000.0
+                               / ln(CAST(k AS DOUBLE)) + 0.5)
+                          AS BIGINT) AS c
+                FROM degs WHERE k >= 2
+            ), wedge AS (
+                SELECT a.nb AS u, b.nb AS v, c.c
+                FROM adj a
+                JOIN adj b ON a.w = b.w AND a.nb < b.nb
+                JOIN contrib c ON c.w = a.w
+            ), scores AS (
+                SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common,
+                       CAST(SUM(c) AS BIGINT) AS score_q6
+                FROM wedge GROUP BY u, v
+            )
+            SELECT s.u, s.v, s.common, s.score_q6
+            FROM scores s LEFT JOIN eu
+              ON s.u = eu.x AND s.v = eu.y
+            WHERE eu.x IS NULL
+            ORDER BY s.score_q6 DESC, s.u, s.v LIMIT 100
+        """,
+        # walk twin (ops/walks.py): 4 md5-argmin hops, each step one
+        # ROW_NUMBER over md5('w:'||walk||':'||t||':'||nb)
+        "q_walks": """
+            WITH nn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), e0 AS (
+                SELECT doc_id AS src, (doc_id*doc_id+1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (31*doc_id+7) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, doc_id % 25 FROM documents
+            ), e AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+            ), p0 AS (
+                SELECT doc_id AS walk_id, doc_id AS node
+                FROM documents WHERE doc_id % 50 = 0
+            ), c1 AS (
+                SELECT p.walk_id, e.dst AS nb,
+                       md5('w:' || CAST(p.walk_id AS VARCHAR) || ':1:'
+                           || CAST(e.dst AS VARCHAR)) AS h
+                FROM p0 p JOIN e ON e.src = p.node
+            ), p1 AS MATERIALIZED (
+                SELECT walk_id, nb AS node FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY walk_id ORDER BY h, nb) AS rn
+                    FROM c1) WHERE rn = 1
+            ), c2 AS (
+                SELECT p.walk_id, e.dst AS nb,
+                       md5('w:' || CAST(p.walk_id AS VARCHAR) || ':2:'
+                           || CAST(e.dst AS VARCHAR)) AS h
+                FROM p1 p JOIN e ON e.src = p.node
+            ), p2 AS MATERIALIZED (
+                SELECT walk_id, nb AS node FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY walk_id ORDER BY h, nb) AS rn
+                    FROM c2) WHERE rn = 1
+            ), c3 AS (
+                SELECT p.walk_id, e.dst AS nb,
+                       md5('w:' || CAST(p.walk_id AS VARCHAR) || ':3:'
+                           || CAST(e.dst AS VARCHAR)) AS h
+                FROM p2 p JOIN e ON e.src = p.node
+            ), p3 AS MATERIALIZED (
+                SELECT walk_id, nb AS node FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY walk_id ORDER BY h, nb) AS rn
+                    FROM c3) WHERE rn = 1
+            ), c4 AS (
+                SELECT p.walk_id, e.dst AS nb,
+                       md5('w:' || CAST(p.walk_id AS VARCHAR) || ':4:'
+                           || CAST(e.dst AS VARCHAR)) AS h
+                FROM p3 p JOIN e ON e.src = p.node
+            ), p4 AS MATERIALIZED (
+                SELECT walk_id, nb AS node FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY walk_id ORDER BY h, nb) AS rn
+                    FROM c4) WHERE rn = 1
+            )
+            SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM p0
+            UNION ALL SELECT walk_id, 1, node FROM p1
+            UNION ALL SELECT walk_id, 2, node FROM p2
+            UNION ALL SELECT walk_id, 3, node FROM p3
+            UNION ALL SELECT walk_id, 4, node FROM p4
+            ORDER BY walk_id, step
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

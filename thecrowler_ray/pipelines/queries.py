@@ -2934,3 +2934,48 @@ def q_tfidf(sf_dir: str):
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     return tfidf_top_terms(docs, m=3)
+
+
+def _doc_link_graph(sf_dir: str):
+    """Deterministic synthetic directed link graph over documents:
+    d -> (d*d+1) % n, d -> (31*d+7) % n, d -> d % 25 (hub); self-loops
+    dropped downstream. Same construction as the SQL twins."""
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def synth(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([(d * d + 1) % n, (31 * d + 7) % n,
+                              d % 25])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return docs.map_batches(synth, batch_format="pyarrow")
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction (``ops/linkpred.py``): top-100
+    non-adjacent pairs of the synthetic doc link graph by the
+    fixed-point common-neighbor score."""
+    from ..ops.linkpred import adamic_adar
+
+    edges = _doc_link_graph(sf_dir).map_batches(
+        lambda b: pa.table({"x": b["src"], "y": b["dst"]}),
+        batch_format="pyarrow")
+    return adamic_adar(edges, k=100)
+
+
+def q_walks(sf_dir: str):
+    """Deterministic random walks (``ops/walks.py``): 4-step md5-hop
+    walks from every doc_id % 50 == 0 start over the synthetic doc
+    link graph."""
+    from ..ops.walks import deterministic_walks
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    starts = docs.filter(
+        lambda r: r["doc_id"] % 50 == 0).map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}),
+        batch_format="pyarrow")
+    return deterministic_walks(_doc_link_graph(sf_dir), starts,
+                               length=4, seed="w")
