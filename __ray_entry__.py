@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tfidf": q.q_tfidf,
         "q_adamic_adar": q.q_adamic_adar,
         "q_walks": q.q_walks,
+        "q_pca_gram": q.q_pca_gram,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3354,6 +3355,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, 3, node FROM p3
             UNION ALL SELECT walk_id, 4, node FROM p4
             ORDER BY walk_id, step
+        """,
+        # PCA-gram twin (stages/pca.py): exact HUGEINT Gram sums over
+        # q4-quantized embeddings (float32 widened to DOUBLE first —
+        # the centroid pin), decimal-string render
+        "q_pca_gram": """
+            WITH x AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1)
+                            AS BIGINT) - 1 AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 10000 + 0.5) AS BIGINT) AS xq
+                FROM embeddings
+            ), s AS MATERIALIZED (
+                SELECT dim, SUM(CAST(xq AS HUGEINT)) AS sx
+                FROM x GROUP BY dim
+            ), g AS (
+                SELECT a.dim AS i, b.dim AS j,
+                       SUM(CAST(a.xq AS HUGEINT) * b.xq) AS sij
+                FROM x a JOIN x b
+                  ON a.vec_id = b.vec_id AND a.dim <= b.dim
+                GROUP BY 1, 2
+            ), nn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+            )
+            SELECT g.i, g.j, nn.n,
+                   CAST(si.sx AS VARCHAR) AS sum_i,
+                   CAST(sj.sx AS VARCHAR) AS sum_j,
+                   CAST(g.sij AS VARCHAR) AS sum_ij
+            FROM g JOIN s si ON si.dim = g.i
+                   JOIN s sj ON sj.dim = g.j, nn
+            ORDER BY g.i, g.j
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

@@ -2979,3 +2979,14 @@ def q_walks(sf_dir: str):
         batch_format="pyarrow")
     return deterministic_walks(_doc_link_graph(sf_dir), starts,
                                length=4, seed="w")
+
+
+def q_pca_gram(sf_dir: str):
+    """Distributed PCA sufficient statistics (``stages/pca.py``): the
+    exact integer Gram records over the q4-quantized embeddings — the
+    one-pass distributed half of PCA (the d x d eigensolve is driver
+    work, pytest-gated)."""
+    from ..stages.pca import gram_records
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return gram_records(emb, col="embedding")
