@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_adamic_adar": q.q_adamic_adar,
         "q_walks": q.q_walks,
         "q_pca_gram": q.q_pca_gram,
+        "q_winnow": q.q_winnow,
+        "q_winnow_pairs": q.q_winnow_pairs,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3386,6 +3388,100 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN s si ON si.dim = g.i
                    JOIN s sj ON sj.dim = g.j, nn
             ORDER BY g.i, g.j
+        """,
+        # winnowing twin (stages/winnow.py): md5-hex16 k-gram hashes,
+        # per-window MIN with rightmost tie position, DISTINCT selected
+        # (pos, fp); hex strings compare as uint64 on both sides
+        "q_winnow": """
+            WITH w0 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(COALESCE(text, '')), '\\s+'),
+                           x -> x <> '') AS ws
+                FROM documents WHERE doc_id % 10 = 0
+            ), wp AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 5
+                            THEN list_resize(ws, 5, '')
+                            ELSE ws END AS ws
+                FROM w0
+            ), g AS MATERIALIZED (
+                SELECT doc_id, CAST(p AS BIGINT) AS s1,
+                       substr(md5(array_to_string(
+                           list_slice(ws, p, p + 4), ' ')), 1, 16) AS h
+                FROM wp,
+                     LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS p)
+            ), cnt AS (
+                SELECT doc_id, COUNT(*) AS nh FROM g GROUP BY doc_id
+            ), starts AS (
+                SELECT c.doc_id, CAST(s AS BIGINT) AS s,
+                       LEAST(4, c.nh) AS width
+                FROM cnt c,
+                     LATERAL (SELECT unnest(range(
+                         1, c.nh - LEAST(4, c.nh) + 2)) AS s)
+            ), wins AS MATERIALIZED (
+                SELECT st.doc_id, st.s, st.width, MIN(g.h) AS mh
+                FROM starts st JOIN g ON g.doc_id = st.doc_id
+                 AND g.s1 BETWEEN st.s AND st.s + st.width - 1
+                GROUP BY st.doc_id, st.s, st.width
+            ), sel AS (
+                SELECT w.doc_id, MAX(g.s1) AS pos1, w.mh AS h
+                FROM wins w JOIN g ON g.doc_id = w.doc_id
+                 AND g.s1 BETWEEN w.s AND w.s + w.width - 1
+                 AND g.h = w.mh
+                GROUP BY w.doc_id, w.s, w.mh
+            )
+            SELECT DISTINCT doc_id, pos1 - 1 AS pos, h AS fp
+            FROM sel ORDER BY doc_id, pos
+        """,
+        # shared-fingerprint pairs: same construction corpus-wide,
+        # DISTINCT per-doc hash sets, >200-doc hashes capped,
+        # pairs with >= 2 shared
+        "q_winnow_pairs": """
+            WITH w0 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(COALESCE(text, '')), '\\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), wp AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 5
+                            THEN list_resize(ws, 5, '')
+                            ELSE ws END AS ws
+                FROM w0
+            ), g AS MATERIALIZED (
+                SELECT doc_id, CAST(p AS BIGINT) AS s1,
+                       substr(md5(array_to_string(
+                           list_slice(ws, p, p + 4), ' ')), 1, 16) AS h
+                FROM wp,
+                     LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS p)
+            ), cnt AS (
+                SELECT doc_id, COUNT(*) AS nh FROM g GROUP BY doc_id
+            ), starts AS (
+                SELECT c.doc_id, CAST(s AS BIGINT) AS s,
+                       LEAST(4, c.nh) AS width
+                FROM cnt c,
+                     LATERAL (SELECT unnest(range(
+                         1, c.nh - LEAST(4, c.nh) + 2)) AS s)
+            ), wins AS MATERIALIZED (
+                SELECT st.doc_id, st.s, st.width, MIN(g.h) AS mh
+                FROM starts st JOIN g ON g.doc_id = st.doc_id
+                 AND g.s1 BETWEEN st.s AND st.s + st.width - 1
+                GROUP BY st.doc_id, st.s, st.width
+            ), fps AS MATERIALIZED (
+                SELECT DISTINCT w.doc_id, w.mh AS h FROM wins w
+            ), ok AS (
+                SELECT * FROM fps WHERE h NOT IN (
+                    SELECT h FROM fps GROUP BY h
+                    HAVING COUNT(*) > 200)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ok a JOIN ok b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ORDER BY shared DESC, doc_a, doc_b
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

@@ -2990,3 +2990,22 @@ def q_pca_gram(sf_dir: str):
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     return gram_records(emb, col="embedding")
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing fingerprints (``stages/winnow.py``): the exact
+    selected (pos, fp) set per doc (k=5, w=4) for every 10th doc."""
+    from ..stages.winnow import winnow_fingerprints
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"]).filter(
+        lambda r: r["doc_id"] % 10 == 0)
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
+def q_winnow_pairs(sf_dir: str):
+    """Shared-fingerprint doc pairs (``stages/winnow.py``): pairs with
+    >= 2 distinct common winnowing fingerprints, corpus-wide."""
+    from ..stages.winnow import winnow_pairs
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_pairs(docs, k=5, w=4, min_shared=2)
