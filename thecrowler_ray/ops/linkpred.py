@@ -68,27 +68,33 @@ def adamic_adar(
             "w": pa.array(np.concatenate([x, y]).astype(np.int64)),
             "nb": pa.array(np.concatenate([y, x]).astype(np.int64))})
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        nb = np.sort(g["nb"].to_numpy(np.int64))
+    def _empty_wedges() -> pa.Table:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
+
+    def wedges(g: pa.Table) -> pa.Table:
+        # arrow in/out: pandas blocks make the downstream (u, v)
+        # groupby ~25x slower (the stages/basket.py measurement)
+        nb = np.sort(g["nb"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
         d = len(nb)  # == deg(w): edges are canonical-distinct
         if d < 2:
-            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
-                                 "v": pd.Series([], dtype="int64"),
-                                 "c": pd.Series([], dtype="int64")})
+            return _empty_wedges()
         if max_apex_degree is not None and d > max_apex_degree:
-            print(f"adamic_adar: apex {int(g['w'].iloc[0])} capped "
+            print(f"adamic_adar: apex {int(g['w'][0].as_py())} capped "
                   f"(deg {d} > {max_apex_degree}) — its wedges are "
                   "dropped")
-            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
-                                 "v": pd.Series([], dtype="int64"),
-                                 "c": pd.Series([], dtype="int64")})
+            return _empty_wedges()
         c = int(np.floor(SCALE / np.log(float(d)) + 0.5))
         iu, ju = np.triu_indices(d, 1)
-        return pd.DataFrame({"u": nb[iu], "v": nb[ju],
-                             "c": np.full(len(iu), c, dtype=np.int64)})
+        return pa.table({"u": pa.array(nb[iu]),
+                         "v": pa.array(nb[ju]),
+                         "c": pa.array(np.full(len(iu), c,
+                                               dtype=np.int64))})
 
     scores = (e.map_batches(adj, batch_format="pyarrow")
-              .groupby("w").map_groups(wedges, batch_format="pandas")
+              .groupby("w").map_groups(wedges, batch_format="pyarrow")
               .groupby(["u", "v"])
               .aggregate(Count(alias_name="common"),
                          Sum("c", alias_name="score_q6"))

@@ -132,13 +132,16 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
                     "shard", pa.array((s * 2654435761 % n_shards)
                                       .astype(np.int64)))
 
-            def close_shard(g: pd.DataFrame) -> pd.DataFrame:
+            def close_shard(g: pa.Table) -> pa.Table:
+                # arrow in/out: pandas blocks make the downstream node
+                # groupby ~25x slower (stages/basket.py measurement)
                 es = ray.get(set_ref)
-                order = np.lexsort((g["dst"].to_numpy(),
-                                    g["kd"].to_numpy(),
-                                    g["src"].to_numpy()))
-                src = g["src"].to_numpy()[order]
-                dst = g["dst"].to_numpy()[order]
+                gs = g["src"].to_numpy(zero_copy_only=False)
+                gd = g["dst"].to_numpy(zero_copy_only=False)
+                gk = g["kd"].to_numpy(zero_copy_only=False)
+                order = np.lexsort((gd, gk, gs))
+                src = gs[order]
+                dst = gd[order]
                 run_starts = np.flatnonzero(
                     np.r_[True, src[1:] != src[:-1]])
                 run_ends = np.r_[run_starts[1:], len(src)]
@@ -162,22 +165,23 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
                     nodes_acc.append(u)
                     cnt_acc.append(c)
                 if not nodes_acc:
-                    return pd.DataFrame({
-                        "node": pd.Series([], dtype="int64"),
-                        "t": pd.Series([], dtype="int64")})
+                    return pa.table({
+                        "node": pa.array([], pa.int64()),
+                        "t": pa.array([], pa.int64())})
                 allu = np.concatenate(nodes_acc)
                 allc = np.concatenate(cnt_acc)
                 o2 = np.argsort(allu, kind="mergesort")
                 u_s, c_s = allu[o2], allc[o2]
                 first = np.r_[True, u_s[1:] != u_s[:-1]]
                 idx = np.flatnonzero(first)
-                return pd.DataFrame({
-                    "node": u_s[idx],
-                    "t": np.add.reduceat(c_s, idx).astype(np.int64)})
+                return pa.table({
+                    "node": pa.array(u_s[idx].astype(np.int64)),
+                    "t": pa.array(np.add.reduceat(c_s, idx)
+                                  .astype(np.int64))})
 
             return (ep.map_batches(add_shard, batch_format="pyarrow")
                     .groupby("shard")
-                    .map_groups(close_shard, batch_format="pandas")
+                    .map_groups(close_shard, batch_format="pyarrow")
                     .groupby("node")
                     .aggregate(Sum("t", alias_name="triangles")))
     if True:
@@ -207,26 +211,31 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
 
         ep = j.map_batches(orient_j, batch_format="pyarrow").materialize()
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+    def wedges(g: pa.Table) -> pa.Table:
         # out-neighbors sorted by the orientation key (deg, id) so the
-        # emitted pair (v, w) is exactly the orientation E+ stores
-        order = np.lexsort((g["dst"].to_numpy(), g["kd"].to_numpy()))
-        nb = g["dst"].to_numpy()[order]
+        # emitted pair (v, w) is exactly the orientation E+ stores;
+        # arrow in/out (the pandas-block aggregate tax)
+        gd = g["dst"].to_numpy(zero_copy_only=False)
+        gk = g["kd"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((gd, gk))
+        nb = gd[order]
         k = len(nb)
         if k < 2:
-            return pd.DataFrame({"apex": pd.Series([], dtype="int64"),
-                                 "v": pd.Series([], dtype="int64"),
-                                 "w": pd.Series([], dtype="int64")})
+            return pa.table({"apex": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
         iu, ju = np.triu_indices(k, 1)
-        return pd.DataFrame({
-            "apex": np.full(len(iu), g["src"].iloc[0], dtype=np.int64),
-            "v": nb[iu].astype(np.int64),
-            "w": nb[ju].astype(np.int64),
+        return pa.table({
+            "apex": pa.array(np.full(len(iu), g["src"][0].as_py(),
+                                     dtype=np.int64)),
+            "v": pa.array(nb[iu].astype(np.int64)),
+            "w": pa.array(nb[ju].astype(np.int64)),
         })
 
     # the join shuffles the wedge set anyway; materializing first lets us
     # early-exit the (schema-less) zero-wedge case
-    wedge_ds = (ep.groupby("src").map_groups(wedges, batch_format="pandas")
+    wedge_ds = (ep.groupby("src").map_groups(wedges,
+                                             batch_format="pyarrow")
                 .materialize())
     if wedge_ds.count() == 0:
         return ray.data.from_arrow(pa.table({

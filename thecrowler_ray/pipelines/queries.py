@@ -2346,20 +2346,10 @@ def q_triangles(sf_dir: str):
     wedge generation bounded by O(√E) out-degrees, each triangle closed
     once at its lowest-(deg, id) apex; per-node triangle counts."""
     from ..ops.triangles import triangle_counts
+    from ..stages.basket import cooccur_edges
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        p = np.unique(g["l_partkey"].to_numpy())
-        if len(p) < 2:
-            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
-                                 "y": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(len(p), 1)
-        return pd.DataFrame({"x": p[iu].astype(np.int64),
-                             "y": p[ju].astype(np.int64)})
-
-    edges = (li.groupby("l_orderkey")
-             .map_groups(pairs, batch_format="pandas"))
+    edges = cooccur_edges(li, basket="l_orderkey", item="l_partkey")
     return triangle_counts(edges).sort("node")
 
 
@@ -2909,20 +2899,11 @@ def q_kcore(sf_dir: str):
     at k=110, 2 rounds (at sf0.01: 2000 -> 1203 -> 77 survivors) —
     survivors with their degree inside the surviving subgraph."""
     from ..ops.kcore import k_core
+    from ..stages.basket import cooccur_edges
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        p = np.unique(g["l_partkey"].to_numpy())
-        if len(p) < 2:
-            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
-                                 "dst": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(len(p), 1)
-        return pd.DataFrame({"src": p[iu].astype(np.int64),
-                             "dst": p[ju].astype(np.int64)})
-
-    edges = (li.groupby("l_orderkey")
-             .map_groups(pairs, batch_format="pandas"))
+    edges = cooccur_edges(li, basket="l_orderkey",
+                          item="l_partkey", out_cols=("src", "dst"))
     return k_core(edges, 110, rounds=2)
 
 

@@ -17,7 +17,7 @@ windows upstream for adversarial keys.
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import ray.data
 
 
@@ -36,18 +36,23 @@ def session_paths(
 
     slim = ds.select_columns([key, window, seq, state])
 
-    def paths(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.groupby([key, window, seq], as_index=False)[state].min()
+    import pyarrow as pa
+
+    def paths(t: pa.Table) -> pa.Table:
+        # arrow out: pandas blocks tax the downstream path groupby
+        g = (t.to_pandas()
+             .groupby([key, window, seq], as_index=False)[state].min()
              .sort_values([key, window, seq], kind="mergesort"))
         p = (g.groupby([key, window])[state]
              .agg(lambda s: ">".join(s)))
         out = p.reset_index(name="path")[["path"]]
         out = (out.groupby("path", as_index=False).size()
                .rename(columns={"size": "n"}))
-        out["n"] = out["n"].astype("int64")
-        return out
+        return pa.table({
+            "path": pa.array(out["path"].tolist(), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
 
-    return (slim.groupby(key).map_groups(paths, batch_format="pandas")
+    return (slim.groupby(key).map_groups(paths, batch_format="pyarrow")
             .groupby("path").aggregate(Sum("n", alias_name="n"))
             .sort(["n", "path"], descending=[True, False])
             .limit(k))

@@ -126,27 +126,29 @@ def winnow_pairs(
     slim = ds.select_columns([id_col, text_col]).map_batches(
         distinct_per_doc, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.unique(g[id_col].to_numpy(np.int64))
+    def _empty_pairs() -> pa.Table:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        # arrow in/out — pandas blocks tax the downstream pair groupby
+        # ~25x (the stages/basket.py measurement)
+        docs = np.unique(g[id_col].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
         if len(docs) < 2:
-            return pd.DataFrame({
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "c": pd.Series([], dtype="int64")})
+            return _empty_pairs()
         if len(docs) > max_docs_per_hash:
-            print(f"winnow_pairs: fingerprint {g['fp'].iloc[0]!r} "
+            print(f"winnow_pairs: fingerprint {g['fp'][0].as_py()!r} "
                   f"capped ({len(docs)} docs > {max_docs_per_hash}) "
                   "— boilerplate, its pairs are dropped")
-            return pd.DataFrame({
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "c": pd.Series([], dtype="int64")})
+            return _empty_pairs()
         iu, ju = np.triu_indices(len(docs), 1)
-        return pd.DataFrame({
-            "doc_a": docs[iu], "doc_b": docs[ju],
-            "c": np.ones(len(iu), dtype=np.int64)})
+        return pa.table({
+            "doc_a": pa.array(docs[iu]), "doc_b": pa.array(docs[ju]),
+            "c": pa.array(np.ones(len(iu), dtype=np.int64))})
 
-    return (slim.groupby("fp").map_groups(pairs, batch_format="pandas")
+    return (slim.groupby("fp").map_groups(pairs, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])
             .aggregate(Sum("c", alias_name="shared"))
             .filter(lambda r: r["shared"] >= min_shared)
