@@ -36,15 +36,36 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out: str = "conten
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the smallest-id row per identical content hash (first-win like
-    the reference's WebObjects upsert). → Dataset with ``content_hash``."""
+    the reference's WebObjects upsert). → Dataset with ``content_hash``.
+
+    Groups by hash SHARD, not by hash — one ``map_groups`` call per
+    distinct hash costs a scheduler round-trip per unique doc (the
+    stages/basket.py measurement: 150k groups ≈ 200 s); per shard the
+    first-win is one vectorized sort + boundary mask."""
+    import ray
+
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
     )
+    n_shards = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    def add_shard(batch: pa.Table) -> pa.Table:
+        h = batch["content_hash"].to_pylist()
+        sh = np.fromiter(
+            ((int(v[:8], 16) * 0x9E3779B9) % n_shards for v in h),
+            dtype=np.int64, count=len(h))
+        return batch.append_column("hshard", pa.array(sh))
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    def keep_first(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["content_hash", id_col],
+                                       kind="mergesort")
+        first = df["content_hash"].ne(df["content_hash"].shift())
+        out = df[first].drop(columns=["hshard"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (hashed.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("hshard")
+            .map_groups(keep_first, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
