@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pca_gram": q.q_pca_gram,
         "q_winnow": q.q_winnow,
         "q_winnow_pairs": q.q_winnow_pairs,
+        "q_dbscan": q.q_dbscan,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3482,6 +3483,59 @@ def oracle_sql() -> dict[str, str]:
               ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
             ORDER BY shared DESC, doc_a, doc_b
+        """,
+        # DBSCAN twin (stages/dbscan.py): ROUND(,4) cosine
+        # neighborhoods, core = deg >= 5, recursive min-label over the
+        # core-core subgraph, border = MIN adjacent core label
+        "q_dbscan": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), e0 AS MATERIALIZED (
+                SELECT a.vec_id AS u, b.vec_id AS w
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.e, b.e), 4)
+                      >= 0.3
+            ), adj AS (
+                SELECT u, w FROM e0 UNION ALL SELECT w, u FROM e0
+            ), deg AS (
+                SELECT u AS node, COUNT(*) AS c FROM adj GROUP BY u
+            ), core AS MATERIALIZED (
+                SELECT node FROM deg WHERE c >= 5
+            ), ce AS MATERIALIZED (
+                SELECT e0.u, e0.w FROM e0
+                JOIN core a ON e0.u = a.node
+                JOIN core b ON e0.w = b.node
+            ), cedges AS (
+                SELECT u, w FROM ce UNION ALL SELECT w, u FROM ce
+            ), walk(node, label) AS (
+                SELECT DISTINCT u, u FROM cedges
+                UNION
+                SELECT c2.u, wk.label FROM cedges c2
+                JOIN walk wk ON wk.node = c2.w
+            ), complab AS (
+                SELECT node, MIN(label) AS label FROM walk
+                GROUP BY node
+            ), corelab AS MATERIALIZED (
+                SELECT c.node, COALESCE(cl.label, c.node) AS label
+                FROM core c LEFT JOIN complab cl ON cl.node = c.node
+            ), borderlab AS (
+                SELECT a2.u AS node, MIN(k.label) AS label
+                FROM adj a2 JOIN corelab k ON a2.w = k.node
+                WHERE a2.u NOT IN (SELECT node FROM core)
+                GROUP BY a2.u
+            )
+            SELECT v.vec_id,
+                   CASE WHEN k.label IS NOT NULL THEN k.label
+                        WHEN b2.label IS NOT NULL THEN b2.label
+                        ELSE -1 END AS cluster_id,
+                   CASE WHEN k.label IS NOT NULL THEN 'core'
+                        WHEN b2.label IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role
+            FROM v
+            LEFT JOIN corelab k ON v.vec_id = k.node
+            LEFT JOIN borderlab b2 ON v.vec_id = b2.node
+            ORDER BY v.vec_id
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

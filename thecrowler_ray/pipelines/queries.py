@@ -2990,3 +2990,13 @@ def q_winnow_pairs(sf_dir: str):
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     return winnow_pairs(docs, k=5, w=4, min_shared=2)
+
+
+def q_dbscan(sf_dir: str):
+    """DBSCAN over embeddings (``stages/dbscan.py``): cosine
+    neighborhoods at ROUND(,4) >= 0.3, min_samples=5 — core/border/
+    noise roles with MIN-label clusters."""
+    from ..stages.dbscan import dbscan_embeddings
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dbscan_embeddings(emb, tau=0.3, min_samples=5)
