@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winnow": q.q_winnow,
         "q_winnow_pairs": q.q_winnow_pairs,
         "q_dbscan": q.q_dbscan,
+        "q_resample": q.q_resample,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3536,6 +3537,35 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN corelab k ON v.vec_id = k.node
             LEFT JOIN borderlab b2 ON v.vec_id = b2.node
             ORDER BY v.vec_id
+        """,
+        # resample+ffill twin (stages/resample.py): per-key 6h grid
+        # over the key's own span, ASOF inner join fills each grid
+        # instant with the last at-or-before observation (ties
+        # pre-collapsed to MIN)
+        "q_resample": """
+            WITH obs0 AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), obs AS (
+                SELECT user_id, ts_us, MIN(cents) AS cents
+                FROM obs0 GROUP BY 1, 2
+            ), spans AS (
+                SELECT user_id,
+                       (MIN(ts_us) // 21600000000) * 21600000000 AS lo,
+                       (MAX(ts_us) // 21600000000) * 21600000000 AS hi
+                FROM obs GROUP BY user_id
+            ), grid AS (
+                SELECT user_id, CAST(t AS BIGINT) AS t
+                FROM spans, LATERAL (SELECT unnest(range(
+                    lo, hi + 1, 21600000000)) AS t)
+            )
+            SELECT g.user_id, g.t, o.cents AS value
+            FROM grid g ASOF JOIN obs o
+              ON g.user_id = o.user_id AND o.ts_us <= g.t
+            ORDER BY g.user_id, g.t
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

@@ -3000,3 +3000,25 @@ def q_dbscan(sf_dir: str):
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     return dbscan_embeddings(emb, tau=0.3, min_samples=5)
+
+
+def q_resample(sf_dir: str):
+    """Per-user resample+ffill (``stages/resample.py``): each user's
+    q2-cents event values sampled on a 6-hour grid over their own
+    observed span, forward-filled (ASOF twin)."""
+    from ..stages.resample import resample_ffill
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+    STEP = 6 * 3_600_000_000  # 6h in epoch-us
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        cents = np.floor(np.asarray(batch["value"],
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pa.table({"user_id": batch["user_id"], "ts_us": us,
+                         "cents": pa.array(cents)})
+
+    stream = ev.map_batches(prep, batch_format="pyarrow")
+    return resample_ffill(stream, key="user_id", ts="ts_us",
+                          value="cents", step=STEP)
