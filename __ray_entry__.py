@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winnow_pairs": q.q_winnow_pairs,
         "q_dbscan": q.q_dbscan,
         "q_resample": q.q_resample,
+        "q_sketch_quantiles": q.q_sketch_quantiles,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3566,6 +3567,26 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g ASOF JOIN obs o
               ON g.user_id = o.user_id AND o.ts_us <= g.t
             ORDER BY g.user_id, g.t
+        """,
+        # sketch-quantiles twin: capacity >= n at gate scale makes the
+        # MRL/KLL sketch exact, so the twin is the plain exact-rank
+        # construction (the MisraGries gate pattern)
+        "q_sketch_quantiles": """
+            WITH c AS (
+                SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                           AS qty
+                FROM lineitem
+            ), s AS (
+                SELECT qty,
+                       ROW_NUMBER() OVER (ORDER BY qty) - 1 AS r
+                FROM c
+            ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+            qs(q_permille) AS (VALUES (50), (500), (950))
+            SELECT qs.q_permille, n.n, s.qty AS value
+            FROM qs, n
+            JOIN s ON s.r = CAST(floor(
+                (qs.q_permille / 1000.0) * (n.n - 1)) AS BIGINT)
+            ORDER BY qs.q_permille
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

@@ -3022,3 +3022,23 @@ def q_resample(sf_dir: str):
     stream = ev.map_batches(prep, batch_format="pyarrow")
     return resample_ffill(stream, key="user_id", ts="ts_us",
                           value="cents", step=STEP)
+
+
+def q_sketch_quantiles(sf_dir: str):
+    """Mergeable quantile sketch (``stages/sketch.py:QuantileSketch``):
+    per-batch MRL/KLL partials, driver merge. Quantity quantiles with
+    capacity >= corpus rows at gate scale, so the sketch is exact and
+    the twin is the plain exact-rank construction; compaction error is
+    property-tested in pytest."""
+    from ..stages.sketch import sketch_quantiles
+
+    li = _rp(sf_dir, "lineitem", ["l_quantity"])
+
+    def ints(t: pa.Table) -> pa.Table:
+        v = np.floor(np.asarray(t["l_quantity"], dtype=np.float64)
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({"qty": pa.array(v)})
+
+    ds = li.map_batches(ints, batch_format="pyarrow")
+    return sketch_quantiles(ds, "qty", [0.05, 0.5, 0.95],
+                            k=1 << 20)

@@ -370,3 +370,166 @@ def heavy_hitters(ds, column: str, k: int = 4096,
         df = df.head(top)
     df["est"] = df["est"].astype("int64")
     return df
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (MRL / KLL-with-equal-capacities)
+# ---------------------------------------------------------------------------
+
+
+class QuantileSketch:
+    """Mergeable quantile sketch — Manku-Rajagopalan-Lindsay 1998
+    levels with the KLL compaction step (Karnin-Lang-Liberty 2016),
+    equal per-level capacity ``k`` and a DETERMINISTIC alternating
+    compaction offset instead of the random coin (public derandomized
+    variant: the randomized guarantee becomes an empirical one,
+    property-tested; determinism is what makes runs reproducible and
+    the exact-at-capacity SQL gate possible).
+
+    Level ``i`` items carry weight ``2^i``. When a level exceeds ``k``
+    items it is sorted and every other item (offset alternating per
+    level across compactions) moves up one level. With ``k`` ≥ the
+    total item count nothing ever compacts and the sketch is EXACT —
+    the ``MisraGries`` gate pattern.
+    """
+
+    def __init__(self, k: int):
+        if k < 2:
+            raise ValueError("QuantileSketch: k must be >= 2")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.array([], dtype=np.int64)]
+        self.flips: list[int] = [0]
+        self.n = 0
+
+    def add_values(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.int64)
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact()
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        out = QuantileSketch(self.k)
+        out.n = self.n + other.n
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = []
+        out.flips = []
+        for i in range(depth):
+            a = (self.levels[i] if i < len(self.levels)
+                 else np.array([], dtype=np.int64))
+            b = (other.levels[i] if i < len(other.levels)
+                 else np.array([], dtype=np.int64))
+            out.levels.append(np.concatenate([a, b]))
+            out.flips.append(
+                (self.flips[i] if i < len(self.flips) else 0)
+                + (other.flips[i] if i < len(other.flips) else 0))
+        out._compact()
+        return out
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            lv = self.levels[i]
+            if len(lv) > self.k:
+                lv = np.sort(lv, kind="mergesort")
+                # odd sizes keep one leftover at this level so total
+                # weight is preserved EXACTLY: promoted items carry
+                # doubled weight for their discarded partners
+                if len(lv) % 2:
+                    leftover = lv[-1:]
+                    lv = lv[:-1]
+                else:
+                    leftover = lv[:0]
+                off = self.flips[i] % 2
+                self.flips[i] += 1
+                up = lv[off::2]
+                self.levels[i] = leftover
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.array([], dtype=np.int64))
+                    self.flips.append(0)
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], up])
+            i += 1
+
+    def quantile(self, q: float) -> int:
+        """The smallest item whose cumulative weight exceeds
+        floor(q·(n−1)) over the weight-expanded ascending order —
+        identical to the ``ops/quantiles.py`` rank when exact."""
+        if self.n == 0:
+            raise ValueError("QuantileSketch: empty")
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate([
+            np.full(len(lv), 1 << i, dtype=np.int64)
+            for i, lv in enumerate(self.levels)])
+        order = np.argsort(vals, kind="mergesort")
+        vals, wts = vals[order], wts[order]
+        target = int(np.floor(q * (self.n - 1)))
+        cum = np.cumsum(wts)
+        j = int(np.searchsorted(cum, target + 1))
+        return int(vals[min(j, len(vals) - 1)])
+
+    def rows(self):
+        """(level, value) rows — the mergeable wire format."""
+        for i, lv in enumerate(self.levels):
+            for v in lv:
+                yield i, int(v)
+
+    @classmethod
+    def from_rows(cls, k: int, levels: np.ndarray,
+                  values: np.ndarray, n: int) -> "QuantileSketch":
+        out = cls(k)
+        out.n = n
+        depth = int(levels.max()) + 1 if len(levels) else 1
+        out.levels = [values[levels == i].astype(np.int64)
+                      for i in range(depth)]
+        out.flips = [0] * depth
+        out._compact()
+        return out
+
+
+class QSketchBatchStage:
+    """Per-batch quantile-sketch partial → (level, value, n_items)
+    rows. No shuffle; the driver merges the per-batch sketches."""
+
+    def __init__(self, column: str, k: int):
+        self.column = column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sk = QuantileSketch(self.k)
+        sk.add_values(batch[self.column].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        rows = list(sk.rows())
+        return pa.table({
+            "level": pa.array([r[0] for r in rows], pa.int64()),
+            "value": pa.array([r[1] for r in rows], pa.int64()),
+            "n_items": pa.array(
+                [sk.n] + [0] * (len(rows) - 1) if rows else [],
+                pa.int64()),
+        })
+
+
+def sketch_quantiles(ds, column: str, qs: list[float],
+                     k: int = 1 << 20) -> pd.DataFrame:
+    """Distributed mergeable-sketch quantiles over ``column`` →
+    DataFrame (q_permille, n, value) — the ``exact_quantiles`` schema.
+    Driver traffic: ≤ O(k·levels) sketch rows per batch, never data.
+    With ``k`` ≥ the total row count the sketch never compacts and the
+    result is the exact order statistic (the SQL gate); below that the
+    MRL/KLL error bound applies (property-tested)."""
+    parts = ds.select_columns([column]).map_batches(
+        QSketchBatchStage, fn_constructor_args=(column, k),
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(columns=["q_permille", "n", "value"])
+    sk = QuantileSketch.from_rows(
+        k,
+        parts["level"].to_numpy(np.int64),
+        parts["value"].to_numpy(np.int64),
+        int(parts["n_items"].sum()),
+    )
+    return pd.DataFrame({
+        "q_permille": [int(round(q * 1000)) for q in qs],
+        "n": [sk.n] * len(qs),
+        "value": [sk.quantile(q) for q in qs],
+    })
