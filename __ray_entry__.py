@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dbscan": q.q_dbscan,
         "q_resample": q.q_resample,
         "q_sketch_quantiles": q.q_sketch_quantiles,
+        "q_ppr": q.q_ppr,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -607,6 +608,58 @@ def _pagerank_sql(iterations: int = 5, unit: int = 10**12,
                    CAST({base} + COALESCE(CAST(s.m AS BIGINT), 0)
                         AS BIGINT) AS r
             FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((r{i - 1}.r * 17) // (20 * od.outdeg)) AS m
+                FROM e
+                JOIN od USING (src)
+                JOIN r{i - 1} ON r{i - 1}.node = e.src
+                GROUP BY e.dst) s USING (node))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, r AS rank_q FROM r{iterations}
+        ORDER BY rank_q DESC, node ASC LIMIT {k}
+    """
+    )
+
+
+def _ppr_sql(iterations: int = 5, unit: int = 10**12,
+             off: int = 1_000_000_000, k: int = 100) -> str:
+    """Personalized-PageRank twin (ops/pagerank.py): same integer
+    recurrence as _pagerank_sql but the teleport base and initial unit
+    go only to seed nodes (parts with p_partkey % 50 = 0 that appear
+    in the graph)."""
+    base = (unit * 3) // 20
+    ctes = [
+        f"""e AS (
+            SELECT l_partkey AS src, l_suppkey + {off} AS dst FROM lineitem
+            UNION ALL
+            SELECT l_suppkey + {off} AS src, l_partkey AS dst FROM lineitem
+        ), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        seeds AS (
+            SELECT n.node FROM nodes n
+            JOIN part p ON p.p_partkey = n.node
+            WHERE p.p_partkey % 50 = 0
+        ),
+        nb AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN CAST({base} AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS bq,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN CAST({unit} AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS r0
+            FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        ),
+        r0 AS (SELECT node, r0 AS r FROM nb)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+            SELECT nb.node,
+                   CAST(nb.bq + COALESCE(CAST(s.m AS BIGINT), 0)
+                        AS BIGINT) AS r
+            FROM nb LEFT JOIN (
                 SELECT e.dst AS node,
                        SUM((r{i - 1}.r * 17) // (20 * od.outdeg)) AS m
                 FROM e
@@ -1498,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
         # window p starts at (p-1)*24, md5 of the joined slice
         "q_dsir_select": _dsir_sql(),
         "q_pagerank": _pagerank_sql(),
+        "q_ppr": _ppr_sql(),
         "q_hits": _hits_sql(),
         # skew-join twin (ops/salted.py:skew_join): the hot/cold split is
         # an execution strategy — semantics are the plain inner join

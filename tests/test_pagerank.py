@@ -90,3 +90,52 @@ def test_deterministic_across_partitionings(ray_session):
     a = _got(pagerank(_edges_ds(edges).repartition(2)))
     b = _got(pagerank(_edges_ds(edges).repartition(11)))
     assert a == b == brute_force(edges)
+
+
+# -- personalized PageRank -------------------------------------------------
+
+from thecrowler_ray.ops.pagerank import personalized_pagerank
+
+
+def ppr_brute(edges, seeds, iterations=5, unit=UNIT):
+    nodes = sorted({n for e in edges for n in e})
+    seeds = set(seeds) & set(nodes)
+    outdeg = {n: 0 for n in nodes}
+    for s, _ in edges:
+        outdeg[s] += 1
+    base = (unit * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    r = {n: (unit if n in seeds else 0) for n in nodes}
+    for _ in range(iterations):
+        nxt = {n: (base if n in seeds else 0) for n in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] * DAMP_NUM) // (DAMP_DEN * outdeg[s])
+        r = nxt
+    return r
+
+
+def test_ppr_matches_brute_force(ray_session):
+    got = _got(personalized_pagerank(_edges_ds(EDGES), [1, 4]))
+    assert got == ppr_brute(EDGES, [1, 4])
+
+
+def test_ppr_path_parity(ray_session):
+    bc = _got(personalized_pagerank(_edges_ds(EDGES), [2]))
+    jn = _got(personalized_pagerank(_edges_ds(EDGES), [2],
+                                    broadcast_threshold=0))
+    assert bc == jn == ppr_brute(EDGES, [2])
+
+
+def test_ppr_seed_outside_graph_ignored(ray_session):
+    got = _got(personalized_pagerank(_edges_ds(EDGES), [1, 999]))
+    assert got == ppr_brute(EDGES, [1])
+
+
+def test_ppr_unreachable_nodes_get_zero(ray_session):
+    # chain 1->2->3->4 seeded at 4: nothing flows backwards, so every
+    # non-seed upstream node ends at exactly 0 (the mass-locality pin
+    # plain PageRank can't express)
+    chain = [(1, 2), (2, 3), (3, 4)]
+    got = _got(personalized_pagerank(_edges_ds(chain), [4],
+                                     iterations=6))
+    assert got[1] == got[2] == got[3] == 0 and got[4] > 0
+    assert got == ppr_brute(chain, [4], iterations=6)

@@ -77,16 +77,49 @@ def _node_tables(edges):
     )
 
 
+def personalized_pagerank(
+    edges,
+    seeds,
+    *,
+    iterations: int = 5,
+    unit: int = UNIT,
+    broadcast_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Personalized PageRank (random walk with restart to ``seeds`` —
+    Haveliwala 2002 topic-sensitive PageRank, public method): identical
+    integer recurrence, but the teleport base (0.15·unit) and the
+    initial rank (unit) go ONLY to seed nodes; everything else starts
+    at 0 and earns rank through in-links. The crawl seed-expansion /
+    related-page signal. Seeds outside the graph's node set are
+    ignored (the node table defines the universe). Seed lists are
+    human-curated and small — they broadcast whole on both paths."""
+    if isinstance(seeds, ray.data.Dataset):
+        from .gutil import collect_tables
+
+        seed_ids = np.unique(np.concatenate(
+            [t["node"].to_numpy(zero_copy_only=False)
+             for t in collect_tables(seeds)]
+            or [np.array([], dtype=np.int64)]).astype(np.int64))
+    else:
+        seed_ids = np.unique(np.asarray(sorted(seeds), dtype=np.int64))
+    return pagerank(edges, iterations=iterations, unit=unit,
+                    broadcast_threshold=broadcast_threshold,
+                    _seed_ids=seed_ids)
+
+
 def pagerank(
     edges,
     *,
     iterations: int = 5,
     unit: int = UNIT,
     broadcast_threshold: int = 2_000_000,
+    _seed_ids: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """Edge-list Dataset (src, dst int64; parallel edges count as
     multiplicity) → Dataset (node, rank_q) after ``iterations`` rounds,
-    ``rank_q`` the q-scaled integer rank. Base = 0.15·unit per node."""
+    ``rank_q`` the q-scaled integer rank. Base = 0.15·unit per node
+    (seed nodes only when ``_seed_ids`` is given — see
+    :func:`personalized_pagerank`)."""
     base = (unit * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
     # block count scaled to the cluster, not the upstream layout: the
     # node-table combine emits ~distinct-nodes rows per block, and each
@@ -103,12 +136,16 @@ def pagerank(
     if n_nodes == 0:
         return nodes.drop_columns(["outdeg"])
     if n_nodes <= broadcast_threshold:
-        return _pagerank_broadcast(edges, nodes, iterations, unit, base)
-    return _pagerank_join(edges, nodes, iterations, unit, base)
+        return _pagerank_broadcast(edges, nodes, iterations, unit,
+                                   base, _seed_ids)
+    return _pagerank_join(edges, nodes, iterations, unit, base,
+                          _seed_ids)
 
 
 def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
-                        base: int) -> "ray.data.Dataset":
+                        base: int,
+                        seed_ids: np.ndarray | None = None,
+                        ) -> "ray.data.Dataset":
     """Small-node-table path: zero shuffles per iteration. Nodes get
     dense int32 indices (one broadcast dict), the edge list is re-keyed
     to (src_idx, dst_idx) ONCE and materialized; each iteration is one
@@ -131,7 +168,13 @@ def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
     n = len(node_ids)
 
     dense_edges = dense_rekey(edges, node_ids)
-    ranks = np.full(n, unit, dtype=np.int64)
+    if seed_ids is None:
+        base_vec = np.full(n, base, dtype=np.int64)
+        ranks = np.full(n, unit, dtype=np.int64)
+    else:
+        mask = np.isin(node_ids, seed_ids)
+        base_vec = np.where(mask, base, 0).astype(np.int64)
+        ranks = np.where(mask, unit, 0).astype(np.int64)
     # outdeg ≥ 1 for every src by construction; shipped through the
     # object store ONCE (a closure capture would re-serialize the
     # node-sized array with every task submission, every iteration)
@@ -156,7 +199,7 @@ def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
                 }
             )
 
-        acc = np.full(n, base, dtype=np.int64)
+        acc = base_vec.copy()
         # batch_size=None → whole blocks: the node-dense partial is
         # allocated per block, not per 1024-row micro-batch
         for b in collect_tables(dense_edges.map_batches(
@@ -183,7 +226,9 @@ def _pagerank_broadcast(edges, nodes, iterations: int, unit: int,
 
 
 def _pagerank_join(edges, nodes, iterations: int, unit: int,
-                   base: int) -> "ray.data.Dataset":
+                   base: int,
+                   seed_ids: np.ndarray | None = None,
+                   ) -> "ray.data.Dataset":
     """Fully-distributed path: ranks never visit the driver. The state
     table (node, outdeg, rank_q) carries outdeg along so each iteration
     needs exactly one edges⋈state join + one groupby + one state⟕sums
@@ -196,21 +241,34 @@ def _pagerank_join(edges, nodes, iterations: int, unit: int,
 
     nparts = _join_partitions()
 
+    seed_ref = (None if seed_ids is None
+                else ray.put(frozenset(int(x) for x in seed_ids)))
+
     def init(batch: pa.Table) -> pa.Table:
+        if seed_ref is None:
+            bq = np.full(batch.num_rows, base, dtype=np.int64)
+            rq = np.full(batch.num_rows, unit, dtype=np.int64)
+        else:
+            sset = ray.get(seed_ref)
+            node = batch["node"].to_numpy(zero_copy_only=False)
+            m = np.fromiter((int(v) in sset for v in node),
+                            dtype=bool, count=len(node))
+            bq = np.where(m, base, 0).astype(np.int64)
+            rq = np.where(m, unit, 0).astype(np.int64)
         return pa.table(
             {
                 "node": batch["node"],
                 "outdeg": batch["outdeg"],
-                "rank_q": pa.array(
-                    np.full(batch.num_rows, unit, dtype=np.int64)
-                ),
+                "bq": pa.array(bq),
+                "rank_q": pa.array(rq),
             }
         )
 
     state = nodes.map_batches(init, batch_format="pyarrow").materialize()
 
     def as_src(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["src", "outdeg", "rank_q"])
+        return batch.select(["node", "outdeg", "rank_q"]).rename_columns(
+            ["src", "outdeg", "rank_q"])
 
     def contrib(batch: pa.Table) -> pa.Table:
         r = batch["rank_q"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -225,11 +283,13 @@ def _pagerank_join(edges, nodes, iterations: int, unit: int,
     def finish(batch: pa.Table) -> pa.Table:
         m = batch["m"].to_numpy(zero_copy_only=False)
         m = np.nan_to_num(m.astype(np.float64)).astype(np.int64)
+        bq = batch["bq"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "node": batch["node"],
                 "outdeg": batch["outdeg"],
-                "rank_q": pa.array(base + m),
+                "bq": pa.array(bq),
+                "rank_q": pa.array(bq + m),
             }
         )
 
@@ -247,7 +307,7 @@ def _pagerank_join(edges, nodes, iterations: int, unit: int,
             .materialize()  # plan barrier: one join pool at a time
         )
         state = (
-            state.select_columns(["node", "outdeg"])
+            state.select_columns(["node", "outdeg", "bq"])
             .join(sums, join_type="left_outer", num_partitions=nparts,
                   on=("node",))
             .map_batches(finish, batch_format="pyarrow")

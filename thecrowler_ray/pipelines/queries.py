@@ -3042,3 +3042,33 @@ def q_sketch_quantiles(sf_dir: str):
     ds = li.map_batches(ints, batch_format="pyarrow")
     return sketch_quantiles(ds, "qty", [0.05, 0.5, 0.95],
                             k=1 << 20)
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (``ops/pagerank.py``): random walk with
+    restart to the seed parts (partkey % 50 == 0) over the
+    bidirectional part<->supplier graph — top-100 by seed-biased
+    rank."""
+    from ..ops.pagerank import personalized_pagerank
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    OFF = 1_000_000_000
+
+    def both(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64) + OFF
+        return pa.table({
+            "src": pa.array(np.concatenate([p, s])),
+            "dst": pa.array(np.concatenate([s, p]))})
+
+    edges = li.map_batches(both, batch_format="pyarrow")
+    parts = _rp(sf_dir, "part", ["p_partkey"])
+    seeds = parts.filter(
+        lambda r: r["p_partkey"] % 50 == 0).map_batches(
+        lambda b: pa.table({"node": b["p_partkey"]}),
+        batch_format="pyarrow")
+    return (personalized_pagerank(edges, seeds, iterations=5)
+            .sort(["rank_q", "node"], descending=[True, False])
+            .limit(100))
