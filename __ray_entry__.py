@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_resample": q.q_resample,
         "q_sketch_quantiles": q.q_sketch_quantiles,
         "q_ppr": q.q_ppr,
+        "q_url_prefixes": q.q_url_prefixes,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3641,6 +3642,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN s ON s.r = CAST(floor(
                 (qs.q_permille / 1000.0) * (n.n - 1)) AS BIGINT)
             ORDER BY qs.q_permille
+        """,
+
+        # prefix-rollup twin (stages/urlmine.py): each page counts
+        # toward its leading non-empty path segments up to depth 3
+        "q_url_prefixes": """
+            WITH u AS (
+                SELECT source AS host,
+                       CASE doc_id % 3
+                         WHEN 0 THEN '/obj/' ||
+                             substr(md5(CAST(doc_id AS VARCHAR)),
+                                    1, 20) || '/raw'
+                         WHEN 1 THEN '/cat-' ||
+                             CAST(doc_id % 7 AS VARCHAR) || '/item/' ||
+                             CAST(doc_id * doc_id % 100000 AS VARCHAR)
+                             || '/v'
+                         ELSE '/about/team' ||
+                             CAST(doc_id % 5 AS VARCHAR)
+                       END AS path
+                FROM documents
+            ), segs AS (
+                SELECT host,
+                       list_filter(string_split(path, '/'),
+                                   x -> x <> '') AS ss
+                FROM u
+            ), pre AS (
+                SELECT host,
+                       '/' || array_to_string(list_slice(ss, 1, d), '/')
+                           AS prefix,
+                       CAST(d AS BIGINT) AS depth
+                FROM segs,
+                     LATERAL (SELECT unnest(range(
+                         1, LEAST(len(ss), 3) + 1)) AS d)
+            )
+            SELECT host, prefix, depth,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages
+            FROM pre GROUP BY 1, 2, 3
+            ORDER BY host, depth, n_pages DESC, prefix
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

@@ -118,3 +118,58 @@ class TestQuantileBuckets:
         ds = rd.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
         got = quantile_buckets(ds, "v", [0.5]).to_pandas()
         assert len(got) == 0
+
+
+class TestPrefixRollup:
+    def test_semantics(self, ray_session):
+        from thecrowler_ray.stages.urlmine import url_prefix_rollup
+        df = pd.DataFrame({
+            "host": ["a", "a", "a", "b"],
+            "path": ["/x/y/z/w", "/x/q", "/x//y", "/solo"],
+        })
+        got = url_prefix_rollup(rd.from_pandas(df),
+                                max_depth=3).to_pandas()
+        rows = {(r.host, r.prefix, r.depth): r.n_pages
+                for r in got.itertuples(index=False)}
+        # /x//y: empty segment skipped -> /x then /x/y
+        assert rows[("a", "/x", 1)] == 3
+        assert rows[("a", "/x/y", 2)] == 2
+        assert rows[("a", "/x/y/z", 3)] == 1
+        assert ("a", "/x/y/z/w", 4) not in rows  # depth capped
+        assert rows[("a", "/x/q", 2)] == 1
+        assert rows[("b", "/solo", 1)] == 1
+
+    def test_order(self, ray_session):
+        from thecrowler_ray.stages.urlmine import url_prefix_rollup
+        df = pd.DataFrame({
+            "host": ["a"] * 3,
+            "path": ["/p/1", "/p/2", "/q/1"],
+        })
+        got = url_prefix_rollup(rd.from_pandas(df),
+                                max_depth=2).to_pandas()
+        # depth-major, then count DESC, then prefix ASC
+        assert list(got["prefix"]) == ["/p", "/q", "/p/1", "/p/2",
+                                       "/q/1"]
+
+
+class TestPairExplode:
+    def test_property_random(self, ray_session):
+        from thecrowler_ray.stages.basket import (
+            _dedup_sorted,
+            _pair_explode,
+        )
+        rng = np.random.RandomState(7)
+        for trial in range(25):
+            n = int(rng.randint(0, 60))
+            b = rng.randint(0, 8, size=n).astype(np.int64)
+            v = rng.randint(0, 10, size=n).astype(np.int64)
+            bs, vs = _dedup_sorted(b, v)
+            x, y = _pair_explode(bs, vs)
+            got = sorted(zip(x.tolist(), y.tolist()))
+            want = []
+            for bk in np.unique(b):
+                items = sorted(set(v[b == bk].tolist()))
+                for i in range(len(items)):
+                    for j in range(i + 1, len(items)):
+                        want.append((items[i], items[j]))
+            assert got == sorted(want), trial

@@ -3072,3 +3072,34 @@ def q_ppr(sf_dir: str):
     return (personalized_pagerank(edges, seeds, iterations=5)
             .sort(["rank_q", "node"], descending=[True, False])
             .limit(100))
+
+
+def q_url_prefixes(sf_dir: str):
+    """Path-hierarchy rollup (``stages/urlmine.py``): per (host,
+    ancestor-prefix) page counts up to depth 3 over the deterministic
+    doc-derived paths of q_url_templates."""
+    import hashlib
+
+    from ..stages.urlmine import url_prefix_rollup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        paths = []
+        for d in ids:
+            d = int(d)
+            if d % 3 == 0:
+                h = hashlib.md5(str(d).encode()).hexdigest()[:20]
+                paths.append(f"/obj/{h}/raw")
+            elif d % 3 == 1:
+                paths.append(f"/cat-{d % 7}/item/{d * d % 100000}/v")
+            else:
+                paths.append(f"/about/team{d % 5}")
+        return pa.table({
+            "host": batch["source"],
+            "path": pa.array(paths, pa.string()),
+        })
+
+    urls = ds.map_batches(synth, batch_format="pyarrow")
+    return url_prefix_rollup(urls, max_depth=3)

@@ -54,3 +54,60 @@ def url_templates(
             .aggregate(Sum("c", alias_name="n_pages"))
             .sort([host, "n_pages", "template"],
                   descending=[False, True, False]))
+
+
+def url_prefix_rollup(
+    ds,
+    *,
+    host: str = "host",
+    path: str = "path",
+    max_depth: int = 4,
+) -> "ray.data.Dataset":
+    """Path-hierarchy rollup: every page counts toward each of its
+    ancestor path prefixes up to ``max_depth`` segments — the
+    site-structure view (pages under /cat-3/, under /cat-3/item/, ...)
+    a crawl scheduler budgets by. → Dataset
+    (host, prefix, depth, n_pages) sorted (host, depth, n_pages DESC,
+    prefix).
+
+    Semantics (pinned by the twin): prefixes are '/'-joined leading
+    non-empty segments; depth counts segments (1-based); a page at
+    depth d contributes to min(d, max_depth) prefixes. One slim
+    (host, prefix) groupby; the per-batch pandas explode is vectorized
+    string splitting."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.select([host, path]).to_pandas()
+        segs = df[path].str.split("/")
+        hosts_out, prefix_out, depth_out = [], [], []
+        for h, parts in zip(df[host], segs):
+            acc = ""
+            d = 0
+            for p in parts:
+                if not p:
+                    continue
+                d += 1
+                if d > max_depth:
+                    break
+                acc = acc + "/" + p
+                hosts_out.append(h)
+                prefix_out.append(acc)
+                depth_out.append(d)
+        out = pd.DataFrame({host: hosts_out, "prefix": prefix_out,
+                            "depth": depth_out})
+        out = (out.groupby([host, "prefix", "depth"], as_index=False)
+               .size().rename(columns={"size": "c"}))
+        return pa.table({
+            host: pa.array(out[host].tolist(), pa.string()),
+            "prefix": pa.array(out["prefix"].tolist(), pa.string()),
+            "depth": pa.array(out["depth"].to_numpy("int64")),
+            "c": pa.array(out["c"].to_numpy("int64"))})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby([host, "prefix", "depth"])
+            .aggregate(Sum("c", alias_name="n_pages"))
+            .sort([host, "depth", "n_pages", "prefix"],
+                  descending=[False, False, True, False]))
