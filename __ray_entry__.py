@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sketch_quantiles": q.q_sketch_quantiles,
         "q_ppr": q.q_ppr,
         "q_url_prefixes": q.q_url_prefixes,
+        "q_anomalies": q.q_anomalies,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3679,6 +3680,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_pages
             FROM pre GROUP BY 1, 2, 3
             ORDER BY host, depth, n_pages DESC, prefix
+        """,
+
+        # anomaly twin (stages/anomaly.py): the exact integer
+        # inequality (n*x - S)^2 > 9*(n*Q - S^2) in HUGEINT
+        "q_anomalies": """
+            WITH x AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), st AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(cents AS HUGEINT)) AS s,
+                       SUM(CAST(cents AS HUGEINT) * cents) AS q
+                FROM x GROUP BY event_type
+            )
+            SELECT x.event_id, x.event_type, x.cents
+            FROM x JOIN st USING (event_type)
+            WHERE (st.n * x.cents - st.s) * (st.n * x.cents - st.s)
+                  > 9 * (st.n * st.q - st.s * st.s)
+            ORDER BY x.event_id
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

@@ -3103,3 +3103,24 @@ def q_url_prefixes(sf_dir: str):
 
     urls = ds.map_batches(synth, batch_format="pyarrow")
     return url_prefix_rollup(urls, max_depth=3)
+
+
+def q_anomalies(sf_dir: str):
+    """Exact z-score anomalies (``stages/anomaly.py``): events whose
+    q2-cents value deviates more than 3 sigma from their event_type's
+    mean — the flag inequality evaluated in exact integers."""
+    from ..stages.anomaly import zscore_anomalies
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(batch["value"],
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "cents": pa.array(cents)})
+
+    stream = ev.map_batches(prep, batch_format="pyarrow")
+    return zscore_anomalies(stream, group="event_type",
+                            value="cents", k=3, id_col="event_id")
