@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ppr": q.q_ppr,
         "q_url_prefixes": q.q_url_prefixes,
         "q_anomalies": q.q_anomalies,
+        "q_fuzzy_pairs": q.q_fuzzy_pairs,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3702,6 +3703,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE (st.n * x.cents - st.s) * (st.n * x.cents - st.s)
                   > 9 * (st.n * st.q - st.s * st.s)
             ORDER BY x.event_id
+        """,
+
+        # fuzzy-pair twin (stages/fuzzy.py): identical prefix blocking
+        # + DuckDB levenshtein over the 60-char lowercased keys
+        "q_fuzzy_pairs": """
+            WITH s AS (
+                SELECT doc_id,
+                       substr(lower(COALESCE(text, '')), 1, 60) AS t
+                FROM documents
+            ), b AS (
+                SELECT doc_id, t, substr(t, 1, 8) AS blk FROM s
+            )
+            SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                   CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
+            FROM b a JOIN b c
+              ON a.blk = c.blk AND a.doc_id < c.doc_id
+            WHERE levenshtein(a.t, c.t) <= 5
+            ORDER BY dist, doc_a, doc_b
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

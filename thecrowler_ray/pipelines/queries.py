@@ -3124,3 +3124,14 @@ def q_anomalies(sf_dir: str):
     stream = ev.map_batches(prep, batch_format="pyarrow")
     return zscore_anomalies(stream, group="event_type",
                             value="cents", k=3, id_col="event_id")
+
+
+def q_fuzzy_pairs(sf_dir: str):
+    """Edit-distance near-dups (``stages/fuzzy.py``): doc pairs whose
+    lowercased 60-char prefixes share an 8-char block and sit within
+    Levenshtein distance 5."""
+    from ..stages.fuzzy import edit_distance_pairs
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return edit_distance_pairs(docs, prefix_len=60, block_len=8,
+                               max_dist=5)
