@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url_prefixes": q.q_url_prefixes,
         "q_anomalies": q.q_anomalies,
         "q_fuzzy_pairs": q.q_fuzzy_pairs,
+        "q_host_rank": q.q_host_rank,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3722,6 +3723,92 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(a.t, c.t) <= 5
             ORDER BY dist, doc_a, doc_b
         """,
+
+        # host-rank twin: doc link graph collapsed to md5-high-63 host
+        # ids (parallel edges = multiplicity), same q12 recurrence
+        "q_host_rank": """WITH nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        ), e0 AS (
+            SELECT doc_id AS src, (doc_id*doc_id+1) % nn.n AS dst
+            FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (31*doc_id+7) % nn.n FROM documents, nn
+            UNION ALL
+            SELECT doc_id, doc_id % 25 FROM documents
+        ), hm AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(source), 1, 16))::UBIGINT
+                        >> 1 AS BIGINT) AS hid
+            FROM documents
+        ), e AS MATERIALIZED (
+            SELECT a.hid AS src, b.hid AS dst
+            FROM e0 JOIN hm a ON e0.src = a.doc_id
+                    JOIN hm b ON e0.dst = b.doc_id
+            WHERE a.hid <> b.hid
+        ), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e
+        ),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+r1 AS (
+            SELECT n.node,
+                   CAST(150000000000 + COALESCE(CAST(s.m AS BIGINT), 0)
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((r0.r * 17) // (20 * od.outdeg)) AS m
+                FROM e
+                JOIN od USING (src)
+                JOIN r0 ON r0.node = e.src
+                GROUP BY e.dst) s USING (node)),
+r2 AS (
+            SELECT n.node,
+                   CAST(150000000000 + COALESCE(CAST(s.m AS BIGINT), 0)
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((r1.r * 17) // (20 * od.outdeg)) AS m
+                FROM e
+                JOIN od USING (src)
+                JOIN r1 ON r1.node = e.src
+                GROUP BY e.dst) s USING (node)),
+r3 AS (
+            SELECT n.node,
+                   CAST(150000000000 + COALESCE(CAST(s.m AS BIGINT), 0)
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((r2.r * 17) // (20 * od.outdeg)) AS m
+                FROM e
+                JOIN od USING (src)
+                JOIN r2 ON r2.node = e.src
+                GROUP BY e.dst) s USING (node)),
+r4 AS (
+            SELECT n.node,
+                   CAST(150000000000 + COALESCE(CAST(s.m AS BIGINT), 0)
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((r3.r * 17) // (20 * od.outdeg)) AS m
+                FROM e
+                JOIN od USING (src)
+                JOIN r3 ON r3.node = e.src
+                GROUP BY e.dst) s USING (node)),
+r5 AS (
+            SELECT n.node,
+                   CAST(150000000000 + COALESCE(CAST(s.m AS BIGINT), 0)
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((r4.r * 17) // (20 * od.outdeg)) AS m
+                FROM e
+                JOIN od USING (src)
+                JOIN r4 ON r4.node = e.src
+                GROUP BY e.dst) s USING (node))
+        SELECT node, r AS rank_q FROM r5
+        ORDER BY rank_q DESC, node ASC
+    """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}
         "q_quantile_bucket": """

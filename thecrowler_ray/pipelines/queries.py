@@ -3135,3 +3135,45 @@ def q_fuzzy_pairs(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     return edit_distance_pairs(docs, prefix_len=60, block_len=8,
                                max_dist=5)
+
+
+def q_host_rank(sf_dir: str):
+    """Host-level PageRank: the synthetic doc link graph collapsed to
+    its host graph (edge host(src)->host(dst) per doc link, parallel
+    edges = link multiplicity — exactly ``ops/pagerank.py``'s weight
+    semantics), hosts keyed by md5-high-63 so the twin derives the
+    identical ids in SQL. Self-host links drop (intra-site)."""
+    from ..ops.pagerank import pagerank
+    from ..stages.ngram_lm import _join_partitions
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def host_id(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = [int(hashlib.md5(s.encode()).hexdigest()[:16], 16) >> 1
+               for s in batch["source"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "hid": pa.array(ids, pa.int64())})
+
+    hmap = docs.map_batches(host_id, batch_format="pyarrow")
+    edges = _doc_link_graph(sf_dir)  # (src, dst) doc ids
+    nparts = _join_partitions()
+    src_h = hmap.map_batches(
+        lambda b: b.rename_columns(["src", "src_h"]),
+        batch_format="pyarrow")
+    dst_h = hmap.map_batches(
+        lambda b: b.rename_columns(["dst", "dst_h"]),
+        batch_format="pyarrow")
+    hedges = (edges
+              .join(src_h, join_type="inner", num_partitions=nparts,
+                    on=("src",))
+              .join(dst_h, join_type="inner", num_partitions=nparts,
+                    on=("dst",))
+              .map_batches(
+                  lambda b: pa.table({"src": b["src_h"],
+                                      "dst": b["dst_h"]}).filter(
+                      pc.invert(pc.equal(b["src_h"], b["dst_h"]))),
+                  batch_format="pyarrow"))
+    return (pagerank(hedges, iterations=5)
+            .sort(["rank_q", "node"], descending=[True, False]))
