@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anomalies": q.q_anomalies,
         "q_fuzzy_pairs": q.q_fuzzy_pairs,
         "q_host_rank": q.q_host_rank,
+        "q_assortativity": q.q_assortativity,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3809,6 +3810,58 @@ r5 AS (
         SELECT node, r AS rank_q FROM r5
         ORDER BY rank_q DESC, node ASC
     """,
+
+        # assortativity twin: per-edge (out-deg(src), in-deg(dst))
+        # moments in HUGEINT over the self-loop-free doc link graph
+        "q_assortativity": """
+            WITH nn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), e0 AS (
+                SELECT doc_id AS src, (doc_id*doc_id+1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (31*doc_id+7) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, doc_id % 25 FROM documents
+            ), e AS MATERIALIZED (
+                SELECT src, dst FROM e0 WHERE src <> dst
+            ), od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+                      FROM e GROUP BY src),
+            idg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS id_
+                    FROM e GROUP BY dst),
+            p AS (
+                SELECT idg.id_ AS din, od.od AS dout
+                FROM e JOIN od USING (src) JOIN idg USING (dst)
+            )
+            SELECT 'din' AS cx, 'dout' AS cy,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(din AS HUGEINT)) AS VARCHAR) AS sum_x,
+                   CAST(SUM(CAST(dout AS HUGEINT)) AS VARCHAR)
+                       AS sum_y,
+                   CAST(SUM(CAST(din AS HUGEINT) * dout) AS VARCHAR)
+                       AS sum_xy,
+                   CAST(SUM(CAST(din AS HUGEINT) * din) AS VARCHAR)
+                       AS sum_xx,
+                   CAST(SUM(CAST(dout AS HUGEINT) * dout) AS VARCHAR)
+                       AS sum_yy
+            FROM p
+            UNION ALL
+            SELECT 'din', 'din', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(din AS HUGEINT)) AS VARCHAR),
+                   CAST(SUM(CAST(din AS HUGEINT)) AS VARCHAR),
+                   CAST(SUM(CAST(din AS HUGEINT) * din) AS VARCHAR),
+                   CAST(SUM(CAST(din AS HUGEINT) * din) AS VARCHAR),
+                   CAST(SUM(CAST(din AS HUGEINT) * din) AS VARCHAR)
+            FROM p
+            UNION ALL
+            SELECT 'dout', 'dout', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(dout AS HUGEINT)) AS VARCHAR),
+                   CAST(SUM(CAST(dout AS HUGEINT)) AS VARCHAR),
+                   CAST(SUM(CAST(dout AS HUGEINT) * dout) AS VARCHAR),
+                   CAST(SUM(CAST(dout AS HUGEINT) * dout) AS VARCHAR),
+                   CAST(SUM(CAST(dout AS HUGEINT) * dout) AS VARCHAR)
+            FROM p
+        """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}
         "q_quantile_bucket": """

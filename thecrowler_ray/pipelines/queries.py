@@ -3177,3 +3177,45 @@ def q_host_rank(sf_dir: str):
                   batch_format="pyarrow"))
     return (pagerank(hedges, iterations=5)
             .sort(["rank_q", "node"], descending=[True, False]))
+
+
+def q_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics (Newman 2002): the
+    exact integer moments of (out-degree(src), in-degree(dst)) over
+    every edge of the synthetic doc link graph — Pearson r over edge
+    endpoints derives on the driver/pytest path; the gate compares the
+    arbitrary-precision sums (``stages/moments.py`` discipline)."""
+    from ..stages.moments import moment_records
+    from ..stages.ngram_lm import _join_partitions
+
+    edges = _doc_link_graph(sf_dir).map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"]}).filter(
+            pc.invert(pc.equal(b["src"], b["dst"]))),
+        batch_format="pyarrow").materialize()
+
+    def deg_partial(col, out):
+        def f(batch: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                batch[col].to_numpy(zero_copy_only=False),
+                return_counts=True)
+            return pa.table({out: pa.array(u.astype(np.int64)),
+                             "c": pa.array(c.astype(np.int64))})
+        return f
+
+    od = (edges.map_batches(deg_partial("src", "src"),
+                            batch_format="pyarrow")
+          .groupby("src").aggregate(Sum("c", alias_name="od")))
+    idg = (edges.map_batches(deg_partial("dst", "dst"),
+                             batch_format="pyarrow")
+           .groupby("dst").aggregate(Sum("c", alias_name="id_")))
+    nparts = _join_partitions()
+    pairs = (edges
+             .join(od, join_type="inner", num_partitions=nparts,
+                   on=("src",))
+             .join(idg, join_type="inner", num_partitions=nparts,
+                   on=("dst",))
+             .map_batches(
+                 lambda b: pa.table({"dout": b["od"],
+                                     "din": b["id_"]}),
+                 batch_format="pyarrow"))
+    return moment_records(pairs, ["din", "dout"], digits=0)
