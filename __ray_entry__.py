@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fuzzy_pairs": q.q_fuzzy_pairs,
         "q_host_rank": q.q_host_rank,
         "q_assortativity": q.q_assortativity,
+        "q_reciprocity": q.q_reciprocity,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3861,6 +3862,34 @@ r5 AS (
                    CAST(SUM(CAST(dout AS HUGEINT) * dout) AS VARCHAR),
                    CAST(SUM(CAST(dout AS HUGEINT) * dout) AS VARCHAR)
             FROM p
+        """,
+
+        # reciprocity twin: distinct self-loop-free doc edges, reverse
+        # membership via self-join, integer ppm
+        "q_reciprocity": """
+            WITH nn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), e0 AS (
+                SELECT doc_id AS src, (doc_id*doc_id+1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (31*doc_id+7) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, doc_id % 25 FROM documents
+            ), e AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+            ), stats AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                       CAST(SUM(CASE WHEN r.src IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_reciprocal
+                FROM e LEFT JOIN e r
+                  ON r.src = e.dst AND r.dst = e.src
+            )
+            SELECT n_edges, n_reciprocal,
+                   CAST((n_reciprocal * 1000000) // n_edges AS BIGINT)
+                       AS reciprocity_ppm
+            FROM stats
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

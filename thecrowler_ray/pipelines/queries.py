@@ -3219,3 +3219,50 @@ def q_assortativity(sf_dir: str):
                                      "din": b["id_"]}),
                  batch_format="pyarrow"))
     return moment_records(pairs, ["din", "dout"], digits=0)
+
+
+def q_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity (Newman et al. 2002 network metric):
+    the fraction of distinct doc-link edges whose reverse edge exists,
+    as integer ppm — n_edges, n_reciprocal, reciprocity_ppm. Edge set
+    deduped by one groupby; the reverse-membership test runs against a
+    packed-int64 broadcast set (ids < 2^31; the self-join is the
+    documented scale path and IS the twin)."""
+    edges = _doc_link_graph(sf_dir).map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"]}).filter(
+            pc.invert(pc.equal(b["src"], b["dst"]))),
+        batch_format="pyarrow")
+    e = (edges.groupby(["src", "dst"]).count()
+         .drop_columns(["count()"]).materialize())
+
+    from ..ops.gutil import collect_tables
+
+    packed_parts = []
+    for t in collect_tables(e):
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        packed_parts.append((s << 31) + d)
+    eset = np.sort(np.concatenate(packed_parts) if packed_parts
+                   else np.array([], dtype=np.int64))
+    ref = ray.put(eset)
+
+    def rev_hits(batch: pa.Table) -> pa.Table:
+        es = ray.get(ref)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        key = (d.astype(np.int64) << 31) + s
+        pos = np.searchsorted(es, key)
+        hit = (pos < len(es)) & (es[np.minimum(pos, len(es) - 1)]
+                                 == key)
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "r": pa.array([int(hit.sum())], pa.int64())})
+
+    agg = (e.map_batches(rev_hits, batch_format="pyarrow",
+                         batch_size=None)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("r", alias_name="r")))
+    n, r = int(agg["n"]), int(agg["r"])
+    return pd.DataFrame({
+        "n_edges": [n], "n_reciprocal": [r],
+        "reciprocity_ppm": [(r * 1_000_000) // n if n else 0]})
