@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_host_rank": q.q_host_rank,
         "q_assortativity": q.q_assortativity,
         "q_reciprocity": q.q_reciprocity,
+        "q_clustering_coef": q.q_clustering_coef,
         "q_pmi": q.q_pmi,
         "q_moments": q.q_moments,
         "q_anchor_text": q.q_anchor_text,
@@ -3890,6 +3891,40 @@ r5 AS (
                    CAST((n_reciprocal * 1000000) // n_edges AS BIGINT)
                        AS reciprocity_ppm
             FROM stats
+        """,
+
+        # clustering-coefficient twin: the q_triangles construction +
+        # canonical degree, integer ppm division
+        "q_clustering_coef": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+            ), e AS MATERIALIZED (
+                SELECT DISTINCT a.p AS x, b.p AS y
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            ), tri AS MATERIALIZED (
+                SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                FROM e e1
+                JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+                JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+            ), tn AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+                FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node
+            ), deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+                ) GROUP BY node
+            )
+            SELECT tn.node, tn.triangles, deg.deg,
+                   CAST((tn.triangles * 1000000)
+                        // (deg.deg * (deg.deg - 1) // 2) AS BIGINT)
+                       AS coef_ppm
+            FROM tn JOIN deg USING (node)
+            ORDER BY tn.node
         """,
         # quantile-bucket twin (stages/discretize.py): exact-rank
         # quartile boundaries, bucket = #{boundary <= v}

@@ -3266,3 +3266,50 @@ def q_reciprocity(sf_dir: str):
     return pd.DataFrame({
         "n_edges": [n], "n_reciprocal": [r],
         "reciprocity_ppm": [(r * 1_000_000) // n if n else 0]})
+
+
+def q_clustering_coef(sf_dir: str):
+    """Local clustering coefficient (Watts-Strogatz 1998): per node
+    triangles·10⁶ // (deg·(deg−1)/2) over the part co-order graph —
+    integer ppm so the division is exact both sides. Nodes in ≥1
+    triangle only (the triangle op's support), deg from the canonical
+    undirected edge set."""
+    from ..ops.triangles import _canonical_edges, triangle_counts
+    from ..stages.basket import cooccur_edges
+    from ..stages.ngram_lm import _join_partitions
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccur_edges(li, basket="l_orderkey", item="l_partkey")
+    e = _canonical_edges(edges).materialize()
+    tri = triangle_counts(e)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(np.concatenate([
+            batch["x"].to_numpy(zero_copy_only=False),
+            batch["y"].to_numpy(zero_copy_only=False)]),
+            return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    deg = (e.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("c", alias_name="deg")))
+    nparts = _join_partitions()
+
+    def coef(batch: pa.Table) -> pa.Table:
+        t = batch["triangles"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = batch["deg"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cap = d * (d - 1) // 2
+        return pa.table({
+            "node": batch["node"],
+            "triangles": pa.array(t),
+            "deg": pa.array(d),
+            "coef_ppm": pa.array(
+                np.where(cap > 0, (t * 1_000_000) // np.maximum(cap, 1),
+                         0).astype(np.int64))})
+
+    return (tri.join(deg, join_type="inner", num_partitions=nparts,
+                     on=("node",))
+            .map_batches(coef, batch_format="pyarrow")
+            .sort("node"))
