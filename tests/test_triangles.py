@@ -63,3 +63,28 @@ def test_random_graph_vs_brute_force(ray_session, threshold):
 def test_no_triangles(ray_session):
     got = _got(triangle_counts(_ds([(1, 2), (3, 4), (2, 3)])))
     assert got == {}
+
+
+def test_pre_canonical_and_return_degrees(ray_session):
+    # pre_canonical on an already-canonical set must match the default
+    # path, and the returned degree table must equal the true degrees
+    edges = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5)]
+    canon = sorted({tuple(sorted(e)) for e in edges})
+    tri, deg = triangle_counts(_ds(canon), pre_canonical=True,
+                               return_degrees=True)
+    assert _got(tri) == {1: 3, 2: 3, 3: 3, 4: 3}
+    dd = deg.to_pandas()
+    assert dict(zip(dd["node"], dd["deg"])) == {1: 3, 2: 3, 3: 3, 4: 4,
+                                               5: 1}
+
+
+def test_reciprocity_path_parity(ray_session):
+    # broadcast path (default threshold) and distributed self-join path
+    # (threshold=0) must agree bit-for-bit on the same input
+    from thecrowler_ray.pipelines.queries import q_reciprocity
+
+    sf = "/root/testdata/sf0.001"
+    a = q_reciprocity(sf)
+    b = q_reciprocity(sf, broadcast_threshold=0)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

@@ -15,10 +15,13 @@ Shape:
 1. dedup + self-loop drop → canonical undirected edges (x < y), one
    ``groupby`` on slim id pairs;
 2. degrees: one ``groupby`` over exploded endpoints;
-3. orientation: degrees attach via broadcast dict (≤ threshold nodes)
-   or two native joins (above — the usual switch);
-4. wedges: ``groupby(apex)`` emits orientation-ordered out-neighbor
-   pairs (group size ≤ out-degree ≤ O(√E));
+3. orientation: degrees attach via broadcast dict (≤ threshold EDGES —
+   the broadcast path ships an O(E) packed edge set, so edges key the
+   switch) or two native joins above it;
+4. wedges: apexes hash-shard and each shard emits orientation-ordered
+   out-neighbor pairs for ALL its apexes in one vectorized run-length
+   pass (per-apex fan-out ≤ out-degree ≤ O(√E); never one scheduler
+   call per node);
 5. close: wedge rows inner-join the oriented edges on (v, w) — each
    match is one triangle; per-node counts are a flat-map (3 rows per
    triangle) + one count groupby.
@@ -50,15 +53,30 @@ def _canonical_edges(edges):
 
 
 def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
-                    num_partitions: int | None = None):
+                    num_partitions: int | None = None,
+                    pre_canonical: bool = False,
+                    return_degrees: bool = False):
     """Edge-list Dataset (x, y int64; duplicates/self-loops/either
     orientation fine) → Dataset (node, triangles) for nodes in ≥1
-    triangle."""
+    triangle.
+
+    ``pre_canonical=True`` promises the input is already distinct
+    undirected (x < y) edges, skipping a redundant full groupby+dedup.
+    ``return_degrees=True`` returns ``(result, degrees)`` where
+    ``degrees`` is the (node, deg) Dataset this op computes anyway —
+    callers like the clustering coefficient need exactly that table
+    and should not recompute it.
+
+    The broadcast↔join switch keys on EDGE count: the broadcast path
+    ships the packed O(E) oriented edge set to every worker via one
+    ``ray.put``, so edges — not nodes — are what bound its memory."""
     from ray.data.aggregate import Sum
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nparts = num_partitions or max(2, min(64, cpus // 2))
-    e = _canonical_edges(edges).materialize()
+    e = edges if pre_canonical else _canonical_edges(edges)
+    e = e.materialize()
+    n_edges = e.count()
 
     def endpoints(batch: pa.Table) -> pa.Table:
         xs = batch["x"].to_numpy(zero_copy_only=False)
@@ -70,13 +88,13 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
     deg = (e.map_batches(endpoints, batch_format="pyarrow")
            .groupby("node").aggregate(Sum("d", alias_name="deg"))
            .materialize())
-    n_nodes = deg.count()
-    if n_nodes == 0:
-        return ray.data.from_arrow(pa.table({
+    if n_edges == 0:
+        empty = ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "triangles": pa.array([], pa.int64())}))
+        return (empty, deg) if return_degrees else empty
 
-    if n_nodes <= broadcast_threshold:
+    if n_edges <= broadcast_threshold:
         from .gutil import collect_tables
 
         id_parts, dg_parts = [], []
@@ -179,11 +197,12 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
                     "t": pa.array(np.add.reduceat(c_s, idx)
                                   .astype(np.int64))})
 
-            return (ep.map_batches(add_shard, batch_format="pyarrow")
-                    .groupby("shard")
-                    .map_groups(close_shard, batch_format="pyarrow")
-                    .groupby("node")
-                    .aggregate(Sum("t", alias_name="triangles")))
+            res = (ep.map_batches(add_shard, batch_format="pyarrow")
+                   .groupby("shard")
+                   .map_groups(close_shard, batch_format="pyarrow")
+                   .groupby("node")
+                   .aggregate(Sum("t", alias_name="triangles")))
+            return (res, deg) if return_degrees else res
     if True:
         # join path: attach each endpoint's degree via two hash joins
         dx = deg.map_batches(
@@ -211,36 +230,58 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
 
         ep = j.map_batches(orient_j, batch_format="pyarrow").materialize()
 
-    def wedges(g: pa.Table) -> pa.Table:
-        # out-neighbors sorted by the orientation key (deg, id) so the
-        # emitted pair (v, w) is exactly the orientation E+ stores;
-        # arrow in/out (the pandas-block aggregate tax)
-        gd = g["dst"].to_numpy(zero_copy_only=False)
+    # Wedge generation hash-shards the apex and vectorizes the pair
+    # explosion ACROSS apexes inside each shard (run-length repeat +
+    # cumsum, the stages/basket.py pattern) — a bounded number of
+    # map_groups calls instead of one scheduler round-trip per graph
+    # node (150k tiny groups ≈ 200 s regardless of work).  Out-neighbor
+    # order inside each apex run is the orientation key (kd, dst), so
+    # the emitted (v, w) pair is exactly the orientation E+ stores.
+    n_wshards = max(16, nparts * 2)
+
+    def add_wshard(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array((s * 2654435761 % n_wshards)
+                              .astype(np.int64)))
+
+    def wedge_shard(g: pa.Table) -> pa.Table:
+        gs = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gd = g["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         gk = g["kd"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((gd, gk))
-        nb = gd[order]
-        k = len(nb)
-        if k < 2:
+        order = np.lexsort((gd, gk, gs))
+        src, dst = gs[order], gd[order]
+        n = len(src)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], n]
+        run_end = np.repeat(ends, ends - starts)
+        pos = np.arange(n)
+        reps = run_end - pos - 1
+        total = int(reps.sum())
+        if total == 0:
             return pa.table({"apex": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64()),
                              "w": pa.array([], pa.int64())})
-        iu, ju = np.triu_indices(k, 1)
+        out_start = np.cumsum(reps) - reps
+        w_idx = (np.arange(total) - np.repeat(out_start, reps)
+                 + np.repeat(pos + 1, reps))
         return pa.table({
-            "apex": pa.array(np.full(len(iu), g["src"][0].as_py(),
-                                     dtype=np.int64)),
-            "v": pa.array(nb[iu].astype(np.int64)),
-            "w": pa.array(nb[ju].astype(np.int64)),
+            "apex": pa.array(np.repeat(src, reps)),
+            "v": pa.array(np.repeat(dst, reps)),
+            "w": pa.array(dst[w_idx]),
         })
 
     # the join shuffles the wedge set anyway; materializing first lets us
     # early-exit the (schema-less) zero-wedge case
-    wedge_ds = (ep.groupby("src").map_groups(wedges,
-                                             batch_format="pyarrow")
+    wedge_ds = (ep.map_batches(add_wshard, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(wedge_shard, batch_format="pyarrow")
                 .materialize())
     if wedge_ds.count() == 0:
-        return ray.data.from_arrow(pa.table({
+        empty = ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "triangles": pa.array([], pa.int64())}))
+        return (empty, deg) if return_degrees else empty
     evw = ep.map_batches(
         lambda b: pa.table({"v": b["src"], "w": b["dst"]}),
         batch_format="pyarrow")
@@ -256,5 +297,6 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
         return pa.table({"node": pa.array(u.astype(np.int64)),
                          "t": pa.array(c.astype(np.int64))})
 
-    return (tri.map_batches(per_node, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("t", alias_name="triangles")))
+    res = (tri.map_batches(per_node, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("t", alias_name="triangles")))
+    return (res, deg) if return_degrees else res

@@ -3221,48 +3221,61 @@ def q_assortativity(sf_dir: str):
     return moment_records(pairs, ["din", "dout"], digits=0)
 
 
-def q_reciprocity(sf_dir: str):
+def q_reciprocity(sf_dir: str, *, broadcast_threshold: int = 5_000_000):
     """Directed-graph reciprocity (Newman et al. 2002 network metric):
     the fraction of distinct doc-link edges whose reverse edge exists,
     as integer ppm — n_edges, n_reciprocal, reciprocity_ppm. Edge set
-    deduped by one groupby; the reverse-membership test runs against a
-    packed-int64 broadcast set (ids < 2^31; the self-join is the
-    documented scale path and IS the twin)."""
+    deduped by one groupby, then the usual broadcast↔join switch keyed
+    on EDGE count: below the threshold the reverse-membership test runs
+    in-worker against a packed-int64 broadcast set (ids < 2^31); above
+    it the reversed edges hash-join the edge set — no unconditional
+    O(E) ``ray.put`` at 10^10-edge scale."""
     edges = _doc_link_graph(sf_dir).map_batches(
         lambda b: pa.table({"src": b["src"], "dst": b["dst"]}).filter(
             pc.invert(pc.equal(b["src"], b["dst"]))),
         batch_format="pyarrow")
     e = (edges.groupby(["src", "dst"]).count()
          .drop_columns(["count()"]).materialize())
+    n = e.count()
 
-    from ..ops.gutil import collect_tables
+    if n <= broadcast_threshold:
+        from ..ops.gutil import collect_tables
 
-    packed_parts = []
-    for t in collect_tables(e):
-        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        packed_parts.append((s << 31) + d)
-    eset = np.sort(np.concatenate(packed_parts) if packed_parts
-                   else np.array([], dtype=np.int64))
-    ref = ray.put(eset)
+        packed_parts = []
+        for t in collect_tables(e):
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            packed_parts.append((s << 31) + d)
+        eset = np.sort(np.concatenate(packed_parts) if packed_parts
+                       else np.array([], dtype=np.int64))
+        ref = ray.put(eset)
 
-    def rev_hits(batch: pa.Table) -> pa.Table:
-        es = ray.get(ref)
-        s = batch["src"].to_numpy(zero_copy_only=False)
-        d = batch["dst"].to_numpy(zero_copy_only=False)
-        key = (d.astype(np.int64) << 31) + s
-        pos = np.searchsorted(es, key)
-        hit = (pos < len(es)) & (es[np.minimum(pos, len(es) - 1)]
-                                 == key)
-        return pa.table({
-            "n": pa.array([batch.num_rows], pa.int64()),
-            "r": pa.array([int(hit.sum())], pa.int64())})
+        def rev_hits(batch: pa.Table) -> pa.Table:
+            es = ray.get(ref)
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            key = (d.astype(np.int64) << 31) + s
+            pos = np.searchsorted(es, key)
+            hit = (pos < len(es)) & (es[np.minimum(pos, len(es) - 1)]
+                                     == key)
+            return pa.table({
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "r": pa.array([int(hit.sum())], pa.int64())})
 
-    agg = (e.map_batches(rev_hits, batch_format="pyarrow",
-                         batch_size=None)
-           .aggregate(Sum("n", alias_name="n"),
-                      Sum("r", alias_name="r")))
-    n, r = int(agg["n"]), int(agg["r"])
+        agg = (e.map_batches(rev_hits, batch_format="pyarrow",
+                             batch_size=None)
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("r", alias_name="r")))
+        r = int(agg["r"])
+    else:
+        from ..stages.ngram_lm import _join_partitions
+
+        rev = e.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+            batch_format="pyarrow")
+        r = e.join(rev, join_type="inner",
+                   num_partitions=_join_partitions(),
+                   on=("src", "dst")).count()
     return pd.DataFrame({
         "n_edges": [n], "n_reciprocal": [r],
         "reciprocity_ppm": [(r * 1_000_000) // n if n else 0]})
@@ -3281,18 +3294,10 @@ def q_clustering_coef(sf_dir: str):
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     edges = cooccur_edges(li, basket="l_orderkey", item="l_partkey")
     e = _canonical_edges(edges).materialize()
-    tri = triangle_counts(e)
-
-    def endpoints(batch: pa.Table) -> pa.Table:
-        u, c = np.unique(np.concatenate([
-            batch["x"].to_numpy(zero_copy_only=False),
-            batch["y"].to_numpy(zero_copy_only=False)]),
-            return_counts=True)
-        return pa.table({"node": pa.array(u.astype(np.int64)),
-                         "c": pa.array(c.astype(np.int64))})
-
-    deg = (e.map_batches(endpoints, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("c", alias_name="deg")))
+    # pre_canonical: e is already the distinct (x<y) set — skip the op's
+    # internal re-canonicalization; reuse its degree table instead of a
+    # second endpoints groupby (both were full extra passes over E)
+    tri, deg = triangle_counts(e, pre_canonical=True, return_degrees=True)
     nparts = _join_partitions()
 
     def coef(batch: pa.Table) -> pa.Table:
