@@ -15,12 +15,17 @@ holds only one key's rows from both sides, so group size is bounded by
 per-key activity, never by dataset size; a skewed key costs one large group,
 not a serialized stage. Backward/forward direction and strict inequality are
 supported; ties within a side are broken by input order (stable sort).
+
+All stages are Arrow in/out: pandas blocks feeding the co-partitioning
+groupby pay the measured ~25x exchange tax (PERF.md session-8). Output
+types are pinned by an explicit schema built from both input schemas so
+no-match groups (all-null right columns) can never drift a block's type.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 import ray.data
 
 _SIDE_COL = "__asof_side"
@@ -51,41 +56,47 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
 
-    left_names = [n for n in left.schema().names]
-    rnames = right.schema().names
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    left_names = list(l_schema.names)
     carry = right_cols if right_cols is not None else [
-        c for c in rnames if c not in (by, on)
+        c for c in r_schema.names if c not in (by, on)
     ]
     out_names = {
         c: (c + suffix if c in left_names else c) for c in carry
     }
     on_out = on + suffix
 
-    # union with a side tag; null-fill each side's missing columns so the
-    # schemas align (one shuffle co-partitions both sides)
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
+    # union with a side tag; null-fill each side's missing columns (typed
+    # from the OTHER side's schema) so the unioned blocks share one Arrow
+    # schema and the co-partitioning shuffle stays zero-copy
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {c: t[c] for c in left_names}
         for c in carry:
-            df["__r_" + c] = None
-        df[_SIDE_COL] = np.int8(0)
-        return df
+            cols["__r_" + c] = pa.nulls(n, r_types[c])
+        cols[_SIDE_COL] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
         for c in left_names:  # same column order as tag_left
             if c == by:
-                out[c] = df[by]
+                cols[c] = t[by]
             elif c == on:
-                out[c] = df[on]
+                cols[c] = t[on]
             else:
-                out[c] = None
+                cols[c] = pa.nulls(n, l_types[c])
         for c in carry:
-            out["__r_" + c] = df[c]
-        out[_SIDE_COL] = np.int8(1)
-        return out
+            cols["__r_" + c] = t[c]
+        cols[_SIDE_COL] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
 
-    lt = left.map_batches(tag_left, batch_format="pandas")
-    rt = right.map_batches(tag_right, batch_format="pandas")
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
     unioned = lt.union(rt)
     if num_partitions is not None:
         # the groupby's sort shuffle is O(blocks²) tasks; on small inputs
@@ -96,39 +107,37 @@ def asof_join(
     back = direction == "backward"
     side = "right" if (back == allow_equal) else "left"
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([on], kind="mergesort")
-        lmask = g[_SIDE_COL].to_numpy() == 0
-        lrows = g[lmask]
-        rrows = g[~lmask]
-        # empty lrows flows through both branches: slicing keeps dtypes, so
-        # a clicks-only key yields a schema-correct zero-row block
-        out = lrows[left_names].copy()
-        if len(rrows):
-            rts = rrows[on].to_numpy()
-            pos = np.searchsorted(rts, lrows[on].to_numpy(), side=side)
+    def merge(g: pa.Table) -> pa.Table:
+        onv = g[on].to_numpy(zero_copy_only=False)
+        g = g.take(pa.array(np.argsort(onv, kind="mergesort")))
+        lmask = g[_SIDE_COL].to_numpy(zero_copy_only=False) == 0
+        lrows = g.filter(pa.array(lmask))
+        rrows = g.filter(pa.array(~lmask))
+        # empty lrows flows through both branches: filter keeps types, so
+        # a right-only key yields a schema-correct zero-row block
+        out = {c: lrows[c] for c in left_names}
+        if rrows.num_rows:
+            rts = rrows[on].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(
+                rts, lrows[on].to_numpy(zero_copy_only=False), side=side)
             if back:
                 idx = pos - 1
                 ok = idx >= 0
             else:
                 idx = pos
                 ok = idx < len(rts)
-            idx = np.clip(idx, 0, len(rts) - 1)
-            matched = rrows.iloc[idx]
-            oks = pd.Series(ok, index=out.index)
-            out[on_out] = pd.Series(
-                matched[on].to_numpy(), index=out.index
-            ).where(oks)
+            idx = np.clip(idx, 0, max(len(rts) - 1, 0))
+            # null index → null row: take() carries no-match as nulls
+            idx_pa = pa.array(idx.astype(np.int64), mask=~ok)
+            out[on_out] = rrows[on].combine_chunks().take(idx_pa)
             for c in carry:
-                out[out_names[c]] = pd.Series(
-                    matched["__r_" + c].to_numpy(), index=out.index
-                ).where(oks)
+                out[out_names[c]] = (
+                    rrows["__r_" + c].combine_chunks().take(idx_pa))
         else:
-            # all-null in on's dtype family (int64→NaN, datetime→NaT),
-            # matching the dtype the matched-path .where() would produce
-            out[on_out] = lrows[on].where(pd.Series(False, index=out.index))
+            nl = lrows.num_rows
+            out[on_out] = pa.nulls(nl, r_types[on])
             for c in carry:
-                out[out_names[c]] = None
-        return out
+                out[out_names[c]] = pa.nulls(nl, r_types[c])
+        return pa.table(out)
 
-    return unioned.groupby(by).map_groups(merge, batch_format="pandas")
+    return unioned.groupby(by).map_groups(merge, batch_format="pyarrow")

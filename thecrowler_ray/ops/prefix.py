@@ -24,7 +24,7 @@ total order being scanned.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
@@ -54,22 +54,19 @@ def exclusive_prefix_sum(
     width = max(span // n_buckets + 1, 1)
     lo = int(lo)
 
-    def bucket_of(v: pd.Series) -> pd.Series:
-        return ((v.astype("int64") - lo) // width).astype("int64")
+    def bucket_of(col: "pa.ChunkedArray") -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return (v - lo) // width
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            df.assign(**{_B: bucket_of(df[order_col])})
-            .groupby(_B, sort=False)[value_col]
-            .sum()
-            .reset_index()
-        )
-        return pd.DataFrame(
-            {_B: g[_B].astype("int64"), "s": g[value_col].astype("int64")}
-        )
+    def partial(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[order_col])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(b, return_inverse=True)
+        s = np.bincount(inv, weights=v).astype(np.int64)
+        return pa.table({_B: pa.array(u), "s": pa.array(s)})
 
     totals = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(_B)
         .aggregate(Sum("s"))
         .to_pandas()  # ≤ n_buckets rows — driver-safe by construction
@@ -79,18 +76,21 @@ def exclusive_prefix_sum(
     sums[totals[_B].to_numpy().astype("int64")] = totals["sum(s)"].to_numpy()
     offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
 
-    def scan_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="mergesort")
-        v = g[value_col].to_numpy().astype("int64")
-        base = int(offsets[int(g[_B].iloc[0])])
-        g[out_col] = base + np.cumsum(v) - v
-        return g.drop(columns=[_B])
+    def attach(t: pa.Table) -> pa.Table:
+        return t.append_column(_B, pa.array(bucket_of(t[order_col])))
+
+    def scan_group(g: pa.Table) -> pa.Table:
+        order = np.argsort(
+            g[order_col].to_numpy(zero_copy_only=False), kind="mergesort")
+        g = g.take(pa.array(order))
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(offsets[int(g[_B][0].as_py())])
+        return (g.drop_columns([_B])
+                .append_column(out_col,
+                               pa.array(base + np.cumsum(v) - v)))
 
     return (
-        ds.map_batches(
-            lambda df: df.assign(**{_B: bucket_of(df[order_col])}),
-            batch_format="pandas",
-        )
+        ds.map_batches(attach, batch_format="pyarrow")
         .groupby(_B)
-        .map_groups(scan_group, batch_format="pandas")
+        .map_groups(scan_group, batch_format="pyarrow")
     )

@@ -20,12 +20,17 @@ that probe's time also overlaps that bucket, each matching pair is emitted
 exactly once — no dedup pass. Group size is bounded by per-(key, window)
 activity, never by dataset size; a hot key costs one large group, not a
 serialized stage.
+
+All stages are Arrow in/out: pandas blocks feeding the co-partitioning
+groupby pay the measured ~25x exchange tax (PERF.md session-8). Null fill
+columns are typed from the other side's schema so all unioned blocks share
+one Arrow schema.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 import ray.data
 
 _SIDE = "__rj_side"
@@ -34,10 +39,10 @@ _S = "__rj_s"
 _E = "__rj_e"
 
 
-def _to_i64(s: pd.Series) -> np.ndarray:
+def _to_i64(arr: "pa.ChunkedArray") -> np.ndarray:
     """Numeric view for bucketing: timestamps → epoch integers, ints pass
     through. Floats are rejected (bucket boundaries would be inexact)."""
-    v = s.to_numpy()
+    v = arr.to_numpy(zero_copy_only=False)
     if np.issubdtype(v.dtype, np.datetime64):
         return v.astype("int64")
     if np.issubdtype(v.dtype, np.integer):
@@ -67,53 +72,63 @@ def range_join(
     plus the interval's columns; interval columns that collide with a
     probe column are renamed ``<col><suffix>``.
     """
-    pnames = list(probe.schema().names)
-    inames = list(intervals.schema().names)
+    p_schema = probe.schema()
+    i_schema = intervals.schema()
+    p_types = dict(zip(p_schema.names, p_schema.types))
+    pnames = list(p_schema.names)
+    inames = list(i_schema.names)
     carry = [c for c in inames if c != by]
     out_names = {c: (c + suffix if c in pnames else c) for c in carry}
     W = int(bucket_width)
 
-    def tag_probe(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        t = _to_i64(df[on])
-        df[_BUCKET] = t // W
-        df[_S] = t  # unused on the probe side; keeps the column typed
-        df[_E] = t
+    def tag_probe(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        tv = _to_i64(t[on])
+        cols = {c: t[c] for c in pnames}
+        cols[_BUCKET] = pa.array(tv // W)
+        cols[_S] = pa.array(tv)  # unused probe-side; keeps the column typed
+        cols[_E] = pa.array(tv)
         for c in carry:
-            df["__i_" + c] = None
-        df[_SIDE] = np.int8(0)
-        return df
+            cols["__i_" + c] = pa.nulls(n, i_schema.types[inames.index(c)])
+        cols[_SIDE] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
 
-    def tag_intervals(df: pd.DataFrame) -> pd.DataFrame:
-        s = _to_i64(df[start])
-        e = _to_i64(df[end])
-        if len(df) and (e < s).any():
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = _to_i64(t[start])
+        e = _to_i64(t[end])
+        if n and (e < s).any():
             raise ValueError("range_join: interval end < start")
         sb, eb = s // W, e // W
-        reps = (eb - sb + 1) if len(df) else np.zeros(0, "int64")
-        idx = np.repeat(np.arange(len(df)), reps)
+        reps = (eb - sb + 1) if n else np.zeros(0, "int64")
+        idx = np.repeat(np.arange(n), reps)
         # bucket sequence sb..eb per interval via the cumsum-offset trick
-        offs = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
-        out = pd.DataFrame()
+        offs = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        idx_pa = pa.array(idx)
+        cols = {}
         for c in pnames:  # same column order/schema as tag_probe
             if c == by:
-                out[c] = df[by].to_numpy()[idx]
+                cols[c] = t[by].take(idx_pa)
             elif c == on:
                 # fill with the interval start (same dtype family); merge
                 # never reads `on` from interval rows
-                out[c] = df[start].to_numpy()[idx]
+                filled = t[start].take(idx_pa)
+                if filled.type != p_types[on]:
+                    filled = filled.cast(p_types[on])
+                cols[c] = filled
             else:
-                out[c] = pd.Series([None] * len(idx), dtype="object")
-        out[_BUCKET] = sb[idx] + offs
-        out[_S] = s[idx]
-        out[_E] = e[idx]
+                cols[c] = pa.nulls(len(idx), p_types[c])
+        cols[_BUCKET] = pa.array(sb[idx] + offs)
+        cols[_S] = pa.array(s[idx])
+        cols[_E] = pa.array(e[idx])
         for c in carry:
-            out["__i_" + c] = df[c].to_numpy()[idx]
-        out[_SIDE] = np.int8(1)
-        return out
+            cols["__i_" + c] = t[c].take(idx_pa)
+        cols[_SIDE] = pa.array(np.ones(len(idx), dtype=np.int8))
+        return pa.table(cols)
 
-    pt = probe.map_batches(tag_probe, batch_format="pandas")
-    it = intervals.map_batches(tag_intervals, batch_format="pandas")
+    pt = probe.map_batches(tag_probe, batch_format="pyarrow")
+    it = intervals.map_batches(tag_intervals, batch_format="pyarrow")
     unioned = pt.union(it)
     if num_partitions is not None:
         # the groupby's sort shuffle is O(blocks²) tasks; on small inputs
@@ -121,39 +136,44 @@ def range_join(
         # fixed cost — at scale leave None and let block count ride the data
         unioned = unioned.repartition(num_partitions)
 
-    def empty_out(g: pd.DataFrame) -> pd.DataFrame:
-        # zero-row slice keeps the union block's dtypes, so empty groups
+    def empty_out(g: pa.Table) -> pa.Table:
+        # zero-row slices keep the union block's types, so empty groups
         # emit schema-compatible blocks
-        out = g.iloc[:0][pnames].copy()
+        cols = {c: g[c].slice(0, 0) for c in pnames}
         for c in carry:
-            out[out_names[c]] = g.iloc[:0]["__i_" + c]
-        return out
+            cols[out_names[c]] = g["__i_" + c].slice(0, 0)
+        return pa.table(cols)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        side = g[_SIDE].to_numpy()
-        prows = g[side == 0].sort_values(_S, kind="mergesort")
-        irows = g[side == 1]
-        if not len(prows) or not len(irows):
+    def merge(g: pa.Table) -> pa.Table:
+        sidev = g[_SIDE].to_numpy(zero_copy_only=False)
+        prows = g.filter(pa.array(sidev == 0))
+        irows = g.filter(pa.array(sidev == 1))
+        if not prows.num_rows or not irows.num_rows:
             return empty_out(g)
-        ts = prows[_S].to_numpy().astype("int64")
-        s = irows[_S].to_numpy().astype("int64")
-        e = irows[_E].to_numpy().astype("int64")
+        ps = prows[_S].to_numpy(zero_copy_only=False)
+        order = np.argsort(ps, kind="mergesort")
+        prows = prows.take(pa.array(order))
+        ts = ps[order]
+        s = irows[_S].to_numpy(zero_copy_only=False)
+        e = irows[_E].to_numpy(zero_copy_only=False)
         lo = np.searchsorted(ts, s, side="left")
         hi = np.searchsorted(ts, e, side="right")
         cnt = np.maximum(hi - lo, 0)
         total = int(cnt.sum())
         if not total:
             return empty_out(g)
-        iidx = np.repeat(np.arange(len(irows)), cnt)
+        iidx = np.repeat(np.arange(irows.num_rows), cnt)
         pidx = (
             np.arange(total)
             - np.repeat(np.cumsum(cnt) - cnt, cnt)
             + np.repeat(lo, cnt)
         )
-        out = prows.iloc[pidx][pnames].reset_index(drop=True)
-        matched = irows.iloc[iidx]
+        pout = prows.take(pa.array(pidx))
+        iout = irows.take(pa.array(iidx))
+        cols = {c: pout[c] for c in pnames}
         for c in carry:
-            out[out_names[c]] = matched["__i_" + c].to_numpy()
-        return out
+            cols[out_names[c]] = iout["__i_" + c]
+        return pa.table(cols)
 
-    return unioned.groupby([by, _BUCKET]).map_groups(merge, batch_format="pandas")
+    return unioned.groupby([by, _BUCKET]).map_groups(
+        merge, batch_format="pyarrow")

@@ -36,7 +36,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -81,14 +82,15 @@ def global_shuffle_split(
         raise ValueError("split percentages must sum to 100")
     width = ((1 << _KEY_BITS) + n_buckets - 1) // n_buckets
 
-    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
-        hx = _shuffle_hex(df[id_col].tolist(), seed)
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        hx = _shuffle_hex(t[id_col].to_pylist(), seed)
         b = np.asarray([int(h[:15], 16) // width for h in hx], dtype=np.int64)
         vals, cnts = np.unique(b, return_counts=True)
-        return pd.DataFrame({"bucket": vals, "n": cnts.astype("int64")})
+        return pa.table({"bucket": pa.array(vals),
+                         "n": pa.array(cnts.astype(np.int64))})
 
     totals = (
-        ds.map_batches(bucket_counts, batch_format="pandas")
+        ds.map_batches(bucket_counts, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(Sum("n"))
         .take_all()
@@ -102,27 +104,32 @@ def global_shuffle_split(
     names = [s for s, _ in splits]
     bounds = np.cumsum([p for _, p in splits])
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].tolist()
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
         hx = _shuffle_hex(ids, seed)
-        out = df.copy()  # carry every input column through the placement
-        out["shuffle_key"] = hx
-        out["__bucket"] = [int(h[:15], 16) // width for h in hx]
+        b = np.asarray([int(h[:15], 16) // width for h in hx], dtype=np.int64)
         pct = _split_pct(ids, seed)
-        out["split"] = pd.Categorical.from_codes(
-            np.searchsorted(bounds, pct, side="right"), categories=names
-        ).astype(str)
-        return out
+        codes = np.searchsorted(bounds, pct, side="right")
+        split = [names[c] for c in codes]
+        # carry every input column through the placement
+        return (t.append_column("shuffle_key", pa.array(hx, pa.string()))
+                .append_column("__bucket", pa.array(b))
+                .append_column("split", pa.array(split, pa.string())))
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["shuffle_key", id_col], kind="mergesort")
-        base = offsets[int(g["__bucket"].iloc[0])]
-        g = g.drop(columns="__bucket")
-        g["pos"] = np.arange(base, base + len(g), dtype=np.int64)
-        return g
+    def rank_group(g: pa.Table) -> pa.Table:
+        # id_col may be a string column — pc.sort_indices handles any type
+        idx = pc.sort_indices(
+            g, sort_keys=[("shuffle_key", "ascending"),
+                          (id_col, "ascending")])
+        g = g.take(idx)
+        base = int(offsets[int(g["__bucket"][0].as_py())])
+        g = g.drop_columns(["__bucket"])
+        return g.append_column(
+            "pos", pa.array(np.arange(base, base + g.num_rows,
+                                      dtype=np.int64)))
 
     return (
-        ds.map_batches(attach, batch_format="pandas")
+        ds.map_batches(attach, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(rank_group, batch_format="pandas")
+        .map_groups(rank_group, batch_format="pyarrow")
     )

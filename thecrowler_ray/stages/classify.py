@@ -44,6 +44,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 _SEP = "\x1f"  # see ngram_lm.py — str.split()-whitespace, numpy-safe
@@ -336,20 +337,45 @@ def _nb_classify_join(ds, model, nd, tl, v, *, id_col, text_col,
               .join(deltas, join_type="left_outer",
                     num_partitions=nparts, on=(id_col, "label")))
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        score = (g["base_q4"]
-                 + g["delta"].fillna(0).astype(np.int64)).to_numpy()
-        order = np.lexsort((g["label"].to_numpy(), -score))
-        j = order[0]
-        i = g[id_col].iloc[j]
-        return pd.DataFrame({
-            id_col: [i],
-            "pred_lang": [g["label"].iloc[j]],
-            "score_q4": [int(score[j])],
-            "n_tokens": [int(g["n_tokens"].iloc[j])],
-            "is_train": [1 if i % 10 < split_mod else 0],
-            "correct": [1 if g["label"].iloc[j] == g["true_lang"].iloc[j]
-                        else 0],
+    # argmax-per-doc hash-shards the doc id and resolves EVERY doc in the
+    # shard with one vectorized sort pass — never one map_groups call per
+    # doc (the per-tiny-group scheduler tax) — Arrow blocks throughout
+    n_shards = max(16, nparts * 2)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "shard", pa.array((ids * 2654435761 % n_shards)
+                              .astype(np.int64)))
+
+    def pick_shard(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = (g["base_q4"].to_numpy(zero_copy_only=False)
+                 + pc.fill_null(g["delta"], 0).to_numpy(
+                     zero_copy_only=False).astype(np.int64))
+        tmp = pa.table({
+            "i": pa.array(ids),
+            "ns": pa.array(-score),
+            "label": g["label"],
+        })
+        order = pc.sort_indices(
+            tmp, sort_keys=[("i", "ascending"), ("ns", "ascending"),
+                            ("label", "ascending")]
+        ).to_numpy(zero_copy_only=False)
+        first = np.r_[True, ids[order][1:] != ids[order][:-1]]
+        sel = order[first]
+        win = g.take(pa.array(sel))
+        wid = ids[sel]
+        return pa.table({
+            id_col: win[id_col],
+            "pred_lang": win["label"],
+            "score_q4": pa.array(score[sel].astype(np.int64)),
+            "n_tokens": win["n_tokens"],
+            "is_train": pa.array((wid % 10 < split_mod).astype(np.int64)),
+            "correct": pc.cast(
+                pc.equal(win["label"], win["true_lang"]), pa.int64()),
         })
 
-    return scored.groupby(id_col).map_groups(pick, batch_format="pandas")
+    return (scored.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(pick_shard, batch_format="pyarrow"))
