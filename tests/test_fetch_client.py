@@ -95,10 +95,13 @@ def test_basic_fetch_and_default_ua(server):
     assert json.loads(body)["ua"] == "theCROWler/1.0"
 
 
-def test_scheme_whitelist():
+def test_scheme_whitelist(monkeypatch):
     with pytest.raises(FetchError, match="unsupported scheme"):
         fetch_remote_bytes("ftp://x.test/a")
-    with pytest.raises(NotImplementedError):
+    # s3:// is a real SigV4 client now — without credentials it still
+    # fails loudly (test_awsv4.py covers the credentialed path)
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+    with pytest.raises(FetchError, match="credentials"):
         fetch_remote_bytes("s3://bucket/key")
 
 

@@ -181,13 +181,11 @@ def test_take_screenshot_to_http_store(store):
     np.testing.assert_array_equal(png_decode(stored)[:, :, :3], drv.page)
 
 
-def test_s3_seam_fails_loudly():
+def test_s3_seam_fails_loudly(monkeypatch):
     with pytest.raises(ScreenshotError, match="missing S3 bucket"):
         write_data_to_s3("k", b"d", FileStorageAPI())
-    try:
-        import boto3  # noqa: F401
-        pytest.skip("boto3 present; seam would go live")
-    except ImportError:
-        pass
-    with pytest.raises(ScreenshotError, match="boto3"):
+    # real SigV4 client now — still loud without credentials
+    # (test_awsv4.py covers the credentialed fixture-server path)
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+    with pytest.raises(ScreenshotError, match="credentials"):
         write_data_to_s3("k", b"d", FileStorageAPI(path="bucket"))

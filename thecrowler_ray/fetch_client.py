@@ -169,9 +169,25 @@ def fetch_remote_bytes(raw_url: str, opts: FetchOpts | None = None,
     if not raw_url.startswith(("http://", "https://", "s3://")):
         raise FetchError(f"unsupported scheme in URL: {raw_url}")
     if raw_url.startswith("s3://"):
-        raise NotImplementedError(
-            "s3:// fetch requires an object-store client (reference gates "
-            "it behind the aws_s3 build tag); provide bytes via a seam")
+        # real SigV4 client (awsv4.py); creds/endpoint from the standard
+        # AWS SDK env vars — reference gates this behind the aws_s3 build
+        # tag and the SDK's default credential chain (web.go:560-640)
+        from .awsv4 import S3Client, S3Error
+
+        client = S3Client.from_env()
+        if client is None:
+            raise FetchError(
+                "s3:// fetch needs AWS credentials (AWS_ACCESS_KEY_ID / "
+                "AWS_SECRET_ACCESS_KEY; AWS_ENDPOINT_URL for S3-compatible "
+                "stores)")
+        bucket, _, key = raw_url[5:].partition("/")
+        if not bucket or not key:
+            raise FetchError(f"malformed s3 URL (need s3://bucket/key): "
+                             f"{raw_url}")
+        try:
+            return client.get_object(bucket, key)
+        except S3Error as e:
+            raise FetchError(str(e)) from e
 
     guard = opts.ssrf_guard.strip().lower()
     if guard in ("on", "strict"):

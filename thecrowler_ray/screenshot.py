@@ -256,18 +256,24 @@ def write_data_via_http(filename: str, data: bytes, cfg: FileStorageAPI,
 
 def write_data_to_s3(filename: str, data: bytes, cfg: FileStorageAPI) -> str:
     """writeDataToToS3 (web.go:605-706): bucket = cfg.path, key = filename.
-    Needs an AWS client; import-gated — this container has no boto3 and no
-    egress, so the seam fails loudly rather than faking a durable write."""
+    Real SigV4 PUT via ``awsv4.S3Client`` — creds/region/endpoint from the
+    standard AWS SDK env vars; fails loudly without credentials rather
+    than faking a durable write."""
+    from .awsv4 import S3Client, S3Error
+
     if not cfg.path:
         raise ScreenshotError("missing S3 bucket (saveCfg.Path)")
-    try:
-        import boto3  # noqa: F401
-    except ImportError:
+    client = S3Client.from_env()
+    if client is None:
         raise ScreenshotError(
-            "s3 storage needs boto3 (unavailable in this environment); "
-            "use type='http' or local storage")
-    client = boto3.client("s3")  # pragma: no cover — needs AWS creds/egress
-    client.put_object(Bucket=cfg.path, Key=filename, Body=data)
+            "s3 storage needs AWS credentials (AWS_ACCESS_KEY_ID / "
+            "AWS_SECRET_ACCESS_KEY; AWS_ENDPOINT_URL for S3-compatible "
+            "stores); use type='http' or local storage")
+    try:
+        client.put_object(cfg.path, filename, data,
+                          content_type="image/png")
+    except S3Error as e:
+        raise ScreenshotError(f"s3 upload failed: {e}") from e
     return f"s3://{cfg.path}/{filename}"
 
 
