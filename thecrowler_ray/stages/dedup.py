@@ -239,15 +239,20 @@ def _dedup_pairs_sharded(pairs, *, num_shards: int = 64,
     if agg is None and hamming:
         agg = {"hamming": "min"}
 
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+    # pandas logic inside the UDFs, Arrow blocks OUT at both shuffle
+    # boundaries: the groupby sorts whatever block type the upstream map
+    # emitted, and pandas blocks there pay the measured ~25x exchange tax
+    def add_shard(df: pd.DataFrame) -> pa.Table:
         h = pd.util.hash_pandas_object(df[[a_col, b_col]], index=False)
         df["pair_shard"] = (h % num_shards).astype(np.int32)
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_shard(g: pd.DataFrame) -> pa.Table:
         if agg:
-            return g.groupby([a_col, b_col], as_index=False, sort=False).agg(agg)
-        return g.drop_duplicates(subset=[a_col, b_col])[[a_col, b_col]]
+            out = g.groupby([a_col, b_col], as_index=False, sort=False).agg(agg)
+        else:
+            out = g.drop_duplicates(subset=[a_col, b_col])[[a_col, b_col]]
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         pairs.map_batches(add_shard, batch_format="pandas")
@@ -640,11 +645,13 @@ def duplicate_ngram_stats(ds, n: int = 5, num_shards: int = 64,
         batch_format="pyarrow",
     )
 
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["h"].to_numpy().astype(np.uint64, copy=False)
-        df["shard"] = (((h * _SHARD_MIX) >> np.uint64(33))
-                       % np.uint64(num_shards)).astype(np.int32)
-        return df
+    def add_shard(t: pa.Table) -> pa.Table:
+        # arrow in/out: this stage feeds the shard groupby exchange
+        h = t["h"].to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False)
+        return t.append_column(
+            "shard", pa.array((((h * _SHARD_MIX) >> np.uint64(33))
+                               % np.uint64(num_shards)).astype(np.int32)))
 
     def dup_in_shard(g: pd.DataFrame) -> pd.DataFrame:
         nun = g.groupby("h", sort=False)[id_col].nunique()
@@ -653,15 +660,16 @@ def duplicate_ngram_stats(ds, n: int = 5, num_shards: int = 64,
         return hit[[id_col, "pos"]]
 
     hits = (
-        rows.map_batches(add_shard, batch_format="pandas")
+        rows.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(dup_in_shard, batch_format="pandas")
     )
 
-    def add_doc_shard(df: pd.DataFrame) -> pd.DataFrame:
+    def add_doc_shard(df: pd.DataFrame) -> pa.Table:
+        # arrow out: feeds the doc-shard groupby exchange
         key = pd.util.hash_array(df[id_col].to_numpy()).astype(np.uint64)
         df["dshard"] = (key % np.uint64(num_shards)).astype(np.int32)
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def coverage(g: pd.DataFrame) -> pd.DataFrame:
         out_ids, out_ngrams, out_tokens = [], [], []
@@ -770,11 +778,13 @@ def exact_substring_dedup(ds, n: int = 5, num_shards: int = 64,
         batch_format="pyarrow",
     )
 
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["h"].to_numpy().astype(np.uint64, copy=False)
-        df["shard"] = (((h * _SHARD_MIX) >> np.uint64(33))
-                       % np.uint64(num_shards)).astype(np.int32)
-        return df
+    def add_shard(t: pa.Table) -> pa.Table:
+        # arrow in/out: this stage feeds the shard groupby exchange
+        h = t["h"].to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False)
+        return t.append_column(
+            "shard", pa.array((((h * _SHARD_MIX) >> np.uint64(33))
+                               % np.uint64(num_shards)).astype(np.int32)))
 
     def dup_in_shard(g: pd.DataFrame) -> pd.DataFrame:
         nun = g.groupby("h", sort=False)[id_col].nunique()
@@ -783,15 +793,16 @@ def exact_substring_dedup(ds, n: int = 5, num_shards: int = 64,
         return hit[[id_col, "pos"]]
 
     hits = (
-        rows.map_batches(add_shard, batch_format="pandas")
+        rows.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(dup_in_shard, batch_format="pandas")
     )
 
-    def add_doc_shard(df: pd.DataFrame) -> pd.DataFrame:
+    def add_doc_shard(df: pd.DataFrame) -> pa.Table:
+        # arrow out: feeds the doc-shard groupby exchange
         key = pd.util.hash_array(df[id_col].to_numpy()).astype(np.uint64)
         df["dshard"] = (key % np.uint64(num_shards)).astype(np.int32)
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def fold_positions(g: pd.DataFrame) -> pd.DataFrame:
         out_ids, out_pos = [], []
