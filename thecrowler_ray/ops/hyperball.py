@@ -216,21 +216,43 @@ def _hb_join(edges, nodes, rounds: int):
 def estimate_sizes(regs_ds) -> "ray.data.Dataset":
     """Sparse register rows → (node, est) float HLL estimates with the
     standard small-range (linear counting) correction — the human-
-    facing view; the oracle gate pins the registers themselves."""
-    import pandas as pd
+    facing view; the oracle gate pins the registers themselves.
+
+    Grouped by a uniform NODE-HASH SHARD, each shard estimating every
+    node in one vectorized reduceat pass (never one map_groups call per
+    node), Arrow blocks through the exchange. Input rows are distinct
+    (node, ri) by the ball construction's register groupby; absent
+    registers count as rv = 0."""
+    import ray
 
     ALPHA_16 = 0.673  # Flajolet et al. 2007, m = 16
+    m = N_REG
+    n_shards = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
-    def est(g: pd.DataFrame) -> pd.DataFrame:
-        m = N_REG
-        rv = np.zeros(m, dtype=np.int64)
-        rv[g["ri"].to_numpy()] = g["rv"].to_numpy()
-        e = ALPHA_16 * m * m / np.sum(np.power(2.0, -rv))
-        zeros = int((rv == 0).sum())
-        if e <= 2.5 * m and zeros:
-            e = m * np.log(m / zeros)
-        return pd.DataFrame({"node": [int(g["node"].iloc[0])],
-                             "est": [float(e)]})
+    def add_shard(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sh = ((node * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(n_shards)
+        return t.append_column("shard", pa.array(sh.astype(np.int32)))
 
-    return regs_ds.groupby("node").map_groups(est,
-                                              batch_format="pandas")
+    def est_shard(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = g["rv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="mergesort")
+        node, rv = node[order], rv[order]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        ends = np.r_[starts[1:], len(node)]
+        n_present = ends - starts
+        denom = (np.add.reduceat(np.power(2.0, -rv), starts)
+                 + (m - n_present))  # absent registers contribute 2^0
+        zeros = (m - n_present) + np.add.reduceat(
+            (rv == 0).astype(np.int64), starts)
+        e = ALPHA_16 * m * m / denom
+        small = (e <= 2.5 * m) & (zeros > 0)
+        e = np.where(small, m * np.log(m / np.maximum(zeros, 1)), e)
+        return pa.table({"node": pa.array(node[starts]),
+                         "est": pa.array(e.astype(np.float64))})
+
+    return (regs_ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(est_shard, batch_format="pyarrow"))

@@ -60,21 +60,32 @@ def anchor_text_table(pages, *, html_col: str = "html"):
     count ties lexicographically."""
     rows = explode_anchor_terms(pages, html_col=html_col)
 
-    def per_target(g: pd.DataFrame) -> pd.DataFrame:
-        counts = g.groupby("term", sort=True)["term"].count()
-        top = counts.sort_index().sort_values(
-            ascending=False, kind="mergesort"
-        )
-        return pd.DataFrame(
-            {
-                "target": [g["target"].iloc[0]],
-                "n_terms": pd.array([len(g)], dtype="int64"),
-                "n_unique_terms": pd.array([len(counts)], dtype="int64"),
-                "top_term": [top.index[0]],
-                "top_cnt": pd.array([int(top.iloc[0])], dtype="int64"),
-            }
-        )
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every target in the shard: (target, term)
+        # counts, then two chained STABLE sorts so the first row per
+        # target is (max count, lexicographically smallest term) — the
+        # same tie-break as a per-target sort_index + stable count sort
+        counts = (g.groupby(["target", "term"], as_index=False)
+                  .size().rename(columns={"size": "cnt"}))
+        counts = counts.sort_values(["target", "term"], kind="mergesort")
+        counts = counts.sort_values(["target", "cnt"],
+                                    ascending=[True, False],
+                                    kind="mergesort")
+        top = counts.drop_duplicates(subset=["target"], keep="first")
+        n_terms = (g.groupby("target", as_index=False)
+                   .agg(n_terms=("term", "size")))
+        n_uniq = (counts.groupby("target", as_index=False)
+                  .agg(n_unique_terms=("term", "size")))
+        out = (n_terms.merge(n_uniq, on="target")
+               .merge(top.rename(columns={"term": "top_term",
+                                          "cnt": "top_cnt"}),
+                      on="target"))
+        out["n_terms"] = out["n_terms"].astype("int64")
+        out["n_unique_terms"] = out["n_unique_terms"].astype("int64")
+        out["top_cnt"] = out["top_cnt"].astype("int64")
+        return out[["target", "n_terms", "n_unique_terms", "top_term",
+                    "top_cnt"]]
 
-    return rows.groupby("target").map_groups(
-        per_target, batch_format="pandas"
-    )
+    from ..ops.gutil import group_by_key_shards
+
+    return group_by_key_shards(rows, "target", per_shard)

@@ -59,4 +59,8 @@ def scd2_history(
         out["version"] = out["version"].astype("int64")
         return out
 
-    return slim.groupby(key).map_groups(historize, batch_format="pandas")
+    from ..ops.gutil import group_by_key_shards
+
+    # historize() already vectorizes across keys — shard the key so one
+    # map_groups call covers a whole shard, not one call per key
+    return group_by_key_shards(slim, key, historize)

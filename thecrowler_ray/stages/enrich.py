@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..textnorm import stable_json
 
@@ -131,9 +132,16 @@ def enrich_hosts(pages_ds, concurrency: int | None = None):
     resolvers hold sockets/caches — but size pools so they don't starve
     downstream task stages (a pool that reserves every CPU deadlocks a
     union over these datasets)."""
-    hosts = pages_ds.select_columns(["host"]).groupby("host").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from ..ops.gutil import group_by_key_shards
+
+    # distinct hosts: per-batch combiner first (hosts repeat heavily
+    # within a crawl block), then one dedup per hash shard — never one
+    # map_groups call per host
+    pre = pages_ds.select_columns(["host"]).map_batches(
+        lambda t: pa.table({"host": pc.unique(t["host"].combine_chunks())}),
+        batch_format="pyarrow")
+    hosts = group_by_key_shards(
+        pre, "host", lambda g: g.drop_duplicates(subset=["host"]))
     if concurrency:
         net = hosts.map_batches(
             NetInfoStage, batch_format="pyarrow", concurrency=concurrency,

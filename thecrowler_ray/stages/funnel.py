@@ -52,24 +52,28 @@ def funnel(
     slim = ds.map_batches(prep, batch_format="pyarrow")
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for uid, gu in g.groupby("user"):
-            st = gu["step"].to_numpy()
-            sq = gu["seq"].to_numpy()
-            times = np.full(k, -1, dtype=np.int64)
-            floor = -(2**62)
-            for i in range(k):
-                cand = sq[(st == i) & (sq > floor)]
-                if len(cand) == 0:
-                    break
-                times[i] = cand.min()
-                floor = times[i]
-            row = {"user": np.int64(uid),
-                   "steps_completed": np.int64((times >= 0).sum())}
-            for i in range(k):
-                row[f"t_{i + 1}"] = times[i]
-            out.append(row)
-        return pd.DataFrame(out)
+        # vectorized across users: k chained groupby-mins (k is the
+        # funnel length, a small constant), floors carried per user —
+        # never a Python loop over users
+        users = np.unique(g["user"].to_numpy())
+        floor = pd.Series(-(2 ** 62), index=users, dtype="float64")
+        times: list[pd.Series] = []
+        for i in range(k):
+            gi = g[g["step"] == i]
+            f = floor.loc[gi["user"]].to_numpy()
+            gi = gi[gi["seq"].to_numpy() > f]
+            col = gi.groupby("user")["seq"].min().reindex(users)
+            times.append(col.fillna(-1).astype("int64"))
+            # a stalled user blocks every later step (break semantics)
+            floor = col.fillna(np.inf)
+        out = pd.DataFrame({"user": users.astype(np.int64)})
+        completed = np.zeros(len(users), dtype=np.int64)
+        for i in range(k):
+            completed += (times[i].to_numpy() >= 0).astype(np.int64)
+            out[f"t_{i + 1}"] = times[i].to_numpy()
+        out.insert(1, "steps_completed", completed)
+        return out
 
-    return slim.groupby("user").map_groups(resolve,
-                                           batch_format="pandas")
+    from ..ops.gutil import group_by_key_shards
+
+    return group_by_key_shards(slim, "user", resolve)

@@ -221,10 +221,14 @@ def dsir_select(
         target_value=target_value,
     )
 
-    def partial_head(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
+    def partial_head(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = df.sort_values(
             ["score", id_col], ascending=[False, True], kind="mergesort"
         ).head(k)
+        # arrow out: this partial head feeds the global sort exchange
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         scored.map_batches(partial_head, batch_format="pandas")

@@ -54,4 +54,8 @@ def merge_intervals(
         return out[[key, "island_start", "island_end", "n_intervals",
                     "covered"]]
 
-    return slim.groupby(key).map_groups(merge, batch_format="pandas")
+    from ..ops.gutil import group_by_key_shards
+
+    # merge() already vectorizes across keys — shard the key so one
+    # map_groups call covers a whole shard, not one call per key
+    return group_by_key_shards(slim, key, merge)

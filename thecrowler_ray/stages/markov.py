@@ -51,7 +51,12 @@ def markov_transitions(
         return (out.groupby(["from_state", "to_state"], as_index=False)
                 .size().rename(columns={"size": "n"}))
 
-    counts = (slim.groupby(key).map_groups(pairs, batch_format="pandas")
+    from ..ops.gutil import group_by_key_shards
+
+    # pairs() already vectorizes across keys — shard the key so one
+    # map_groups call covers a whole shard; its Arrow output feeds the
+    # transition-count groupby without the pandas exchange tax
+    counts = (group_by_key_shards(slim, key, pairs)
               .groupby(["from_state", "to_state"])
               .aggregate(Sum("n", alias_name="n"))
               .materialize())

@@ -343,11 +343,13 @@ def bigram_lm_select(
     scored = bigram_lm_scores(ds, **kwargs)
     id_col = kwargs.get("id_col", "doc_id")
 
-    def with_key(df: pd.DataFrame) -> pd.DataFrame:
+    def with_key(df: pd.DataFrame) -> pa.Table:
         df = df[df["n_bigrams"] >= min_bigrams].copy()
         df["fit"] = df["logprob_q4"] / df["n_bigrams"]
-        return df.sort_values(["fit", id_col], ascending=[False, True],
-                              kind="mergesort").head(k)
+        out = df.sort_values(["fit", id_col], ascending=[False, True],
+                             kind="mergesort").head(k)
+        # arrow out: this partial head feeds the global sort exchange
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         scored.map_batches(with_key, batch_format="pandas")

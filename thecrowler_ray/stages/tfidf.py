@@ -200,5 +200,8 @@ def _score_join(slim, df_ds, n_docs: int, m: int, id_col: str):
                         s.tolist(), m, id_col)
         return t.to_pandas()
 
-    return joined.groupby(id_col).map_groups(topm,
-                                             batch_format="pandas")
+    from ..ops.gutil import group_by_key_shards
+
+    # _topm_frame ranks per doc internally — shard the doc id so one
+    # map_groups call covers a whole shard, not one call per document
+    return group_by_key_shards(joined, id_col, topm)

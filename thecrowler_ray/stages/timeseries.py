@@ -81,8 +81,29 @@ def timeseries_aggregate(
             row["distinct_entities"] = [int(g[entity_col].nunique())]
         return pd.DataFrame(row)
 
+    # group by a uniform hash SHARD of (metric, bucket) — one map_groups
+    # call per shard, not one scheduler round-trip per series-bucket; the
+    # per-group numpy stats run in-worker over the shard's sub-groups
+    import ray as _ray
+
+    n_shards = max(16, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        key = pd.util.hash_pandas_object(
+            t.select([metric_col, "bucket"]).to_pandas(),
+            index=False).to_numpy().astype(np.uint64)
+        return t.append_column(
+            "_shard", pa.array((key % n_shards).astype(np.int32)))
+
+    def agg_shard(gdf: pd.DataFrame) -> pa.Table:
+        outs = [agg(g) for _, g in
+                gdf.groupby([metric_col, "bucket"], sort=False)]
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True), preserve_index=False)
+
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby([metric_col, "bucket"])
-        .map_groups(agg, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(agg_shard, batch_format="pandas")
     )

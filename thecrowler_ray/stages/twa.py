@@ -62,5 +62,8 @@ def time_weighted_avg(
             "twa_ppm": pd.Series(twa, dtype="int64"),
         })
 
-    return slim.groupby(key).map_groups(integrate,
-                                        batch_format="pandas")
+    from ..ops.gutil import group_by_key_shards
+
+    # integrate() already vectorizes across keys — shard the key so one
+    # map_groups call covers a whole shard, not one call per key
+    return group_by_key_shards(slim, key, integrate)
