@@ -56,18 +56,27 @@ def build_web_objects(pages_paths):
     given content hash owns the object."""
     ds = _read_pages(pages_paths, ["doc_id", "depth", "ord", "content_hash"])
 
-    def first_win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["depth", "ord"], kind="mergesort")
+    def first_win_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every hash in the shard: one stable sort,
+        # first row per hash wins; one content_hash == one map_groups
+        # call is a scheduler round-trip per unique page at crawl scale
+        g = g.sort_values(["content_hash", "depth", "ord"],
+                          kind="mergesort")
+        sizes = g.groupby("content_hash", sort=False).size()
+        first = g.drop_duplicates(subset=["content_hash"], keep="first")
+        hashes = first["content_hash"].to_numpy()
         return pd.DataFrame(
             {
-                "object_hash": [g["content_hash"].iloc[0]],
-                "object_id": [_surrogate_id(g["content_hash"].iloc[0])],
-                "first_doc_id": [g["doc_id"].iloc[0]],
-                "n_pages": [len(g)],
+                "object_hash": hashes,
+                "object_id": [_surrogate_id(h) for h in hashes],
+                "first_doc_id": first["doc_id"].to_numpy(),
+                "n_pages": sizes.loc[hashes].to_numpy().astype("int64"),
             }
         )
 
-    objects = ds.groupby("content_hash").map_groups(first_win, batch_format="pandas")
+    from ..ops.gutil import group_by_key_shards
+
+    objects = group_by_key_shards(ds, "content_hash", first_win_shard)
     index = ds.map_batches(
         lambda t: pa.table(
             {

@@ -63,10 +63,15 @@ def correlated_sources(domain: str, *, search_index_dir: str | None = None,
 
     import pandas as pd
 
-    def first_per_host(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("found_in", kind="mergesort").head(1)
+    def first_per_host_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every host in the shard — one call per host
+        # is a scheduler round-trip per distinct host at web scale
+        g = g.sort_values(["host", "found_in"], kind="mergesort")
+        return g.drop_duplicates(subset=["host"], keep="first")
 
-    return unioned.groupby("host").map_groups(first_per_host, batch_format="pandas")
+    from ..ops.gutil import group_by_key_shards
+
+    return group_by_key_shards(unioned, "host", first_per_host_shard)
 
 
 def compact_waves(run_dir: str, out_dir: str | None = None) -> dict:

@@ -281,16 +281,23 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     (the documented partition-by-key + in-group ordering pattern)."""
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    def sessions_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every user in the shard: one stable sort,
+        # session starts = user boundary OR gap > threshold
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
         gaps = g["ts"].diff()
-        n_sessions = int(1 + (gaps > pd.Timedelta(minutes=gap_minutes)).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)],
-             "n_sessions": [n_sessions]}
-        )
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        starts = (new_user | (gaps > pd.Timedelta(minutes=gap_minutes)))
+        out = (g.assign(_s=starts.astype("int64"))
+               .groupby("user_id", as_index=False)
+               .agg(n_events=("ts", "size"), n_sessions=("_s", "sum")))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    from ..ops.gutil import group_by_key_shards
+
+    return group_by_key_shards(ds, "user_id", sessions_shard)
 
 
 # ---------------------------------------------------------------------------
@@ -2115,9 +2122,9 @@ def q_source_overlap(sf_dir: str):
     how many identical documents (by content md5) they share, plus the
     diagonal (per-source distinct-content count) — the corpus-analysis
     view a mixture designer checks before weighting sources. Shape: one
-    streaming hash map (text never shuffles), one groupby over 48-byte
-    (md5, source) rows with per-group pair expansion (groups are tiny
-    duplicate sets), one KB-scale pair count."""
+    streaming hash map (text never shuffles), one hash-shard groupby over
+    48-byte (md5, source) rows with a vectorized self-merge pair expansion
+    per shard, one KB-scale pair count."""
     from ray.data.aggregate import Sum
 
     def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -2127,24 +2134,24 @@ def q_source_overlap(sf_dir: str):
             "source": df["source"],
         })
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        srcs = sorted(set(g["source"]))
-        # diagonal: one distinct content per (source, hash) ...
-        rows = [(a, a) for a in srcs]
-        # ... plus every unordered cross-source pair sharing this hash
-        rows += [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
-        return pd.DataFrame({
-            "src_a": [r[0] for r in rows],
-            "src_b": [r[1] for r in rows],
-            "n": [1] * len(rows),
-        })
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every hash in the shard: distinct (h, source)
+        # self-merged on h gives the diagonal (a,a) once per (h,a) and
+        # each unordered cross pair (a<b) once per shared hash — one call
+        # per unique content hash would be a round-trip per document
+        d = g.drop_duplicates(subset=["h", "source"])
+        m = d.merge(d, on="h", suffixes=("_x", "_y"))
+        m = m[m["source_x"] <= m["source_y"]]
+        out = pd.DataFrame({"src_a": m["source_x"].to_numpy(),
+                            "src_b": m["source_y"].to_numpy()})
+        out["n"] = np.int64(1)
+        return out
 
     ds = _rp(sf_dir, "documents", ["text", "source"])
-    pairs = (
-        ds.map_batches(hash_rows, batch_format="pandas")
-        .groupby("h")
-        .map_groups(group_pairs, batch_format="pandas")
-    )
+    from ..ops.gutil import group_by_key_shards
+
+    pairs = group_by_key_shards(
+        ds.map_batches(hash_rows, batch_format="pandas"), "h", shard_pairs)
     out = pairs.groupby(["src_a", "src_b"]).aggregate(
         Sum("n", alias_name="n_shared")).to_pandas()
     if out.empty:

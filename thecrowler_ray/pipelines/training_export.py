@@ -76,13 +76,16 @@ def _dedup_winners(slim: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact content dedup over admitted rows: per md5, the minimum doc_id
     survives (one groupby over 48-byte rows)."""
 
-    def first_win(g: pd.DataFrame) -> pd.DataFrame:
-        i = g["doc_id"].idxmin()
-        return g.loc[[i], ["doc_id", "ws_tokens"]]
+    def first_win_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every md5 in the shard (one map_groups call
+        # per unique document would be a scheduler round-trip per doc)
+        g = g.sort_values(["content_md5", "doc_id"], kind="mergesort")
+        return g.drop_duplicates(subset=["content_md5"], keep="first")[
+            ["doc_id", "ws_tokens"]]
 
-    return slim.groupby("content_md5").map_groups(
-        first_win, batch_format="pandas"
-    )
+    from ..ops.gutil import group_by_key_shards
+
+    return group_by_key_shards(slim, "content_md5", first_win_shard)
 
 
 def _near_dup_losers(ds: "ray.data.Dataset",

@@ -989,13 +989,20 @@ def global_line_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({id_col: pa.array(d, pa.int64()),
                          "line_no": pa.array(ln, pa.int64())})
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        ln = np.sort(g["line_no"].to_numpy())
-        return pd.DataFrame({id_col: [g[id_col].iloc[0]],
-                             "kept_csv": [",".join(map(str, ln))]})
+    def collect_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # one sort vectorizes the per-doc ascending line order across
+        # every doc in the shard; the csv join runs in-worker per doc
+        # (no scheduler round-trip per document)
+        g = g.sort_values([id_col, "line_no"], kind="mergesort")
+        return (g.groupby(id_col, as_index=False)
+                .agg(kept_csv=("line_no",
+                               lambda s: ",".join(map(str, s)))))
 
-    kept_ds = (winners.map_batches(decode, batch_format="pyarrow")
-               .groupby(id_col).map_groups(collect, batch_format="pandas"))
+    from ..ops.gutil import group_by_key_shards
+
+    kept_ds = group_by_key_shards(
+        winners.map_batches(decode, batch_format="pyarrow"),
+        id_col, collect_shard)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nparts = num_partitions or max(2, min(64, cpus // 2))
     joined = ds.join(kept_ds, join_type="left_outer",

@@ -131,24 +131,54 @@ def winnow_pairs(
                          "doc_b": pa.array([], pa.int64()),
                          "c": pa.array([], pa.int64())})
 
-    def pairs(g: pa.Table) -> pa.Table:
-        # arrow in/out — pandas blocks tax the downstream pair groupby
-        # ~25x (the stages/basket.py measurement)
-        docs = np.unique(g[id_col].to_numpy(zero_copy_only=False)
-                         .astype(np.int64))
-        if len(docs) < 2:
-            return _empty_pairs()
-        if len(docs) > max_docs_per_hash:
-            print(f"winnow_pairs: fingerprint {g['fp'][0].as_py()!r} "
-                  f"capped ({len(docs)} docs > {max_docs_per_hash}) "
-                  "— boilerplate, its pairs are dropped")
-            return _empty_pairs()
-        iu, ju = np.triu_indices(len(docs), 1)
-        return pa.table({
-            "doc_a": pa.array(docs[iu]), "doc_b": pa.array(docs[ju]),
-            "c": pa.array(np.ones(len(iu), dtype=np.int64))})
+    import ray as _ray
 
-    return (slim.groupby("fp").map_groups(pairs, batch_format="pyarrow")
+    n_shards = max(16, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        fps = batch["fp"].to_pylist()
+        sh = np.fromiter(
+            ((int(v[:8], 16) * 0x9E3779B9) % n_shards for v in fps),
+            dtype=np.int64, count=len(fps))
+        return batch.append_column("shard", pa.array(sh))
+
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        # one vectorized run-length pair explosion per SHARD of
+        # fingerprint hashes — one map_groups call per fp is a scheduler
+        # round-trip per natural collision group (the stages/basket.py
+        # measurement: 150k tiny groups ≈ 200 s); arrow in/out (pandas
+        # blocks tax the downstream pair groupby ~25x)
+        import pandas as pd
+
+        from .basket import _dedup_sorted, _pair_explode
+
+        codes = pd.factorize(pd.Series(g["fp"].to_pylist()))[0]
+        doc = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b, v = _dedup_sorted(codes.astype(np.int64), doc)
+        if len(b) == 0:
+            return _empty_pairs()
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        sizes = ends - starts
+        big = sizes > max_docs_per_hash
+        if big.any():
+            print(f"winnow_pairs: {int(big.sum())} boilerplate "
+                  f"fingerprints capped (> {max_docs_per_hash} docs) "
+                  "— their pairs are dropped")
+            keep = ~np.repeat(big, sizes)
+            b, v = b[keep], v[keep]
+        x, y = _pair_explode(b, v)
+        if len(x) == 0:
+            return _empty_pairs()
+        u, cnt = np.unique(np.stack([x, y], axis=1), axis=0,
+                           return_counts=True)
+        return pa.table({"doc_a": pa.array(u[:, 0]),
+                         "doc_b": pa.array(u[:, 1]),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    return (slim.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(shard_pairs, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])
             .aggregate(Sum("c", alias_name="shared"))
             .filter(lambda r: r["shared"] >= min_shared)
