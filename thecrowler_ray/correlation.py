@@ -273,9 +273,14 @@ def backfill_observation_entities(observations_ds, memberships_ds,
         mem_ds = memberships_ds if mem_is_ds \
             else rd.from_pandas(memberships_ds)
 
-        def first_min(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("entity_id", kind="mergesort")
-            return g.iloc[:1]
+        def first_min_shard(g: pd.DataFrame) -> pd.DataFrame:
+            # vectorized across every (object_type, object_id) in the
+            # shard — one map_groups call per membership object is a
+            # scheduler round-trip per entity at scale
+            g = g.sort_values(["object_type", "object_id", "entity_id"],
+                              kind="mergesort")
+            return g.drop_duplicates(
+                subset=["object_type", "object_id"], keep="first")
 
         def rename_cast(t: pa.Table) -> pa.Table:
             t = t.rename_columns(
@@ -289,11 +294,11 @@ def backfill_observation_entities(observations_ds, memberships_ds,
                         t.column(i).cast(pa.string()))
             return t
 
-        mem_min = (
-            mem_ds.groupby(["object_type", "object_id"])
-            .map_groups(first_min, batch_format="pandas")
-            .map_batches(rename_cast, batch_format="pyarrow")
-        )
+        from .ops.gutil import group_by_key_shards
+
+        mem_min = group_by_key_shards(
+            mem_ds, ["object_type", "object_id"], first_min_shard
+        ).map_batches(rename_cast, batch_format="pyarrow")
 
         def cand_filter(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()

@@ -78,19 +78,26 @@ def group_by_key_shards(ds, key, fn, *, n_shards: int | None = None):
     a pandas DataFrame (every key fully co-located) and returns a
     DataFrame; blocks entering and leaving the exchange are Arrow (the
     pandas-block groupby tax is ~25x). String keys hash via pandas'
-    stable hash; int keys via the golden-ratio mix."""
+    stable hash; int keys via the golden-ratio mix. ``key`` may be a
+    list of columns — composite keys hash their joined string form."""
     import pandas as pd
 
     n = n_shards or max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
-    def add_shard(t: pa.Table) -> pa.Table:
-        col = t[key]
+    def _hash_one(col) -> np.ndarray:
         kv = col.to_numpy(zero_copy_only=False)
         if kv.dtype.kind in "iu":
-            h = (kv.astype(np.uint64) * _GOLD) >> np.uint64(33)
+            return (kv.astype(np.uint64) * _GOLD) >> np.uint64(33)
+        return pd.util.hash_array(
+            np.asarray(col.to_pylist(), dtype=object)).astype(np.uint64)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        if isinstance(key, (list, tuple)):
+            h = np.zeros(t.num_rows, dtype=np.uint64)
+            for k in key:
+                h = (h * _GOLD) ^ _hash_one(t[k])
         else:
-            h = pd.util.hash_array(
-                np.asarray(col.to_pylist(), dtype=object)).astype(np.uint64)
+            h = _hash_one(t[key])
         return t.append_column(
             "_kshard", pa.array((h % np.uint64(n)).astype(np.int32)))
 

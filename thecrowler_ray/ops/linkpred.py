@@ -20,9 +20,11 @@ so the sum is an order-free int64. ``common`` counts the shared
 neighbors. Top-k by (score_q6 DESC, u ASC, v ASC).
 
 Shape (the Suri-Vassilvitskii concern applies): wedges are generated
-at each common neighbor w from ONE ``groupby(w)`` of the exploded
-adjacency — deg(w) is the group size, so no degree join at all; the
-per-group pair explosion is O(deg(w)²), bounded by ``max_apex_degree``
+at each common neighbor w from ONE ``groupby(hash-shard of w)`` of the
+exploded adjacency — deg(w) is the apex's run length inside the
+shard's one vectorized run-length explosion (no degree join, no
+per-apex scheduler round-trip); the per-apex pair fan-out is
+O(deg(w)²), bounded by ``max_apex_degree``
 (pairs through hubs carry the smallest weights; capping them is the
 standard scale mitigation — cap events are LOGGED, never silent).
 Existing edges are removed by a packed-int64 broadcast set (ids <
@@ -61,40 +63,76 @@ def adamic_adar(
     if n_edges == 0:
         return ray.data.from_arrow(_empty())
 
+    n_shards = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
     def adj(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy(zero_copy_only=False)
         y = batch["y"].to_numpy(zero_copy_only=False)
+        w = np.concatenate([x, y]).astype(np.int64)
+        sh = ((w.astype(np.uint64) * _GOLD) >> np.uint64(33)) \
+            % np.uint64(n_shards)
         return pa.table({
-            "w": pa.array(np.concatenate([x, y]).astype(np.int64)),
-            "nb": pa.array(np.concatenate([y, x]).astype(np.int64))})
+            "w": pa.array(w),
+            "nb": pa.array(np.concatenate([y, x]).astype(np.int64)),
+            "wshard": pa.array(sh.astype(np.int64))})
 
     def _empty_wedges() -> pa.Table:
         return pa.table({"u": pa.array([], pa.int64()),
                          "v": pa.array([], pa.int64()),
                          "c": pa.array([], pa.int64())})
 
-    def wedges(g: pa.Table) -> pa.Table:
-        # arrow in/out: pandas blocks make the downstream (u, v)
-        # groupby ~25x slower (the stages/basket.py measurement)
-        nb = np.sort(g["nb"].to_numpy(zero_copy_only=False)
-                     .astype(np.int64))
-        d = len(nb)  # == deg(w): edges are canonical-distinct
-        if d < 2:
+    def wedge_shard(g: pa.Table) -> pa.Table:
+        # one vectorized run-length explosion per SHARD of apexes (one
+        # map_groups call per apex w is a scheduler round-trip per node
+        # — the stages/basket.py measurement); arrow in/out (pandas
+        # blocks make the downstream (u, v) groupby ~25x slower)
+        w = g["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = g["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((nb, w))
+        w, nb = w[order], nb[order]
+
+        def runs(warr):
+            starts = np.flatnonzero(np.r_[True, warr[1:] != warr[:-1]])
+            ends = np.r_[starts[1:], len(warr)]
+            return starts, ends, ends - starts
+
+        starts, ends, sizes = runs(w)
+        bad = sizes < 2  # deg(w) == run size: edges canonical-distinct
+        if max_apex_degree is not None:
+            big = sizes > max_apex_degree
+            if big.any():
+                print(f"adamic_adar: {int(big.sum())} apexes capped "
+                      f"(deg > {max_apex_degree}) — their wedges are "
+                      "dropped")
+            bad |= big
+        if bad.any():
+            keep = ~np.repeat(bad, sizes)
+            w, nb = w[keep], nb[keep]
+            if len(w) == 0:
+                return _empty_wedges()
+            starts, ends, sizes = runs(w)
+        if len(w) == 0:
             return _empty_wedges()
-        if max_apex_degree is not None and d > max_apex_degree:
-            print(f"adamic_adar: apex {int(g['w'][0].as_py())} capped "
-                  f"(deg {d} > {max_apex_degree}) — its wedges are "
-                  "dropped")
+        c_run = np.floor(SCALE / np.log(sizes.astype(np.float64))
+                         + 0.5).astype(np.int64)
+        run_end = np.repeat(ends, sizes)
+        pos = np.arange(len(w))
+        reps = run_end - pos - 1
+        total = int(reps.sum())
+        if total == 0:
             return _empty_wedges()
-        c = int(np.floor(SCALE / np.log(float(d)) + 0.5))
-        iu, ju = np.triu_indices(d, 1)
-        return pa.table({"u": pa.array(nb[iu]),
-                         "v": pa.array(nb[ju]),
-                         "c": pa.array(np.full(len(iu), c,
-                                               dtype=np.int64))})
+        u = np.repeat(nb, reps)
+        out_start = np.cumsum(reps) - reps
+        v_idx = (np.arange(total) - np.repeat(out_start, reps)
+                 + np.repeat(pos + 1, reps))
+        c = np.repeat(np.repeat(c_run, sizes), reps)
+        return pa.table({"u": pa.array(u), "v": pa.array(nb[v_idx]),
+                         "c": pa.array(c)})
 
     scores = (e.map_batches(adj, batch_format="pyarrow")
-              .groupby("w").map_groups(wedges, batch_format="pyarrow")
+              .groupby("wshard")
+              .map_groups(wedge_shard, batch_format="pyarrow")
               .groupby(["u", "v"])
               .aggregate(Count(alias_name="common"),
                          Sum("c", alias_name="score_q6"))

@@ -456,10 +456,21 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     hyperplane LSH is a NEAR-dup method: low thresholds (< ~0.8) need
     exponentially many tables and should use brute force or IVF instead."""
     if bucket_col is not None:
-        return ds.groupby(bucket_col).map_groups(
-            lambda g: _group_cosine_pairs(g, threshold, id_col, emb_col),
-            batch_format="pandas",
-        )
+        from ..ops.gutil import group_by_key_shards
+
+        def shard_cosine(g: pd.DataFrame) -> pd.DataFrame:
+            # per-bucket matmuls run in-worker over the shard's buckets —
+            # one map_groups call per bucket is a scheduler round-trip
+            # per partition value (label/host cardinality at web scale)
+            outs = [_group_cosine_pairs(sub, threshold, id_col, emb_col)
+                    for _, sub in g.groupby(bucket_col, sort=False)]
+            if not outs:
+                return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                     "vec_b": pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
+
+        return group_by_key_shards(ds, bucket_col, shard_cosine)
     if n_tables is None:
         n_tables = lsh_tables_for(threshold, n_planes)
 

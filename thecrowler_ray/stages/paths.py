@@ -36,23 +36,25 @@ def session_paths(
 
     slim = ds.select_columns([key, window, seq, state])
 
-    import pyarrow as pa
+    import pandas as pd
 
-    def paths(t: pa.Table) -> pa.Table:
-        # arrow out: pandas blocks tax the downstream path groupby
-        g = (t.to_pandas()
-             .groupby([key, window, seq], as_index=False)[state].min()
+    def paths_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every key in the shard (the internal pandas
+        # groupbys already handle many keys); one map_groups call per
+        # key would be a scheduler round-trip per user at scale
+        g = (df.groupby([key, window, seq], as_index=False)[state].min()
              .sort_values([key, window, seq], kind="mergesort"))
         p = (g.groupby([key, window])[state]
              .agg(lambda s: ">".join(s)))
         out = p.reset_index(name="path")[["path"]]
         out = (out.groupby("path", as_index=False).size()
                .rename(columns={"size": "n"}))
-        return pa.table({
-            "path": pa.array(out["path"].tolist(), pa.string()),
-            "n": pa.array(out["n"].to_numpy(np.int64))})
+        out["n"] = out["n"].astype("int64")
+        return out
 
-    return (slim.groupby(key).map_groups(paths, batch_format="pyarrow")
+    from ..ops.gutil import group_by_key_shards
+
+    return (group_by_key_shards(slim, key, paths_shard)
             .groupby("path").aggregate(Sum("n", alias_name="n"))
             .sort(["n", "path"], descending=[True, False])
             .limit(k))
