@@ -8,13 +8,14 @@ engine a first-class as-of join the way a training-data pipeline needs it
 (feature attribution: "join each sample to the latest label/event at or
 before its timestamp, per key").
 
-Shape (the documented partitioning assumption): ONE ``groupby(by)`` over the
-union of both sides — a single co-partitioning shuffle instead of two — then
-a per-key sorted ``searchsorted`` merge inside ``map_groups``. Each group
-holds only one key's rows from both sides, so group size is bounded by
-per-key activity, never by dataset size; a skewed key costs one large group,
-not a serialized stage. Backward/forward direction and strict inequality are
-supported; ties within a side are broken by input order (stable sort).
+Shape (the documented partitioning assumption): ONE ``groupby(hash-shard of
+by)`` over the union of both sides — a single co-partitioning shuffle
+instead of two — then ONE segmented scan per shard resolves every key at
+once (a ``map_groups`` call per key is a scheduler round-trip per join key;
+the stages/basket.py measurement). Keys are fully co-located per shard, so
+a skewed key costs one large shard, not a serialized stage.
+Backward/forward direction and strict inequality are supported; ties within
+a side are broken by input order (stable sort).
 
 All stages are Arrow in/out: pandas blocks feeding the co-partitioning
 groupby pay the measured ~25x exchange tax (PERF.md session-8). Output
@@ -105,39 +106,74 @@ def asof_join(
         unioned = unioned.repartition(num_partitions)
 
     back = direction == "backward"
-    side = "right" if (back == allow_equal) else "left"
+    # tie placement between sides at equal `on` reproduces the
+    # searchsorted side parameter of a per-key merge: eligible-at-equal
+    # rights must precede lefts in the ascending scan (backward) / follow
+    # them so the reversed scan meets them first (forward)
+    rights_first = back == allow_equal
 
-    def merge(g: pa.Table) -> pa.Table:
-        onv = g[on].to_numpy(zero_copy_only=False)
-        g = g.take(pa.array(np.argsort(onv, kind="mergesort")))
-        lmask = g[_SIDE_COL].to_numpy(zero_copy_only=False) == 0
-        lrows = g.filter(pa.array(lmask))
-        rrows = g.filter(pa.array(~lmask))
-        # empty lrows flows through both branches: filter keeps types, so
-        # a right-only key yields a schema-correct zero-row block
-        out = {c: lrows[c] for c in left_names}
-        if rrows.num_rows:
-            rts = rrows[on].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(
-                rts, lrows[on].to_numpy(zero_copy_only=False), side=side)
-            if back:
-                idx = pos - 1
-                ok = idx >= 0
-            else:
-                idx = pos
-                ok = idx < len(rts)
-            idx = np.clip(idx, 0, max(len(rts) - 1, 0))
-            # null index → null row: take() carries no-match as nulls
-            idx_pa = pa.array(idx.astype(np.int64), mask=~ok)
-            out[on_out] = rrows[on].combine_chunks().take(idx_pa)
-            for c in carry:
-                out[out_names[c]] = (
-                    rrows["__r_" + c].combine_chunks().take(idx_pa))
+    import ray as _ray
+
+    n_shards = max(16, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        kv = t[by].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind in "iu":
+            h = (kv.astype(np.uint64) * _GOLD) >> np.uint64(33)
         else:
-            nl = lrows.num_rows
-            out[on_out] = pa.nulls(nl, r_types[on])
-            for c in carry:
-                out[out_names[c]] = pa.nulls(nl, r_types[c])
+            import pandas as pd
+
+            h = pd.util.hash_array(
+                np.asarray(kv, dtype=object)).astype(np.uint64)
+        return t.append_column(
+            "_ashard", pa.array((h % np.uint64(n_shards)).astype(np.int32)))
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        # every key of the shard in ONE segmented scan — a map_groups
+        # call per join key is a scheduler round-trip per key (the
+        # stages/basket.py measurement); the per-key "latest right so
+        # far" is a keyed running max over an encoding that can never
+        # leak across key runs (run r's base exceeds run r-1's ceiling)
+        import pandas as pd
+
+        n = g.num_rows
+        kv = g[by].to_numpy(zero_copy_only=False)
+        codes = (kv.astype(np.int64) if kv.dtype.kind in "iu"
+                 else pd.factorize(kv)[0].astype(np.int64))
+        onv = g[on].to_numpy(zero_copy_only=False)
+        sidev = g[_SIDE_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+        tie = (1 - sidev) if rights_first else sidev
+        order = np.lexsort((tie, onv, codes))
+        g = g.take(pa.array(order))
+        codes, sidev = codes[order], sidev[order]
+        is_right = sidev == 1
+
+        def scan(codes_, right_):
+            run_id = np.cumsum(np.r_[True, codes_[1:] != codes_[:-1]]) - 1
+            enc = run_id * (n + 1) + np.where(right_,
+                                              np.arange(n) + 1, 0)
+            acc = np.maximum.accumulate(enc)
+            return acc % (n + 1) - 1  # -1 = no right seen in this run
+
+        if back:
+            idx = scan(codes, is_right)
+        else:
+            idx_r = scan(codes[::-1], is_right[::-1])
+            idx = np.where(idx_r >= 0, n - 1 - idx_r, -1)[::-1]
+
+        lmask = sidev == 0
+        lrows = g.filter(pa.array(lmask))
+        out = {c: lrows[c] for c in left_names}
+        idx_l = idx[lmask]
+        ok = idx_l >= 0
+        idx_pa = pa.array(np.maximum(idx_l, 0).astype(np.int64), mask=~ok)
+        # null index → null row: take() carries no-match as nulls
+        out[on_out] = g[on].combine_chunks().take(idx_pa)
+        for c in carry:
+            out[out_names[c]] = g["__r_" + c].combine_chunks().take(idx_pa)
         return pa.table(out)
 
-    return unioned.groupby(by).map_groups(merge, batch_format="pyarrow")
+    return (unioned.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("_ashard")
+            .map_groups(merge_shard, batch_format="pyarrow"))

@@ -144,20 +144,61 @@ def range_join(
             cols[out_names[c]] = g["__i_" + c].slice(0, 0)
         return pa.table(cols)
 
-    def merge(g: pa.Table) -> pa.Table:
+    import ray as _ray
+
+    n_shards = max(16, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        kv = t[by].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind in "iu":
+            h = (kv.astype(np.uint64) * _GOLD) >> np.uint64(33)
+        else:
+            import pandas as pd
+
+            h = pd.util.hash_array(
+                np.asarray(kv, dtype=object)).astype(np.uint64)
+        h = (h * _GOLD) ^ (t[_BUCKET].to_numpy(zero_copy_only=False)
+                           .astype(np.uint64) * _GOLD >> np.uint64(33))
+        return t.append_column(
+            "_rshard", pa.array((h % np.uint64(n_shards)).astype(np.int32)))
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        # every (key, bucket) group of the shard in ONE vectorized pass —
+        # a map_groups call per group is a scheduler round-trip per
+        # active bucket (the stages/basket.py measurement). Group-local
+        # searchsorted becomes a global one over (group-id, ts-rank)
+        # composite keys: ranks are monotone in ts, so within-group
+        # comparisons are preserved, and the group id dominates the key
+        # (K > max rank), so probes never match across groups.
+        import pandas as pd
+
         sidev = g[_SIDE].to_numpy(zero_copy_only=False)
-        prows = g.filter(pa.array(sidev == 0))
-        irows = g.filter(pa.array(sidev == 1))
-        if not prows.num_rows or not irows.num_rows:
+        byv = g[by].to_numpy(zero_copy_only=False)
+        bcodes = (byv.astype(np.int64) if byv.dtype.kind in "iu"
+                  else pd.factorize(byv)[0].astype(np.int64))
+        bkt = g[_BUCKET].to_numpy(zero_copy_only=False).astype(np.int64)
+        gid = np.unique(np.stack([bcodes, bkt], axis=1), axis=0,
+                        return_inverse=True)[1].astype(np.int64)
+        pmask = sidev == 0
+        if not pmask.any() or pmask.all():
             return empty_out(g)
-        ps = prows[_S].to_numpy(zero_copy_only=False)
-        order = np.argsort(ps, kind="mergesort")
-        prows = prows.take(pa.array(order))
-        ts = ps[order]
+        p_gid, p_ts = gid[pmask], g[_S].to_numpy(
+            zero_copy_only=False)[pmask]
+        order = np.lexsort((p_ts, p_gid))
+        prows = g.filter(pa.array(pmask)).take(pa.array(order))
+        p_gid, p_ts = p_gid[order], p_ts[order]
+        sorted_ts = np.sort(p_ts)
+        K = np.int64(len(p_ts) + 2)
+        comp_p = p_gid * K + np.searchsorted(sorted_ts, p_ts, "left")
+        irows = g.filter(pa.array(~pmask))
+        i_gid = gid[~pmask]
         s = irows[_S].to_numpy(zero_copy_only=False)
         e = irows[_E].to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(ts, s, side="left")
-        hi = np.searchsorted(ts, e, side="right")
+        lo = np.searchsorted(
+            comp_p, i_gid * K + np.searchsorted(sorted_ts, s, "left"))
+        hi = np.searchsorted(
+            comp_p, i_gid * K + np.searchsorted(sorted_ts, e, "right"))
         cnt = np.maximum(hi - lo, 0)
         total = int(cnt.sum())
         if not total:
@@ -175,5 +216,6 @@ def range_join(
             cols[out_names[c]] = iout["__i_" + c]
         return pa.table(cols)
 
-    return unioned.groupby([by, _BUCKET]).map_groups(
-        merge, batch_format="pyarrow")
+    return (unioned.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("_rshard")
+            .map_groups(merge_shard, batch_format="pyarrow"))
