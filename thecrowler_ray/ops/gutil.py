@@ -69,6 +69,34 @@ def collect_tables(ds) -> "list[pa.Table]":
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _hash_col(col) -> np.ndarray:
+    kv = col.to_numpy(zero_copy_only=False)
+    if kv.dtype.kind in "iu":
+        return (kv.astype(np.uint64) * _GOLD) >> np.uint64(33)
+    import pandas as pd
+
+    return pd.util.hash_array(
+        np.asarray(col.to_pylist(), dtype=object)).astype(np.uint64)
+
+
+def append_key_shard(t: pa.Table, key, n: int,
+                     col: str = "_kshard") -> pa.Table:
+    """Append an int32 uniform hash-shard column over ``key`` (one
+    column name or a list — composite keys mix per-column hashes)."""
+    if isinstance(key, (list, tuple)):
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in key:
+            h = (h * _GOLD) ^ _hash_col(t[k])
+    else:
+        h = _hash_col(t[key])
+    return t.append_column(
+        col, pa.array((h % np.uint64(n)).astype(np.int32)))
+
+
+def default_n_shards(mult: int = 2) -> int:
+    return max(16, int(ray.cluster_resources().get("CPU", 8)) * mult)
+
+
 def group_by_key_shards(ds, key, fn, *, n_shards: int | None = None):
     """``groupby(hash-shard of key)`` replacing ``groupby(key)`` for
     per-key UDFs that already vectorize ACROSS keys (pandas
@@ -84,22 +112,8 @@ def group_by_key_shards(ds, key, fn, *, n_shards: int | None = None):
 
     n = n_shards or max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
-    def _hash_one(col) -> np.ndarray:
-        kv = col.to_numpy(zero_copy_only=False)
-        if kv.dtype.kind in "iu":
-            return (kv.astype(np.uint64) * _GOLD) >> np.uint64(33)
-        return pd.util.hash_array(
-            np.asarray(col.to_pylist(), dtype=object)).astype(np.uint64)
-
     def add_shard(t: pa.Table) -> pa.Table:
-        if isinstance(key, (list, tuple)):
-            h = np.zeros(t.num_rows, dtype=np.uint64)
-            for k in key:
-                h = (h * _GOLD) ^ _hash_one(t[k])
-        else:
-            h = _hash_one(t[key])
-        return t.append_column(
-            "_kshard", pa.array((h % np.uint64(n)).astype(np.int32)))
+        return append_key_shard(t, key, n)
 
     def run_shard(g: pd.DataFrame) -> pa.Table:
         out = fn(g.drop(columns=["_kshard"]))

@@ -61,17 +61,39 @@ def topk_per_group(
             starts, np.diff(np.r_[starts, len(gs)]))
         return t.take(pa.array(order[pos_in_run < k]))
 
-    def final(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=sort_keys)
-        out = g.take(idx.slice(0, k))
+    from .gutil import append_key_shard, default_n_shards
+
+    n_shards = default_n_shards()
+
+    def final_shard(g: pa.Table) -> pa.Table:
+        # every group of the shard in one vectorized pass (a map_groups
+        # call per group is a scheduler round-trip per group key); same
+        # run-length trick as `partial`, plus the in-group rank
+        g = g.drop_columns(["_tshard"])
+        g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        gid = np.zeros(g.num_rows, dtype=np.int64)
+        for c in group_cols:
+            codes = (g[c].combine_chunks().dictionary_encode()
+                     .indices.to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+            gid = gid * (int(codes.max()) + 1 if len(codes) else 1) + codes
+        order = np.argsort(gid, kind="mergesort")
+        gs = gid[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        pos_in_run = np.arange(len(gs)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(gs)]))
+        keep = pos_in_run < k
+        out = g.take(pa.array(order[keep]))
         if rank_col is not None:
             out = out.append_column(
-                rank_col,
-                pa.array(np.arange(1, out.num_rows + 1, dtype=np.int64)))
+                rank_col, pa.array(pos_in_run[keep] + 1))
         return out
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(group_cols)
-        .map_groups(final, batch_format="pyarrow")
+        .map_batches(lambda t: append_key_shard(t, group_cols, n_shards,
+                                                "_tshard"),
+                     batch_format="pyarrow")
+        .groupby("_tshard")
+        .map_groups(final_shard, batch_format="pyarrow")
     )
