@@ -346,3 +346,111 @@ def test_reference_plugin_load_census():
         except Exception as e:  # pragma: no cover - report which file
             raise AssertionError(f"{f} failed to load: {e}") from e
     assert len(loaded) == len(files) >= 8
+
+
+def test_labeled_break_continue():
+    # labeled break exits the OUTER loop from inside the inner one
+    assert run_script("""
+        var hits = [];
+        outer: for (var i = 0; i < 5; i++) {
+            for (var j = 0; j < 5; j++) {
+                if (i * j >= 6) break outer;
+                hits.push(i + ':' + j);
+            }
+        }
+        hits.join(',')
+    """) == "0:0,0:1,0:2,0:3,0:4,1:0,1:1,1:2,1:3,1:4,2:0,2:1,2:2"
+    # labeled continue skips to the next OUTER iteration
+    assert run_script("""
+        var s = '';
+        loop: for (var i = 0; i < 4; i++) {
+            for (var j = 0; j < 4; j++) {
+                if (j > i) continue loop;
+                s += i + '' + j + ' ';
+            }
+        }
+        s.trim()
+    """) == "00 10 11 20 21 22 30 31 32 33"
+    # a labeled non-loop block: break exits the block only
+    assert run_script("""
+        var out = 'a';
+        blk: { out += 'b'; if (true) break blk; out += 'x'; }
+        out += 'c';
+        out
+    """) == "abc"
+    # unlabeled break still binds to the nearest loop
+    assert run_script("""
+        var n = 0;
+        outer: for (var i = 0; i < 3; i++) {
+            for (var j = 0; j < 10; j++) { if (j === 2) break; n++; }
+        }
+        n
+    """) == 6
+    # labeled while + continue
+    assert run_script("""
+        var n = 0, i = 0;
+        w: while (i < 5) { i++; if (i % 2 === 0) continue w; n += i; }
+        n
+    """) == 9
+
+
+def test_loose_equality_es5():
+    # null == undefined (both directions), but not to anything else
+    assert run_script("null == undefined") is True
+    assert run_script("null == 0") is False
+    assert run_script("undefined == ''") is False
+    # number <-> string coercion
+    assert run_script("1 == '1'") is True
+    assert run_script("'2.5' == 2.5") is True
+    assert run_script("'' == 0") is True
+    assert run_script("'abc' == 0") is False
+    # boolean coercion
+    assert run_script("true == 1") is True
+    assert run_script("false == '0'") is True
+    assert run_script("true == 'true'") is False
+    # NaN never equals
+    assert run_script("NaN == NaN") is False
+    # objects: identity to each other, ToPrimitive vs primitives
+    assert run_script("var a = {x:1}; var b = a; a == b") is True
+    assert run_script("({x:1}) == ({x:1})") is False
+    # strict stays strict
+    assert run_script("1 === '1'") is False
+    assert run_script("1 != '1'") is False
+    assert run_script("1 !== '1'") is True
+
+
+def test_object_literal_accessors():
+    # getter computes from sibling state
+    assert run_script("""
+        var o = { first: 'ada', last: 'lovelace',
+                  get full() { return this.first + ' ' + this.last; } };
+        o.full
+    """) == "ada lovelace"
+    # setter routes writes; getter sees the effect
+    assert run_script("""
+        var o = { _v: 0,
+                  get v() { return this._v; },
+                  set v(x) { this._v = x * 2; } };
+        o.v = 21;
+        o.v
+    """) == 42
+    # index access and compound assignment hit the accessor pair
+    assert run_script("""
+        var o = { _n: 1, get n() { return this._n; },
+                  set n(x) { this._n = x; } };
+        o['n'] += 4;
+        o.n
+    """) == 5
+    # getter-only: writes are silent no-ops (ES5 sloppy mode)
+    assert run_script("""
+        var o = { get ro() { return 7; } };
+        o.ro = 99;
+        o.ro
+    """) == 7
+    # JSON.stringify resolves getters like real property reads
+    assert run_script("""
+        var o = { a: 1, get b() { return this.a + 1; } };
+        JSON.stringify(o)
+    """) == '{"a":1,"b":2}'
+    # a plain key named get/set still parses
+    assert run_script("({ get: 3, set: 4 }).get + ({get: 3, set: 4}).set") == 7

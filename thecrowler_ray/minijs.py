@@ -12,14 +12,19 @@ descent parser → tree-walking evaluator) sufficient for those:
   - literals (numbers incl. hex/exponent, strings, booleans, null,
     arrays, objects, regex literals with g/i/m flags)
   - var/let/const, assignment (+=, -=, *=, /=), ++/--
-  - if/else, while, do/while, for(;;), break, continue, blocks, return
+  - if/else, while, do/while, for(;;), break, continue, blocks, return,
+    labeled statements (``outer: for … break outer / continue outer``)
   - try/catch/finally + throw (thrown values are catchable; native
     runtime errors surface as catchable {name, message} objects; the op
     budget is NOT catchable)
   - function declarations + function expressions (closures),
     ``arguments``, fn.call/fn.apply
-  - operators: + - * / % comparisons && || ! ?: instanceof (===/!== and
-    ==/!= are both STRICT — the one documented semantic deviation)
+  - object-literal accessors (``{ get x() {…}, set x(v) {…} }``) —
+    property reads/writes/JSON.stringify route through them
+  - operators: + - * / % comparisons && || ! ?: instanceof; ===/!== are
+    strict and ==/!= follow ES5 abstract equality (null == undefined,
+    number/string/boolean coercion, objects via the engine's string
+    conversion)
   - Math.*, JSON.parse/stringify, String()/String.fromCharCode,
     Number(), parseInt (with radix)/parseFloat, isNaN/isFinite,
     Object.keys, Object.prototype.hasOwnProperty/toString,
@@ -293,10 +298,12 @@ class _Parser:
             return ("dowhile", cond, body)
         if self.at("kw", "break"):
             self.next()
-            return ("break",)
+            label = self.next()[1] if self.at("id") else None
+            return ("break", label)
         if self.at("kw", "continue"):
             self.next()
-            return ("continue",)
+            label = self.next()[1] if self.at("id") else None
+            return ("continue", label)
         if self.at("kw", "try"):
             self.next()
             block = self.statement()
@@ -338,6 +345,12 @@ class _Parser:
             name = self.eat("id")[1]
             fn = self.function_rest()
             return ("decl", [(name, fn)])
+        if self.at("id") and self.peek(1) == ("punct", ":"):
+            # labeled statement (ES5 12.12): label targets for the
+            # enclosed loop's break/continue
+            label = self.next()[1]
+            self.next()
+            return ("label", label, self.statement())
         return ("expr", self.expr())
 
     def function_rest(self):
@@ -547,6 +560,19 @@ class _Parser:
                 k = self.next()
                 if k[0] not in ("id", "str", "kw", "num"):
                     raise MiniJsError("bad object key")
+                if (k[0] == "id" and k[1] in ("get", "set")
+                        and not self.at("punct", ":")):
+                    # accessor property: get key() { … } / set key(v) { … }
+                    kk = self.next()
+                    if kk[0] not in ("id", "str", "kw", "num"):
+                        raise MiniJsError("bad accessor key")
+                    key = str(int(kk[1])) if kk[0] == "num" \
+                        and float(kk[1]).is_integer() else str(kk[1])
+                    pairs.append((key, ("accessor", k[1],
+                                        self.function_rest())))
+                    if self.at("punct", ","):
+                        self.next()
+                    continue
                 key = str(int(k[1])) if k[0] == "num" and float(k[1]).is_integer() \
                     else str(k[1])
                 self.eat("punct", ":")
@@ -564,11 +590,13 @@ class _Return(Exception):
 
 
 class _Break(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class _Continue(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class _Thrown(Exception):
@@ -614,6 +642,32 @@ def _proto_lookup(obj, name: str):
             return p[name], True
         p = getattr(p, "proto", None)
     return UNDEFINED, False
+
+
+class _Accessor:
+    """An ES5 get/set property (object-literal accessor syntax). The
+    owner/interp backrefs let JSON.stringify and string conversion
+    resolve the getter like real JS property reads."""
+
+    __slots__ = ("getter", "setter", "owner", "interp")
+
+    def __init__(self):
+        self.getter = None
+        self.setter = None
+        self.owner = None
+        self.interp = None
+
+    def read(self, interp, this):
+        if self.getter is None:
+            return UNDEFINED
+        return interp._invoke(self.getter, [], this_val=this)
+
+    def write(self, interp, this, value):
+        if self.setter is not None:  # no setter → silent no-op (ES5 sloppy)
+            interp._invoke(self.setter, [value], this_val=this)
+
+    def js_json(self):
+        return _json_ready(self.read(self.interp, self.owner))
 
 
 class _NativeThis:
@@ -817,9 +871,19 @@ class Interpreter:
             raise MiniJsBudgetError("script exceeded op budget")
 
     # -- statements --------------------------------------------------------
-    def exec_stmt(self, node, env):
+    def exec_stmt(self, node, env, label=None):
         self._tick()
         kind = node[0]
+        if kind == "label":
+            # ES5 12.12: the label binds to the directly-enclosed
+            # statement; a labeled break targets it even when it is not
+            # a loop (then it just exits the statement)
+            try:
+                return self.exec_stmt(node[2], env, label=node[1])
+            except _Break as b:
+                if b.label == node[1]:
+                    return UNDEFINED
+                raise
         if kind == "block":
             last = UNDEFINED
             for s in node[1]:
@@ -840,20 +904,27 @@ class Interpreter:
                 self._tick()
                 try:
                     self.exec_stmt(node[2], env)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
+                except _Break as b:
+                    if b.label is None or b.label == label:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is None or c.label == label:
+                        continue
+                    raise
             return UNDEFINED
         if kind == "dowhile":
             while True:
                 self._tick()
                 try:
                     self.exec_stmt(node[2], env)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
+                except _Break as b:
+                    if b.label is None or b.label == label:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is not None and c.label != label:
+                        raise
                 if not _truthy(self.eval(node[1], env)):
                     break
             return UNDEFINED
@@ -864,17 +935,20 @@ class Interpreter:
                 self._tick()
                 try:
                     self.exec_stmt(node[4], env)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
+                except _Break as b:
+                    if b.label is None or b.label == label:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is not None and c.label != label:
+                        raise
                 if node[3] is not None:
                     self.eval(node[3], env)
             return UNDEFINED
         if kind == "break":
-            raise _Break()
+            raise _Break(node[1] if len(node) > 1 else None)
         if kind == "continue":
-            raise _Continue()
+            raise _Continue(node[1] if len(node) > 1 else None)
         if kind == "try":
             _block, catch_name, catch_block, fin = node[1:]
             try:
@@ -929,7 +1003,25 @@ class Interpreter:
         if kind == "array":
             return [self.eval(x, env) for x in node[1]]
         if kind == "object":
-            return {k: self.eval(v, env) for k, v in node[1]}
+            out = {}
+            for k, v in node[1]:
+                if v[0] == "accessor":
+                    acc = out.get(k)
+                    if not isinstance(acc, _Accessor):
+                        acc = _Accessor()
+                        acc.interp = self
+                    fn = _Function(v[2][1], v[2][2], env)
+                    if v[1] == "get":
+                        acc.getter = fn
+                    else:
+                        acc.setter = fn
+                    out[k] = acc
+                else:
+                    out[k] = self.eval(v, env)
+            for v in out.values():
+                if isinstance(v, _Accessor):
+                    v.owner = out
+            return out
         if kind == "func":
             return _Function(node[1], node[2], env)
         if kind == "regexlit":
@@ -970,7 +1062,7 @@ class Interpreter:
                 i = int(_num(idx))
                 return obj[i] if 0 <= i < len(obj) else UNDEFINED
             if isinstance(obj, dict):
-                return obj.get(_to_str(idx), UNDEFINED)
+                return self._member(obj, _to_str(idx))
             if isinstance(obj, str):
                 i = int(_num(idx))
                 return obj[i] if 0 <= i < len(obj) else UNDEFINED
@@ -1075,10 +1167,14 @@ class Interpreter:
             return math.nan if d == 0 else math.fmod(_num(a), d)
         if op in ("&", "|", "^", "<<", ">>", ">>>"):
             return self._binop_values(op, a, b)
-        if op in ("==", "==="):
+        if op == "===":
             return self._strict_eq(a, b)
-        if op in ("!=", "!=="):
+        if op == "!==":
             return not self._strict_eq(a, b)
+        if op == "==":
+            return self._loose_eq(a, b)
+        if op == "!=":
+            return not self._loose_eq(a, b)
         if op in ("<", "<=", ">", ">="):
             if isinstance(a, str) and isinstance(b, str):
                 pass
@@ -1128,11 +1224,44 @@ class Interpreter:
     def _strict_eq(a, b):
         if isinstance(a, bool) != isinstance(b, bool):
             return False
+        if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
+            return a is b  # JS object equality is identity, not value
         if type(a) is type(b) or (isinstance(a, float) and isinstance(b, float)):
             return a == b
         if a is None and b is None:
             return True
         return a is b
+
+    def _loose_eq(self, a, b):
+        """ES5 11.9.3 abstract equality over the engine's value model:
+        null == undefined, number/string/boolean coercion, objects via
+        ToPrimitive (the engine's own string conversion — minijs objects
+        carry no valueOf)."""
+        def is_obj(v):
+            return (isinstance(v, (dict, list, _RegExp))
+                    or isinstance(v, (_Function, _NativeThis, _Callable,
+                                      _Bound))
+                    or (callable(v) and not isinstance(v, (str, float))))
+
+        if isinstance(a, bool):
+            return self._loose_eq(float(a), b)
+        if isinstance(b, bool):
+            return self._loose_eq(a, float(b))
+        if a is UNDEFINED or a is None:
+            return b is UNDEFINED or b is None
+        if b is UNDEFINED or b is None:
+            return False
+        if isinstance(a, float) and isinstance(b, str):
+            return a == _num(b)
+        if isinstance(a, str) and isinstance(b, float):
+            return _num(a) == b
+        if is_obj(a) and is_obj(b):
+            return self._strict_eq(a, b)
+        if is_obj(a):
+            return self._loose_eq(_to_str(a), b)
+        if is_obj(b):
+            return self._loose_eq(a, _to_str(b))
+        return self._strict_eq(a, b)
 
     def _member(self, obj, name):
         if hasattr(obj, "js_member"):  # host objects (e.g. domjs.DomNode)
@@ -1172,6 +1301,8 @@ class Interpreter:
         if isinstance(obj, dict):
             v, found = _proto_lookup(obj, name)
             if found:
+                if isinstance(v, _Accessor):
+                    return v.read(self, obj)
                 return v
             m = _OBJECT_PROTO.get(name)
             if m is not None:  # Object.prototype.* fallback, this-bound
@@ -1303,7 +1434,7 @@ class Interpreter:
                 return
             if not isinstance(obj, dict):
                 raise MiniJsError("cannot set property on non-object")
-            obj[target[2]] = value
+            self._dict_store(obj, target[2], value)
             return
         if target[0] == "index":
             obj = self.eval(target[1], env)
@@ -1315,10 +1446,19 @@ class Interpreter:
                 obj[i] = value
                 return
             if isinstance(obj, dict):
-                obj[_to_str(idx)] = value
+                self._dict_store(obj, _to_str(idx), value)
                 return
             raise MiniJsError("cannot index-assign this value")
         raise MiniJsError("bad assignment target")
+
+    def _dict_store(self, obj, key, value):
+        # an accessor property (own or inherited) routes the write to
+        # its setter; otherwise a plain own-property set
+        cur, found = _proto_lookup(obj, key)
+        if found and isinstance(cur, _Accessor):
+            cur.write(self, obj, value)
+            return
+        obj[key] = value
 
 
 class _Bound:
