@@ -88,3 +88,27 @@ def test_reciprocity_path_parity(ray_session):
     b = q_reciprocity(sf, broadcast_threshold=0)
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_assortativity_path_parity(ray_session):
+    # degree-LUT broadcast path vs distributed double-join path
+    from thecrowler_ray.pipelines.queries import q_assortativity
+
+    sf = "/root/testdata/sf0.001"
+    a = q_assortativity(sf)
+    b = q_assortativity(sf, broadcast_threshold=0)
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True))
+
+
+def test_host_rank_path_parity(ray_session):
+    # doc→host LUT broadcast path vs distributed double-join path
+    from thecrowler_ray.pipelines.queries import q_host_rank
+
+    sf = "/root/testdata/sf0.001"
+    a = q_host_rank(sf).to_pandas()
+    b = q_host_rank(sf, broadcast_threshold=0).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

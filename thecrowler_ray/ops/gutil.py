@@ -66,6 +66,23 @@ def collect_tables(ds) -> "list[pa.Table]":
     return out
 
 
+def int_lut(map_ds, key: str, val: str):
+    """Small (key, val) int Dataset → (sorted_keys, vals) int64 arrays
+    on the driver, for broadcast LUT lookups via ``np.searchsorted``
+    (callers enforce the broadcast↔join size threshold)."""
+    ks, vs = [], []
+    for t in collect_tables(map_ds):
+        ks.append(t[key].to_numpy(zero_copy_only=False).astype(np.int64))
+        vs.append(t[val].to_numpy(zero_copy_only=False).astype(np.int64))
+    if not ks:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    k = np.concatenate(ks)
+    v = np.concatenate(vs)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 

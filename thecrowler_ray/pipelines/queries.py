@@ -3144,12 +3144,17 @@ def q_fuzzy_pairs(sf_dir: str):
                                max_dist=5)
 
 
-def q_host_rank(sf_dir: str):
+def q_host_rank(sf_dir: str, *, broadcast_threshold: int = 2_000_000):
     """Host-level PageRank: the synthetic doc link graph collapsed to
     its host graph (edge host(src)->host(dst) per doc link, parallel
     edges = link multiplicity — exactly ``ops/pagerank.py``'s weight
     semantics), hosts keyed by md5-high-63 so the twin derives the
-    identical ids in SQL. Self-host links drop (intra-site)."""
+    identical ids in SQL. Self-host links drop (intra-site).
+
+    The doc→host map is |docs|-sized; below the threshold it ships once
+    as a sorted-LUT broadcast and each edge batch re-keys in-worker via
+    searchsorted (zero shuffles); above it the two distributed hash
+    joins are the documented scale path (parity-tested switch)."""
     from ..ops.pagerank import pagerank
     from ..stages.ngram_lm import _join_partitions
 
@@ -3163,35 +3168,58 @@ def q_host_rank(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"],
                          "hid": pa.array(ids, pa.int64())})
 
-    hmap = docs.map_batches(host_id, batch_format="pyarrow")
+    hmap = docs.map_batches(host_id, batch_format="pyarrow").materialize()
     edges = _doc_link_graph(sf_dir)  # (src, dst) doc ids
-    nparts = _join_partitions()
-    src_h = hmap.map_batches(
-        lambda b: b.rename_columns(["src", "src_h"]),
-        batch_format="pyarrow")
-    dst_h = hmap.map_batches(
-        lambda b: b.rename_columns(["dst", "dst_h"]),
-        batch_format="pyarrow")
-    hedges = (edges
-              .join(src_h, join_type="inner", num_partitions=nparts,
-                    on=("src",))
-              .join(dst_h, join_type="inner", num_partitions=nparts,
-                    on=("dst",))
-              .map_batches(
-                  lambda b: pa.table({"src": b["src_h"],
-                                      "dst": b["dst_h"]}).filter(
-                      pc.invert(pc.equal(b["src_h"], b["dst_h"]))),
-                  batch_format="pyarrow"))
+
+    if hmap.count() <= broadcast_threshold:
+        from ..ops.gutil import int_lut
+
+        ref = ray.put(int_lut(hmap, "doc_id", "hid"))
+
+        def to_hosts(b: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            hs = v[np.searchsorted(k, b["src"].to_numpy(
+                zero_copy_only=False))]
+            hd = v[np.searchsorted(k, b["dst"].to_numpy(
+                zero_copy_only=False))]
+            keep = hs != hd
+            return pa.table({"src": pa.array(hs[keep]),
+                             "dst": pa.array(hd[keep])})
+
+        hedges = edges.map_batches(to_hosts, batch_format="pyarrow")
+    else:
+        nparts = _join_partitions()
+        src_h = hmap.map_batches(
+            lambda b: b.rename_columns(["src", "src_h"]),
+            batch_format="pyarrow")
+        dst_h = hmap.map_batches(
+            lambda b: b.rename_columns(["dst", "dst_h"]),
+            batch_format="pyarrow")
+        hedges = (edges
+                  .join(src_h, join_type="inner", num_partitions=nparts,
+                        on=("src",))
+                  .join(dst_h, join_type="inner", num_partitions=nparts,
+                        on=("dst",))
+                  .map_batches(
+                      lambda b: pa.table({"src": b["src_h"],
+                                          "dst": b["dst_h"]}).filter(
+                          pc.invert(pc.equal(b["src_h"], b["dst_h"]))),
+                      batch_format="pyarrow"))
     return (pagerank(hedges, iterations=5)
             .sort(["rank_q", "node"], descending=[True, False]))
 
 
-def q_assortativity(sf_dir: str):
+def q_assortativity(sf_dir: str, *, broadcast_threshold: int = 2_000_000):
     """Degree-assortativity sufficient statistics (Newman 2002): the
     exact integer moments of (out-degree(src), in-degree(dst)) over
     every edge of the synthetic doc link graph — Pearson r over edge
     endpoints derives on the driver/pytest path; the gate compares the
-    arbitrary-precision sums (``stages/moments.py`` discipline)."""
+    arbitrary-precision sums (``stages/moments.py`` discipline).
+
+    The degree tables are |V|-sized; below the threshold they ship once
+    as sorted-LUT broadcasts and each edge batch annotates in-worker via
+    searchsorted (zero join shuffles of the O(E) edge set); above it the
+    two distributed hash joins are the scale path (parity-tested)."""
     from ..stages.moments import moment_records
     from ..stages.ngram_lm import _join_partitions
 
@@ -3211,20 +3239,40 @@ def q_assortativity(sf_dir: str):
 
     od = (edges.map_batches(deg_partial("src", "src"),
                             batch_format="pyarrow")
-          .groupby("src").aggregate(Sum("c", alias_name="od")))
+          .groupby("src").aggregate(Sum("c", alias_name="od"))
+          .materialize())
     idg = (edges.map_batches(deg_partial("dst", "dst"),
                              batch_format="pyarrow")
-           .groupby("dst").aggregate(Sum("c", alias_name="id_")))
-    nparts = _join_partitions()
-    pairs = (edges
-             .join(od, join_type="inner", num_partitions=nparts,
-                   on=("src",))
-             .join(idg, join_type="inner", num_partitions=nparts,
-                   on=("dst",))
-             .map_batches(
-                 lambda b: pa.table({"dout": b["od"],
-                                     "din": b["id_"]}),
-                 batch_format="pyarrow"))
+           .groupby("dst").aggregate(Sum("c", alias_name="id_"))
+           .materialize())
+
+    if max(od.count(), idg.count()) <= broadcast_threshold:
+        from ..ops.gutil import int_lut
+
+        ref = ray.put((int_lut(od, "src", "od"),
+                       int_lut(idg, "dst", "id_")))
+
+        def annotate(b: pa.Table) -> pa.Table:
+            (ks, vs), (kd, vd) = ray.get(ref)
+            dout = vs[np.searchsorted(ks, b["src"].to_numpy(
+                zero_copy_only=False))]
+            din = vd[np.searchsorted(kd, b["dst"].to_numpy(
+                zero_copy_only=False))]
+            return pa.table({"dout": pa.array(dout),
+                             "din": pa.array(din)})
+
+        pairs = edges.map_batches(annotate, batch_format="pyarrow")
+    else:
+        nparts = _join_partitions()
+        pairs = (edges
+                 .join(od, join_type="inner", num_partitions=nparts,
+                       on=("src",))
+                 .join(idg, join_type="inner", num_partitions=nparts,
+                       on=("dst",))
+                 .map_batches(
+                     lambda b: pa.table({"dout": b["od"],
+                                         "din": b["id_"]}),
+                     batch_format="pyarrow"))
     return moment_records(pairs, ["din", "dout"], digits=0)
 
 
