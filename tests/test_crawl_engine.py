@@ -6,6 +6,8 @@ total order, per-doc span sequences, final seen set.
 """
 
 import glob
+import json
+import os
 import shutil
 
 import numpy as np
@@ -667,3 +669,33 @@ def test_link_explode_filter_vector_scalar_parity():
     got_urls = {r["key"]: r["url"] for r in got}
     assert got_urls == {k: u for k, (_, u) in best.items()}
     assert len(got) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_ignores_partial_wave():
+    """Mid-wave crash leaves a wave dir WITHOUT a complete manifest
+    (pages are made durable before the manifest commits) — resume must
+    restart from the last COMPLETE wave and still converge to the
+    oracle's exact page set."""
+    out = "/tmp/crowler_t_partial"
+    shutil.rmtree(out, ignore_errors=True)
+    base = dict(max_links=150, n_seen_shards=3, n_pol_shards=3,
+                fetch_concurrency=2, seen_log2_buckets=10, out_dir=out)
+    run1 = CrawlRun(CFG, SEEDS, EngineConfig(max_waves=3, **base))
+    run1.run()
+    # simulate the crash artifacts: a partial next wave with pages but no
+    # manifest, plus one with an incomplete manifest
+    part = os.path.join(out, "wave=3", "pages")
+    os.makedirs(part, exist_ok=True)
+    with open(os.path.join(part, "part-0.parquet"), "wb") as f:
+        f.write(b"\x00garbage - must never be read")
+    half = os.path.join(out, "wave=4")
+    os.makedirs(half, exist_ok=True)
+    with open(os.path.join(half, "manifest.json"), "w") as f:
+        json.dump({"complete": False, "total_fetched": 10**9}, f)
+    run2 = CrawlRun.resume(CFG, SEEDS, EngineConfig(max_waves=8, **base))
+    assert run2 is not None
+    assert run2.wave == 3  # resumed at the partial wave, not after it
+    run2.run_resumed()
+    oracle = crawl_oracle(CFG, SEEDS, CrawlParams(max_links=150, max_waves=8))
+    _assert_match(run2, out, oracle)

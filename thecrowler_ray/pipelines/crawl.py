@@ -1117,6 +1117,18 @@ class CrawlRun:
         if not waves:
             return None
         last_wave, man = max(waves, key=lambda t: t[0])
+        # a mid-wave crash leaves wave dirs without a complete manifest
+        # (pages are durable BEFORE the manifest commits) — remove them
+        # so no consumer globbing wave=*/pages ever reads partial output
+        import shutil
+
+        complete = {w for w, _ in waves}
+        for name in os.listdir(cfg.out_dir):
+            if name.startswith("wave="):
+                w = int(name.split("=")[1])
+                if w not in complete:
+                    shutil.rmtree(os.path.join(cfg.out_dir, name),
+                                  ignore_errors=True)
         run = cls(corpus_cfg, seeds, cfg)
         run.wave = last_wave + 1
         run.total_fetched = man["total_fetched"]
