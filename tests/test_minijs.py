@@ -454,3 +454,76 @@ def test_object_literal_accessors():
     """) == '{"a":1,"b":2}'
     # a plain key named get/set still parses
     assert run_script("({ get: 3, set: 4 }).get + ({get: 3, set: 4}).set") == 7
+
+
+def test_switch_statement():
+    # dispatch with fall-through and default
+    assert run_script("""
+        function kind(x) {
+            switch (x) {
+                case 1:
+                case 2: return 'small';
+                case 3: return 'three';
+                default: return 'big';
+            }
+        }
+        kind(1) + ',' + kind(2) + ',' + kind(3) + ',' + kind(9)
+    """) == "small,small,three,big"
+    # strict matching: '1' does not hit case 1
+    assert run_script("""
+        var r = 'none';
+        switch ('1') { case 1: r = 'num'; break; default: r = 'def'; }
+        r
+    """) == "def"
+    # break ends fall-through; default can sit mid-list
+    assert run_script("""
+        var log = [];
+        switch (2) {
+            case 1: log.push('a');
+            default: log.push('d');
+            case 2: log.push('b'); break;
+            case 3: log.push('c');
+        }
+        log.join('')
+    """) == "b"
+    # no match and no default: nothing runs
+    assert run_script("""
+        var r = 'un'; switch (7) { case 1: r = 'x'; } r
+    """) == "un"
+
+
+def test_for_in_and_in_operator():
+    assert run_script("""
+        var o = { a: 1, b: 2, c: 3 }, ks = [];
+        for (var k in o) ks.push(k);
+        ks.join(',')
+    """) == "a,b,c"
+    assert run_script("""
+        var total = 0, o = { x: 10, y: 20 };
+        for (var k in o) total += o[k];
+        total
+    """) == 30
+    # array for-in yields string indices; break/continue work
+    assert run_script("""
+        var a = ['p', 'q', 'r'], s = '';
+        for (var i in a) { if (i === '1') continue; s += i + a[i]; }
+        s
+    """) == "0p2r"
+    # the in operator: own keys, proto fallback, arrays
+    assert run_script("'a' in ({ a: 1 })") is True
+    assert run_script("'z' in ({ a: 1 })") is False
+    assert run_script("'hasOwnProperty' in ({})") is True
+    assert run_script("1 in ['x', 'y']") is True
+    assert run_script("5 in ['x', 'y']") is False
+    assert run_script("'length' in []") is True
+
+
+def test_void_and_comma_operator():
+    assert run_script("void 0") is run_script("undefined")
+    assert run_script("typeof void ('side' + 'effect')") == "undefined"
+    assert run_script("var i = 0, j = 0; i = (j = 2, j + 3); i") == 5
+    assert run_script("""
+        var s = '';
+        for (var i = 0, j = 3; i < j; i++, j--) s += i + '' + j;
+        s
+    """) == "0312"

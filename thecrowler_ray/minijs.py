@@ -88,7 +88,7 @@ _KEYWORDS = {
     "var", "let", "const", "if", "else", "while", "for", "return",
     "function", "true", "false", "null", "undefined", "typeof", "throw",
     "new", "do", "break", "continue", "try", "catch", "finally",
-    "instanceof", "delete",
+    "instanceof", "delete", "in", "switch", "case", "default", "void",
 }
 
 # a `/` starts a regex literal (not division) when the previous
@@ -262,7 +262,9 @@ class _Parser:
                 init = ("lit", UNDEFINED)
                 if self.at("punct", "="):
                     self.next()
-                    init = self.expr()
+                    # AssignmentExpression, NOT Expression: the comma
+                    # separates declarators (ES5 12.2)
+                    init = self.assignment()
                 decls.append((name, init))
                 if self.at("punct", ","):
                     self.next()
@@ -323,6 +325,23 @@ class _Parser:
         if self.at("kw", "for"):
             self.next()
             self.eat("punct", "(")
+            # for-in forms (ES5 12.6.4): for (x in e) / for (var x in e)
+            if (self.at("kw", "var") or self.at("kw", "let")
+                    or self.at("kw", "const")) \
+                    and self.peek(1)[0] == "id" \
+                    and self.peek(2) == ("kw", "in"):
+                self.next()
+                name = self.next()[1]
+                self.next()
+                obj = self.expr()
+                self.eat("punct", ")")
+                return ("forin", name, obj, self.statement(), True)
+            if self.at("id") and self.peek(1) == ("kw", "in"):
+                name = self.next()[1]
+                self.next()
+                obj = self.expr()
+                self.eat("punct", ")")
+                return ("forin", name, obj, self.statement(), False)
             init = None
             if not self.at("punct", ";"):
                 init = self.statement()
@@ -332,6 +351,32 @@ class _Parser:
             upd = None if self.at("punct", ")") else self.expr()
             self.eat("punct", ")")
             return ("for", init, cond, upd, self.statement())
+        if self.at("kw", "switch"):
+            self.next()
+            self.eat("punct", "(")
+            disc = self.expr()
+            self.eat("punct", ")")
+            self.eat("punct", "{")
+            cases = []
+            while not self.at("punct", "}"):
+                if self.at("kw", "case"):
+                    self.next()
+                    test = self.expr()
+                    self.eat("punct", ":")
+                elif self.at("kw", "default"):
+                    self.next()
+                    self.eat("punct", ":")
+                    test = None
+                else:
+                    raise MiniJsError("expected case/default in switch")
+                body = []
+                while not (self.at("kw", "case") or self.at("kw", "default")
+                           or self.at("punct", "}")):
+                    body.append(self.statement())
+                    self.skip_semi()
+                cases.append((test, body))
+            self.eat("punct", "}")
+            return ("switch", disc, cases)
         if self.at("kw", "throw"):
             self.next()
             return ("throw", self.expr())
@@ -371,7 +416,11 @@ class _Parser:
 
     # -- expressions (precedence climbing) ---------------------------------
     def expr(self):
-        return self.assignment()
+        node = self.assignment()
+        while self.at("punct", ","):  # comma operator (ES5 11.14)
+            self.next()
+            node = ("seq", node, self.assignment())
+        return node
 
     def assignment(self):
         left = self.ternary()
@@ -431,6 +480,9 @@ class _Parser:
             elif self.at("kw", "instanceof"):
                 self.next()
                 node = ("bin", "instanceof", node, self.shift())
+            elif self.at("kw", "in"):
+                self.next()
+                node = ("bin", "in", node, self.shift())
             else:
                 return node
 
@@ -459,6 +511,9 @@ class _Parser:
         if self.at("kw", "typeof"):
             self.next()
             return ("typeof", self.unary())
+        if self.at("kw", "void"):
+            self.next()
+            return ("void", self.unary())
         if self.at("kw", "delete"):
             self.next()
             target = self.unary()
@@ -945,6 +1000,49 @@ class Interpreter:
                 if node[3] is not None:
                     self.eval(node[3], env)
             return UNDEFINED
+        if kind == "forin":
+            name, declared = node[1], node[4]
+            obj = self.eval(node[2], env)
+            if isinstance(obj, dict):
+                keys = list(obj.keys())  # own enumerable, insertion order
+            elif isinstance(obj, (list, str)):
+                keys = [str(i) for i in range(len(obj))]
+            else:
+                keys = []  # null/undefined/primitives iterate nothing
+            for k in keys:
+                self._tick()
+                if declared:
+                    env[name] = k
+                else:
+                    self._store(("name", name), k, env)
+                try:
+                    self.exec_stmt(node[3], env)
+                except _Break as b:
+                    if b.label is None or b.label == label:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is not None and c.label != label:
+                        raise
+            return UNDEFINED
+        if kind == "switch":
+            d = self.eval(node[1], env)
+            cases = node[2]
+            idx = next((i for i, (t, _) in enumerate(cases)
+                        if t is not None
+                        and self._strict_eq(d, self.eval(t, env))), None)
+            if idx is None:  # default clause, wherever it sits
+                idx = next((i for i, (t, _) in enumerate(cases)
+                            if t is None), None)
+            if idx is not None:
+                try:
+                    for _, body in cases[idx:]:  # fall-through until break
+                        for s in body:
+                            self.exec_stmt(s, env)
+                except _Break as b:
+                    if b.label is not None:  # labeled break escapes switch
+                        raise
+            return UNDEFINED
         if kind == "break":
             raise _Break(node[1] if len(node) > 1 else None)
         if kind == "continue":
@@ -1048,6 +1146,12 @@ class Interpreter:
                     or callable(v):
                 return "function"
             return "object"
+        if kind == "void":
+            self.eval(node[1], env)
+            return UNDEFINED
+        if kind == "seq":  # comma operator: evaluate both, keep the right
+            self.eval(node[1], env)
+            return self.eval(node[2], env)
         if kind == "ternary":
             return (self.eval(node[2], env) if _truthy(self.eval(node[1], env))
                     else self.eval(node[3], env))
@@ -1181,6 +1285,20 @@ class Interpreter:
             else:
                 a, b = _num(a), _num(b)
             return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+        if op == "in":
+            key = _to_str(a)
+            if isinstance(b, dict):
+                return (_proto_lookup(b, key)[1]
+                        or key in _OBJECT_PROTO)
+            if isinstance(b, list):
+                if key == "length":
+                    return True
+                try:
+                    i = int(float(key))
+                except ValueError:
+                    return False
+                return 0 <= i < len(b)
+            raise MiniJsError("'in' requires an object operand")
         if op == "instanceof":
             if isinstance(b, _Function):  # user constructor: walk [[Proto]]
                 proto = b.props.get("prototype")
