@@ -12,8 +12,9 @@ descent parser → tree-walking evaluator) sufficient for those:
   - literals (numbers incl. hex/exponent, strings, booleans, null,
     arrays, objects, regex literals with g/i/m flags)
   - var/let/const, assignment (+=, -=, *=, /=), ++/--
-  - if/else, while, do/while, for(;;), break, continue, blocks, return,
-    labeled statements (``outer: for … break outer / continue outer``)
+  - if/else, while, do/while, for(;;), for..in (objects/arrays/strings),
+    switch/case/default with fall-through, break, continue, blocks,
+    return, labeled statements (``outer: for … break outer``)
   - try/catch/finally + throw (thrown values are catchable; native
     runtime errors surface as catchable {name, message} objects; the op
     budget is NOT catchable)
@@ -21,10 +22,10 @@ descent parser → tree-walking evaluator) sufficient for those:
     ``arguments``, fn.call/fn.apply
   - object-literal accessors (``{ get x() {…}, set x(v) {…} }``) —
     property reads/writes/JSON.stringify route through them
-  - operators: + - * / % comparisons && || ! ?: instanceof; ===/!== are
-    strict and ==/!= follow ES5 abstract equality (null == undefined,
-    number/string/boolean coercion, objects via the engine's string
-    conversion)
+  - operators: + - * / % comparisons && || ! ?: instanceof in void
+    and the comma operator; ===/!== are strict and ==/!= follow ES5
+    abstract equality (null == undefined, number/string/boolean
+    coercion, objects via the engine's string conversion)
   - Math.*, JSON.parse/stringify, String()/String.fromCharCode,
     Number(), parseInt (with radix)/parseFloat, isNaN/isFinite,
     Object.keys, Object.prototype.hasOwnProperty/toString,
