@@ -112,3 +112,16 @@ def test_host_rank_path_parity(ray_session):
     b = q_host_rank(sf, broadcast_threshold=0).to_pandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_clustering_coef_path_parity(ray_session):
+    # degree-LUT broadcast path vs distributed join path
+    from thecrowler_ray.pipelines.queries import q_clustering_coef
+
+    sf = "/root/testdata/sf0.001"
+    a = q_clustering_coef(sf).to_pandas()
+    b = q_clustering_coef(sf, broadcast_threshold=0).to_pandas()
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True))

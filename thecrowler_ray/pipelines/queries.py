@@ -3336,12 +3336,14 @@ def q_reciprocity(sf_dir: str, *, broadcast_threshold: int = 5_000_000):
         "reciprocity_ppm": [(r * 1_000_000) // n if n else 0]})
 
 
-def q_clustering_coef(sf_dir: str):
+def q_clustering_coef(sf_dir: str, *, broadcast_threshold: int = 2_000_000):
     """Local clustering coefficient (Watts-Strogatz 1998): per node
     triangles·10⁶ // (deg·(deg−1)/2) over the part co-order graph —
     integer ppm so the division is exact both sides. Nodes in ≥1
     triangle only (the triangle op's support), deg from the canonical
-    undirected edge set."""
+    undirected edge set. The degree table is |V|-sized: below the
+    threshold it ships as a sorted-LUT broadcast (no join shuffle);
+    above it the distributed hash join is the scale path."""
     from ..ops.triangles import _canonical_edges, triangle_counts
     from ..stages.basket import cooccur_edges
     from ..stages.ngram_lm import _join_partitions
@@ -3353,13 +3355,11 @@ def q_clustering_coef(sf_dir: str):
     # internal re-canonicalization; reuse its degree table instead of a
     # second endpoints groupby (both were full extra passes over E)
     tri, deg = triangle_counts(e, pre_canonical=True, return_degrees=True)
-    nparts = _join_partitions()
 
-    def coef(batch: pa.Table) -> pa.Table:
+    def finish(batch: pa.Table) -> pa.Table:
         t = batch["triangles"].to_numpy(zero_copy_only=False).astype(
             np.int64)
-        d = batch["deg"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
+        d = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
         cap = d * (d - 1) // 2
         return pa.table({
             "node": batch["node"],
@@ -3369,7 +3369,21 @@ def q_clustering_coef(sf_dir: str):
                 np.where(cap > 0, (t * 1_000_000) // np.maximum(cap, 1),
                          0).astype(np.int64))})
 
-    return (tri.join(deg, join_type="inner", num_partitions=nparts,
-                     on=("node",))
-            .map_batches(coef, batch_format="pyarrow")
-            .sort("node"))
+    deg = deg.materialize()
+    if deg.count() <= broadcast_threshold:
+        from ..ops.gutil import int_lut
+
+        ref = ray.put(int_lut(deg, "node", "deg"))
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            d = v[np.searchsorted(k, batch["node"].to_numpy(
+                zero_copy_only=False))]
+            return finish(batch.append_column("deg", pa.array(d)))
+
+        joined = tri.map_batches(annotate, batch_format="pyarrow")
+    else:
+        joined = tri.join(
+            deg, join_type="inner", num_partitions=_join_partitions(),
+            on=("node",)).map_batches(finish, batch_format="pyarrow")
+    return joined.sort("node")
