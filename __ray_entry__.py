@@ -270,6 +270,8 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         "q_crawl_index": q_crawl_index,
         "q_action_rules": q_action_rules,
         "q_doc_spans": q_doc_spans_summary,
+        # keyed window functions (ops/window.py, added round 4)
+        "q_window": q.q_window,
     }
 
 
@@ -4017,5 +4019,30 @@ r5 AS (
             SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
                    MIN(v) AS lo, MAX(v) AS hi
             FROM assigned GROUP BY bucket ORDER BY bucket
+        """,
+        # keyed window functions twin (ops/window.py): per user ordered
+        # by (ts, event_id) — a UNIQUE total order, so row numbers and
+        # frames are deterministic; integer-cents values keep every sum
+        # order-free and exact
+        "q_window": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_no,
+                   CAST(LAG(iv, 1, -1) OVER w AS BIGINT) AS lag1,
+                   CAST(LEAD(iv, 1, -1) OVER w AS BIGINT) AS lead1,
+                   CAST(SUM(iv) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sum,
+                   CAST(SUM(iv) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll3_sum
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id
         """,
     }

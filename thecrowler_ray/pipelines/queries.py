@@ -3387,3 +3387,33 @@ def q_clustering_coef(sf_dir: str, *, broadcast_threshold: int = 2_000_000):
             deg, join_type="inner", num_partitions=_join_partitions(),
             on=("node",)).map_batches(finish, batch_format="pyarrow")
     return joined.sort("node")
+
+
+def q_window(sf_dir: str):
+    """Keyed window functions (``ops/window.py``): per user ordered by
+    (ts, event_id) — row_number, lag/lead of the integer-cents value,
+    exact running sum, rolling-3 sum. Values go through
+    floor(value·100 + 0.5) so every sum is an order-free int64 and the
+    DuckDB window twin matches bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from ..ops.window import keyed_window
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "iv": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    w = keyed_window(ev.map_batches(prep, batch_format="pyarrow"),
+                     key="user_id", order=["ts_us", "event_id"],
+                     value="iv")
+    out = (w.select_columns(["user_id", "event_id", "row_no", "lag1",
+                             "lead1", "cum_sum", "roll3_sum"])
+           .sort(["user_id", "event_id"]))
+    return out
