@@ -272,6 +272,8 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         "q_doc_spans": q_doc_spans_summary,
         # keyed window functions (ops/window.py, added round 4)
         "q_window": q.q_window,
+        # quality-aware near-dup canonical selection (added round 4)
+        "q_dedup_keep_best": q.q_dedup_keep_best,
     }
 
 
@@ -4045,4 +4047,44 @@ r5 AS (
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, event_id
         """,
+        # keep-best canonical selection twin: the same bit-exact pair
+        # CTE + recursive closure as q_dedup_clusters, then per cluster
+        # ROW_NUMBER over (ws_tokens DESC, doc_id ASC); singleton docs
+        # form their own cluster via COALESCE
+        "q_dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS (
+                {{minhash_pairs}}
+            ), edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), walk(node, label) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+            ), comp AS (
+                SELECT node AS doc_id, MIN(label) AS cluster_id
+                FROM walk GROUP BY node
+            ), tok AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS ws
+                FROM documents
+            ), ann AS (
+                SELECT t.doc_id, t.ws,
+                       COALESCE(c.cluster_id, t.doc_id) AS cluster_id
+                FROM tok t LEFT JOIN comp c USING (doc_id)
+            ), ranked AS (
+                SELECT doc_id, ws, cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY ws DESC, doc_id ASC) AS rn
+                FROM ann
+            ), best AS (
+                SELECT cluster_id, doc_id AS keep_doc_id
+                FROM ranked WHERE rn = 1
+            )
+            SELECT a.doc_id, a.cluster_id, b.keep_doc_id,
+                   CAST(a.doc_id = b.keep_doc_id AS BIGINT) AS kept
+            FROM ann a JOIN best b USING (cluster_id)
+            ORDER BY a.doc_id
+        """.replace("{minhash_pairs}", _minhash_pairs_sql()),
     }

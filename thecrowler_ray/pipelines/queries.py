@@ -3417,3 +3417,51 @@ def q_window(sf_dir: str):
                              "lead1", "cum_sum", "roll3_sum"])
            .sort(["user_id", "event_id"]))
     return out
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware canonical selection over near-dup clusters (the
+    RefinedWeb keep-best recipe — min-id keep loses the best copy):
+    MinHash-LSH candidate pairs → connected components → per cluster
+    KEEP the doc with the most whitespace tokens, ties to the smaller
+    doc_id; docs outside every cluster keep themselves. →
+    (doc_id, cluster_id, keep_doc_id, kept).
+
+    Shape: the component table covers only docs in ≥1 candidate pair
+    (the duplicate fraction — small by construction) and ships as one
+    sorted-LUT broadcast; token counts stream per batch (text read
+    once, never shuffled); the keep-best pick is one cluster-hash-shard
+    groupby vectorized across clusters."""
+    from ..ops.gutil import group_by_key_shards, int_lut
+    from ..stages.cluster import connected_components
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds)
+    comp = connected_components(pairs)
+    ref = ray.put(int_lut(comp, "node", "label"))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(t["text"].to_pylist()).fillna("")
+        ws = s.str.split().str.len().fillna(0).to_numpy().astype(np.int64)
+        pos = np.searchsorted(k, ids)
+        found = (pos < len(k)) & (k[np.minimum(pos, max(len(k) - 1, 0))]
+                                  == ids) if len(k) else np.zeros(
+                                      len(ids), dtype=bool)
+        cl = np.where(found, v[np.minimum(pos, max(len(k) - 1, 0))], ids)
+        return pa.table({"doc_id": pa.array(ids), "ws": pa.array(ws),
+                         "cluster_id": pa.array(cl)})
+
+    ann = ds.map_batches(annotate, batch_format="pyarrow")
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "ws", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        best = (g.drop_duplicates("cluster_id")[["cluster_id", "doc_id"]]
+                .rename(columns={"doc_id": "keep_doc_id"}))
+        out = g.merge(best, on="cluster_id")
+        out["kept"] = (out["doc_id"] == out["keep_doc_id"]).astype("int64")
+        return out[["doc_id", "cluster_id", "keep_doc_id", "kept"]]
+
+    return group_by_key_shards(ann, "cluster_id", keep_best).sort("doc_id")
