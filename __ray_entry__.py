@@ -274,6 +274,8 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         "q_window": q.q_window,
         # quality-aware near-dup canonical selection (added round 4)
         "q_dedup_keep_best": q.q_dedup_keep_best,
+        # exact prefix-filtered set-similarity join (added round 4)
+        "q_ppjoin": q.q_ppjoin,
     }
 
 
@@ -4087,4 +4089,35 @@ r5 AS (
             FROM ann a JOIN best b USING (cluster_id)
             ORDER BY a.doc_id
         """.replace("{minhash_pairs}", _minhash_pairs_sql()),
+        # exact set-similarity join twin: NO prefix filter needed — the
+        # engine's prefix filtering is complete, so the plain token
+        # equi-join + integer Jaccard threshold must agree exactly
+        "q_ppjoin": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, t AS token
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(
+                               string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')) AS t
+                    FROM documents
+                )
+            ), sz AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tok GROUP BY doc_id
+            ), ov AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter
+                FROM tok a JOIN tok b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, inter,
+                   sa.n + sb.n - inter AS uni
+            FROM ov
+            JOIN sz sa ON sa.doc_id = ov.doc_a
+            JOIN sz sb ON sb.doc_id = ov.doc_b
+            WHERE 10 * inter >= 7 * (sa.n + sb.n - inter)
+            ORDER BY doc_a, doc_b
+        """,
     }

@@ -1,0 +1,58 @@
+"""Exact prefix-filtered set-similarity join (stages/ppjoin.py):
+brute-force Jaccard oracle, threshold edges, empty/disjoint docs."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from thecrowler_ray.stages.ppjoin import ppjoin_pairs
+
+
+def _brute(docs, num, den):
+    toks = {i: set((t or "").lower().split()) for i, t in docs.items()}
+    out = []
+    for a, b in itertools.combinations(sorted(docs), 2):
+        inter = len(toks[a] & toks[b])
+        uni = len(toks[a] | toks[b])
+        if uni and den * inter >= num * uni:
+            out.append((a, b, inter, uni))
+    return out
+
+
+def _run(docs, num=7, den=10):
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = ppjoin_pairs(rd.from_pandas(df), threshold_num=num,
+                       threshold_den=den).to_pandas()
+    if got.empty:  # empty Dataset.to_pandas() drops the schema
+        return []
+    return [tuple(int(x) for x in r)
+            for r in got[["doc_a", "doc_b", "inter", "uni"]].to_numpy()]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppjoin_matches_bruteforce_random():
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {
+        i: " ".join(rng.choice(vocab, size=rng.randint(5, 25)))
+        for i in range(60)
+    }
+    # inject guaranteed near-dups
+    docs[100] = docs[0] + " extra"
+    docs[101] = docs[0]
+    for num, den in [(7, 10), (1, 2), (9, 10)]:
+        assert _run(docs, num, den) == _brute(docs, num, den), (num, den)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppjoin_edges():
+    # identical docs: jaccard 1.0; disjoint docs: no pair; empty doc ignored
+    docs = {1: "a b c", 2: "a b c", 3: "x y z", 4: ""}
+    assert _run(docs) == [(1, 2, 3, 3)]
+    # exact threshold boundary: jaccard = 3/4 with t = 3/4 → kept
+    docs2 = {1: "a b c d", 2: "a b c e"}
+    assert _run(docs2, 3, 5) == [(1, 2, 3, 5)]
+    assert _run(docs2, 3, 4) == []  # 3/5 < 3/4

