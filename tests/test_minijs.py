@@ -527,3 +527,41 @@ def test_void_and_comma_operator():
         for (var i = 0, j = 3; i < j; i++, j--) s += i + '' + j;
         s
     """) == "0312"
+
+
+def test_bind_reduceright_defineproperty():
+    # Function.prototype.bind: this + partial application
+    assert run_script("""
+        function add(a, b) { return this.base + a + b; }
+        var add10 = add.bind({ base: 10 }, 1);
+        add10(2) + add10(5)
+    """) == 29
+    # bound functions are functions and still bindable via call sites
+    assert run_script("""
+        var f = function() { return this.x; }.bind({ x: 7 });
+        typeof f === 'function' ? f() : -1
+    """) == 7
+    # reduceRight folds from the end
+    assert run_script(
+        "['a','b','c'].reduceRight(function(acc, x) { return acc + x; }, '>')"
+    ) == ">cba"
+    assert run_script(
+        "[1,2,3].reduceRight(function(a, x) { return a - x; })") == 0
+    # Object.defineProperty: data + accessor descriptors
+    assert run_script("""
+        var o = {};
+        Object.defineProperty(o, 'v', { value: 5 });
+        Object.defineProperty(o, 'twice', {
+            get: function() { return this.v * 2; },
+            set: function(x) { this.v = x / 2; }
+        });
+        o.twice = 8;
+        o.v * 100 + o.twice
+    """) == 408
+    # Object.create links the prototype chain; getOwnPropertyNames is own-only
+    assert run_script("""
+        var proto = { greet: function() { return 'hi ' + this.name; } };
+        var o = Object.create(proto);
+        o.name = 'ada';
+        o.greet() + '|' + Object.getOwnPropertyNames(o).join(',')
+    """) == "hi ada|name"

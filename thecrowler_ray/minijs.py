@@ -1391,7 +1391,7 @@ class Interpreter:
         if isinstance(obj, _Callable):
             if name in obj.props:
                 return obj.props[name]
-            if name in ("call", "apply"):
+            if name in ("call", "apply", "bind"):
                 return self._call_apply(obj, name)
             raise MiniJsError(f"unsupported property {obj.name}.{name}")
         if isinstance(obj, _Function):
@@ -1401,7 +1401,7 @@ class Interpreter:
                 return obj.props[name]
         if isinstance(obj, (_Function, _NativeThis, _Bound)) or (
                 callable(obj) and not isinstance(obj, dict)):
-            if name in ("call", "apply"):
+            if name in ("call", "apply", "bind"):
                 return self._call_apply(obj, name)
         if isinstance(obj, _RegExp):
             if name == "source":
@@ -1436,17 +1436,28 @@ class Interpreter:
 
     @staticmethod
     def _call_apply(fn, how):
-        """fn.call(thisArg, ...) / fn.apply(thisArg, argsArray)."""
+        """fn.call(thisArg, ...) / fn.apply(thisArg, argsArray) /
+        fn.bind(thisArg, ...preArgs) (ES5 15.3.4.5)."""
 
-        def wrapper(it, a):
-            this = a[0] if a else UNDEFINED
-            rest = (list(a[1]) if len(a) > 1 and isinstance(a[1], list)
-                    else []) if how == "apply" else list(a[1:])
+        def _dispatch(it, this, rest):
             if isinstance(fn, _NativeThis):
                 return fn.fn(it, this, rest)
             if isinstance(fn, _Bound):
                 return fn.method(it, this, rest)
             return it._invoke(fn, rest, this_val=this)
+
+        def wrapper(it, a):
+            this = a[0] if a else UNDEFINED
+            if how == "bind":
+                pre = list(a[1:])
+
+                def bound(it2, b):
+                    return _dispatch(it2, this, pre + list(b))
+
+                return bound
+            rest = (list(a[1]) if len(a) > 1 and isinstance(a[1], list)
+                    else []) if how == "apply" else list(a[1:])
+            return _dispatch(it, this, rest)
 
         return wrapper
 
@@ -1642,24 +1653,54 @@ _METHODS = {
     ("list", "every"): _m(lambda it, l, a: all(
         _truthy(it._invoke(a[0], [x, float(i)])) for i, x in enumerate(l))),
     ("list", "reduce"): _m(lambda it, l, a: _reduce(it, l, a)),
+    ("list", "reduceRight"): _m(lambda it, l, a: _reduce(it, l, a,
+                                                         right=True)),
     ("list", "sort"): _m(lambda it, l, a: _sort(it, l, a)),
     # numbers
     ("float", "toFixed"): _m(lambda it, x, a: f"{x:.{int(_num(a[0]) if a else 0)}f}"),
 }
 
 
-def _reduce(it, lst, a):
+def _reduce(it, lst, a, right=False):
+    items = list(enumerate(lst))
+    if right:
+        items = items[::-1]
     if len(a) > 1:
         acc = a[1]
-        items = list(enumerate(lst))
     else:
         if not lst:
             raise MiniJsError("reduce of empty array with no initial value")
-        acc = lst[0]
-        items = list(enumerate(lst))[1:]
+        acc = items[0][1]
+        items = items[1:]
     for i, x in items:
         acc = it._invoke(a[0], [acc, x, float(i)])
     return acc
+
+
+def _define_property(it, a):
+    """Object.defineProperty(obj, key, descriptor) — data descriptors
+    set the value; accessor descriptors install an ES5 get/set pair
+    (routed exactly like object-literal accessors)."""
+    if len(a) < 3 or not isinstance(a[0], dict) or not isinstance(a[2], dict):
+        raise MiniJsError("defineProperty(obj, key, descriptor)")
+    obj, key, desc = a[0], _to_str(a[1]), a[2]
+    getter = desc.get("get")
+    setter = desc.get("set")
+    if (getter is not None and getter is not UNDEFINED) or \
+            (setter is not None and setter is not UNDEFINED):
+        acc = obj.get(key)
+        if not isinstance(acc, _Accessor):
+            acc = _Accessor()
+            acc.interp = it
+        if getter is not None and getter is not UNDEFINED:
+            acc.getter = getter
+        if setter is not None and setter is not UNDEFINED:
+            acc.setter = setter
+        acc.owner = obj
+        obj[key] = acc
+    elif "value" in desc:
+        obj[key] = desc["value"]
+    return obj
 
 
 def _sort(it, lst, a):
@@ -1826,6 +1867,11 @@ _GLOBALS = {
         props={
             "keys": lambda it, a: list(a[0].keys())
             if isinstance(a[0], dict) else [],
+            "getOwnPropertyNames": lambda it, a: list(a[0].keys())
+            if isinstance(a[0], dict) else [],
+            "create": lambda it, a: _JsObject(
+                proto=a[0] if a and isinstance(a[0], dict) else None),
+            "defineProperty": lambda it, a: _define_property(it, a),
             "prototype": _OBJECT_PROTO,
         },
         name="Object",
