@@ -19,7 +19,8 @@ descent parser → tree-walking evaluator) sufficient for those:
     runtime errors surface as catchable {name, message} objects; the op
     budget is NOT catchable)
   - function declarations + function expressions (closures),
-    ``arguments``, fn.call/fn.apply
+    ``arguments``, fn.call/fn.apply/fn.bind,
+    Object.defineProperty/create/keys/getOwnPropertyNames
   - object-literal accessors (``{ get x() {…}, set x(v) {…} }``) —
     property reads/writes/JSON.stringify route through them
   - operators: + - * / % comparisons && || ! ?: instanceof in void
