@@ -57,6 +57,13 @@ def entry() -> Any:
 # official driver row.  _R4_WINDOW puts the never-driver-checked operators
 # first this round — engine rows leading — and the r2/r3-driver-green rows
 # rotate to the back.  Rotate again next round for the remaining tail.
+# r5 ROTATION NOTE: after round 4, driver rows exist for checked_r123
+# (50 relational rows, CORRECTNESS_r01-r03) and _R4_WINDOW (these 50,
+# CORRECTNESS_r04). The ~38 queries in NEITHER set (everything the
+# reorder loop below appends between the two — q_pagerank-adjacent
+# graph ops added late in r3, q_resample, q_window, q_dedup_keep_best,
+# q_ppjoin, …) have never had a driver row: front-load THOSE in r5,
+# then backfill with rotated r4 rows.
 _R4_WINDOW = [
     # crawl engine (north-rule core; never driver-checked in r1-r3)
     "q_crawl", "q_crawl_index", "q_action_rules", "q_doc_spans",
