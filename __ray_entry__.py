@@ -4100,15 +4100,22 @@ r5 AS (
         # engine's prefix filtering is complete, so the plain token
         # equi-join + integer Jaccard threshold must agree exactly
         "q_ppjoin": """
-            WITH tok AS (
-                SELECT DISTINCT doc_id, t AS token
+            WITH words AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(generate_series(1, len(ws))) AS ord
                 FROM (
                     SELECT doc_id,
-                           unnest(list_filter(
+                           list_filter(
                                string_split_regex(lower(text), '\\s+'),
-                               x -> x <> '')) AS t
+                               x -> x <> '') AS ws
                     FROM documents
                 )
+            ), tok AS (
+                SELECT DISTINCT a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w AS token
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                JOIN words c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
             ), sz AS (
                 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
                 FROM tok GROUP BY doc_id

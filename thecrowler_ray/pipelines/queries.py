@@ -3469,11 +3469,17 @@ def q_dedup_keep_best(sf_dir: str):
 
 def q_ppjoin(sf_dir: str):
     """Exact set-similarity self-join (``stages/ppjoin.py``): every doc
-    pair with token-set Jaccard ≥ 0.7 — prefix-filtered candidates,
-    exact integer verification (10·inter ≥ 7·union). The oracle needs
-    no prefix trick: it computes the full token equi-join, which must
-    agree exactly because prefix filtering is complete."""
+    pair with 3-word-shingle Jaccard ≥ 0.7 — prefix-filtered + length-
+    filtered candidates, exact integer verification (10·inter ≥
+    7·union). Shingles, not unigrams: the synthetic corpus draws words
+    from a ~31-token vocabulary, so unigram sets make ~40 % of ALL doc
+    pairs genuinely similar (a quadratic exact answer by construction)
+    while the shingle vocabulary scales with the corpus and the output
+    is the true near-dup set. The oracle needs no prefix trick: the
+    full shingle equi-join must agree exactly because prefix filtering
+    is complete."""
     from ..stages.ppjoin import ppjoin_pairs
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return ppjoin_pairs(ds, threshold_num=7, threshold_den=10)
+    return ppjoin_pairs(ds, threshold_num=7, threshold_den=10,
+                        shingle_k=3)

@@ -53,8 +53,12 @@ def _tok_hash(tokens: list[str]) -> np.ndarray:
         dtype=np.int64, count=len(tokens))
 
 
-def _doc_tokens(text: str) -> list[str]:
-    return sorted({w for w in (text or "").lower().split() if w})
+def _doc_tokens(text: str, k: int = 1) -> list[str]:
+    ws = [w for w in (text or "").lower().split() if w]
+    if k <= 1:
+        return sorted(set(ws))
+    return sorted({" ".join(ws[i:i + k])
+                   for i in range(len(ws) - k + 1)})
 
 
 def ppjoin_pairs(
@@ -64,19 +68,25 @@ def ppjoin_pairs(
     threshold_den: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_k: int = 1,
     max_docs_per_token: int = 50_000,
 ) -> "ray.data.Dataset":
     """→ Dataset (doc_a, doc_b, inter, uni): every unordered doc pair
     with den·|A∩B| ≥ num·|A∪B| (Jaccard ≥ num/den, exact), doc_a <
     doc_b, sorted (doc_a, doc_b). Tokens: distinct lowercase
-    whitespace words."""
+    whitespace words (``shingle_k=1``) or k-word shingles — shingles
+    are the near-dup semantics (MinHash's set definition): on a
+    small-vocab corpus unigram sets make almost EVERY pair similar
+    (the exact answer is inherently quadratic), while shingle vocab
+    grows with the corpus and keeps the output at true near-dups.
+    Docs shorter than ``shingle_k`` words have no set and never pair."""
 
     # 1. (doc, token-hash) distinct rows + per-doc sizes
     def tok_rows(t: pa.Table) -> pa.Table:
         ids, hs, ns = [], [], []
         for did, text in zip(t[id_col].to_pylist(),
                              t[text_col].to_pylist()):
-            toks = _doc_tokens(text)
+            toks = _doc_tokens(text, shingle_k)
             h = _tok_hash(toks)
             ids.extend([did] * len(h))
             hs.append(h)
@@ -138,11 +148,13 @@ def ppjoin_pairs(
     n_shards = default_n_shards(4)
 
     def shard_pairs(g: pa.Table) -> pa.Table:
-        from .basket import _dedup_sorted, _pair_explode
+        from .basket import _pair_explode
 
         th = g["th"].to_numpy(zero_copy_only=False).astype(np.int64)
         did = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b, v = _dedup_sorted(th, did)
+        nn = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, th))
+        b, v, nv = th[order], did[order], nn[order]
         if len(b) == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
@@ -154,8 +166,23 @@ def ppjoin_pairs(
                   f"(> {max_docs_per_token} docs) — their candidate "
                   "pairs are dropped")
             keepm = ~np.repeat(big, sizes)
-            b, v = b[keepm], v[keepm]
+            b, v, nv = b[keepm], v[keepm], nv[keepm]
+        # the two explosions pair the SAME row positions (the pairing is
+        # a pure function of the run array b), so (xn, yn) are the
+        # exploded docs' set sizes
         x, y = _pair_explode(b, v)
+        if len(x) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        xn, yn = _pair_explode(b, nv)
+        # LENGTH FILTER (PPJoin): Jaccard ≤ min(n)/max(n) — a pair whose
+        # size ratio is already below t can never verify; this is the
+        # pruning that tames template-heavy corpora where rare template
+        # tokens put thousands of near-identical docs in one prefix group
+        lo = np.minimum(xn, yn)
+        hi = np.maximum(xn, yn)
+        keep = threshold_den * lo >= threshold_num * hi
+        x, y = x[keep], y[keep]
         if len(x) == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
@@ -191,7 +218,13 @@ def ppjoin_pairs(
         uni = np.empty(len(a), dtype=np.int64)
         for i in range(len(a)):
             sa, sb = ss[int(a[i])], ss[int(b[i])]
-            c = len(np.intersect1d(sa, sb, assume_unique=True))
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            # sets are pre-sorted: membership via searchsorted is
+            # O(na log nb) with NO re-sort (intersect1d sorts both)
+            pos = np.searchsorted(sb, sa)
+            pos[pos == len(sb)] = len(sb) - 1
+            c = int(np.count_nonzero(sb[pos] == sa))
             inter[i] = c
             uni[i] = len(sa) + len(sb) - c
         ok = threshold_den * inter >= threshold_num * uni
