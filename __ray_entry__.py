@@ -283,6 +283,8 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         "q_dedup_keep_best": q.q_dedup_keep_best,
         # exact prefix-filtered set-similarity join (added round 4)
         "q_ppjoin": q.q_ppjoin,
+        # fill-in-the-middle training transform (added round 4)
+        "q_fim": q.q_fim,
     }
 
 
@@ -4133,5 +4135,43 @@ r5 AS (
             JOIN sz sb ON sb.doc_id = ov.doc_b
             WHERE 10 * inter >= 7 * (sa.n + sb.n - inter)
             ORDER BY doc_a, doc_b
+        """,
+        # FIM transform twin: the same md5 coin/offsets and the PSM
+        # string rebuilt with 1-based substr — prefix = text[:lo],
+        # suffix = text[hi:], middle = text[lo:hi]
+        "q_fim": """
+            WITH base AS (
+                SELECT doc_id, COALESCE(text, '') AS text,
+                       length(COALESCE(text, '')) AS n,
+                       ('0x' || substr(md5('fim-a:'
+                            || CAST(doc_id AS VARCHAR)), 1, 16))
+                           ::UBIGINT AS h1,
+                       ('0x' || substr(md5('fim-b:'
+                            || CAST(doc_id AS VARCHAR)), 1, 16))
+                           ::UBIGINT AS h2
+                FROM documents
+            ), split AS (
+                SELECT doc_id, text, n,
+                       CASE WHEN n >= 10 AND h1 % 2 = 0
+                            THEN 1 ELSE 0 END AS fim_applied,
+                       CAST(1 + h1 % GREATEST(n - 1, 1) AS BIGINT) AS o1,
+                       CAST(1 + h2 % GREATEST(n - 1, 1) AS BIGINT) AS o2
+                FROM base
+            ), offs AS (
+                SELECT doc_id, text, fim_applied,
+                       CASE WHEN fim_applied = 1
+                            THEN LEAST(o1, o2) ELSE 0 END AS lo,
+                       CASE WHEN fim_applied = 1
+                            THEN GREATEST(o1, o2) ELSE 0 END AS hi
+                FROM split
+            )
+            SELECT doc_id, fim_applied, lo, hi,
+                   CASE WHEN fim_applied = 1
+                        THEN md5('<PRE>' || substr(text, 1, lo)
+                                 || '<SUF>' || substr(text, hi + 1)
+                                 || '<MID>'
+                                 || substr(text, lo + 1, hi - lo))
+                        ELSE md5(text) END AS fim_md5
+            FROM offs ORDER BY doc_id
         """,
     }

@@ -3,6 +3,7 @@
 brute-force oracles over small hand-built inputs."""
 
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -173,3 +174,34 @@ class TestPairExplode:
                     for j in range(i + 1, len(items)):
                         want.append((items[i], items[j]))
             assert got == sorted(want), trial
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fim_transform_layout():
+    """PSM layout: prefix+middle+suffix reassemble the original text;
+    the coin and offsets are pure functions of doc_id."""
+    import hashlib
+
+    from thecrowler_ray.pipelines.queries import q_fim
+
+    out = q_fim("/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    merged = out.merge(docs, on="doc_id")
+    assert set(merged.fim_applied.unique()) == {0, 1}
+    applied = merged[merged.fim_applied == 1]
+    assert len(applied) > 0
+    for r in applied.head(25).itertuples():
+        text = r.text or ""
+        rebuilt = ("<PRE>" + text[:r.lo] + "<SUF>" + text[r.hi:]
+                   + "<MID>" + text[r.lo:r.hi])
+        assert hashlib.md5(rebuilt.encode()).hexdigest() == r.fim_md5
+        assert 1 <= r.lo <= r.hi <= len(text)
+    skipped = merged[merged.fim_applied == 0]
+    for r in skipped.head(5).itertuples():
+        assert (r.lo, r.hi) == (0, 0)
+        assert hashlib.md5((r.text or "").encode()).hexdigest() == r.fim_md5
+    # determinism: same input → same output
+    again = q_fim("/root/testdata/sf0.001").to_pandas()
+    pd.testing.assert_frame_equal(out, again)

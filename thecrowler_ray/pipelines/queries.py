@@ -3483,3 +3483,49 @@ def q_ppjoin(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return ppjoin_pairs(ds, threshold_num=7, threshold_den=10,
                         shingle_k=3)
+
+
+def q_fim(sf_dir: str):
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle" — the public FIM
+    recipe): for a deterministic 50 % of docs (md5 coin on doc_id),
+    split the text at two md5-derived character offsets and emit the
+    PSM rearrangement ``<PRE>prefix<SUF>suffix<MID>middle``; the rest
+    pass through. Pure streaming map (text read once, never shuffled);
+    the gate pins md5 of the transformed text so rows stay slim.
+    → (doc_id, fim_applied, lo, hi, fim_md5), sorted by doc_id."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fim(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        applied, los, his, md5s = [], [], [], []
+        for did, text in zip(ids, texts):
+            text = text or ""
+            n = len(text)
+            h1 = int(hashlib.md5(f"fim-a:{did}".encode())
+                     .hexdigest()[:16], 16)
+            h2 = int(hashlib.md5(f"fim-b:{did}".encode())
+                     .hexdigest()[:16], 16)
+            if n >= 10 and h1 % 2 == 0:
+                o1, o2 = 1 + h1 % (n - 1), 1 + h2 % (n - 1)
+                lo, hi = min(o1, o2), max(o1, o2)
+                out = ("<PRE>" + text[:lo] + "<SUF>" + text[hi:]
+                       + "<MID>" + text[lo:hi])
+                applied.append(1)
+            else:
+                lo = hi = 0
+                out = text
+                applied.append(0)
+            los.append(lo)
+            his.append(hi)
+            md5s.append(hashlib.md5(out.encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "fim_applied": pa.array(applied, pa.int64()),
+            "lo": pa.array(los, pa.int64()),
+            "hi": pa.array(his, pa.int64()),
+            "fim_md5": pa.array(md5s, pa.string()),
+        })
+
+    return ds.map_batches(fim, batch_format="pyarrow").sort("doc_id")
