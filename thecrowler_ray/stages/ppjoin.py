@@ -26,11 +26,10 @@ Distribution shape:
      threshold is the rational num/den, so both engines compare
      integers).
 
-The verification set table is the broadcast side: it holds int64 token
-hashes per doc, which is the same duplicate-fraction-scale payload as
-the MinHash signature table; above ``broadcast_max_docs`` callers
-should pre-filter to candidate docs only (the pairs plane stays slim
-either way).
+The verification set table is the broadcast side, built ONLY for docs
+that appear in a candidate pair — its payload scales with the corpus's
+near-dup fraction (the same regime as the MinHash signature table),
+never with |corpus|; the pairs plane itself stays slim int64 rows.
 """
 
 from __future__ import annotations
@@ -196,10 +195,32 @@ def ppjoin_pairs(
             .map_groups(shard_pairs, batch_format="pyarrow")
             .groupby(["a", "b"]).count().drop_columns(["count()"]))
 
-    # 5. verify: ragged token-set table broadcast; exact sorted-merge
-    # intersection per candidate pair
+    # 5. verify: ragged token-set table broadcast — built ONLY for docs
+    # that survived into a candidate pair (the near-dup fraction), so
+    # the payload scales with duplicates, not with |corpus|
+    cand = cand.materialize()
+    cd_parts = [
+        np.unique(np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False)]))
+        for t in collect_tables(cand)
+    ]
+    cand_ids = (np.unique(np.concatenate(cd_parts)) if cd_parts
+                else np.array([], dtype=np.int64))
+    cand_ref = ray.put(cand_ids)
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        cids = ray.get(cand_ref)
+        did = t[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cids, did)
+        hit = (pos < len(cids)) & (
+            cids[np.minimum(pos, max(len(cids) - 1, 0))] == did) \
+            if len(cids) else np.zeros(len(did), dtype=bool)
+        return t.filter(pa.array(hit))
+
     sets: dict[int, np.ndarray] = {}
-    for t in collect_tables(rows):
+    for t in collect_tables(rows.map_batches(only_candidates,
+                                             batch_format="pyarrow")):
         did = t[id_col].to_numpy(zero_copy_only=False)
         th = t["th"].to_numpy(zero_copy_only=False)
         o = np.lexsort((th, did))
