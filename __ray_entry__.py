@@ -1013,7 +1013,7 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('day', TIMESTAMP '2026-01-01 00:00:00'
                        + (doc_id % 72) * INTERVAL 1 HOUR) AS bucket_start,
                    COUNT(*) AS n_obs,
-                   SUM(occ) AS sum_occ
+                   CAST(SUM(occ) AS BIGINT) AS sum_occ
             FROM occ GROUP BY keyword, bucket_start
         """,
         # information-seed pipeline: constructed candidate shapes →
@@ -1434,8 +1434,10 @@ def oracle_sql() -> dict[str, str]:
                   ON d.doc_id = b.doc_id AND d.label = b.label
             )
             SELECT doc_id, label AS pred_lang, score_q4, n_tokens,
-                   CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS is_train,
-                   CASE WHEN label = true_lang THEN 1 ELSE 0 END AS correct
+                   CAST(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_train,
+                   CAST(CASE WHEN label = true_lang THEN 1 ELSE 0 END
+                        AS BIGINT) AS correct
             FROM scored WHERE rn = 1 ORDER BY doc_id
         """,
         # corpus-GLOBAL line dedup (C4): ROW_NUMBER over (doc_id, line_no)
@@ -1667,7 +1669,8 @@ def oracle_sql() -> dict[str, str]:
             qs(q_permille) AS (
                 VALUES (10), (250), (500), (750), (900), (990)
             )
-            SELECT qs.q_permille, n.n, s.cents AS value
+            SELECT CAST(qs.q_permille AS BIGINT) AS q_permille,
+                   n.n, s.cents AS value
             FROM qs, n
             JOIN s ON s.r = CAST(floor(
                 (qs.q_permille / 1000.0) * (n.n - 1)) AS BIGINT)
@@ -1992,11 +1995,12 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM d
             )
-            SELECT r.vec_id, r.label AS pred_label, r.dist AS dist_q,
-                   CASE WHEN r.vec_id % 10 < 8 THEN 1 ELSE 0 END
-                       AS is_train,
-                   CASE WHEN r.label = e.label THEN 1 ELSE 0 END
-                       AS correct
+            SELECT r.vec_id, CAST(r.label AS BIGINT) AS pred_label,
+                   r.dist AS dist_q,
+                   CAST(CASE WHEN r.vec_id % 10 < 8 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_train,
+                   CAST(CASE WHEN r.label = e.label THEN 1 ELSE 0 END
+                        AS BIGINT) AS correct
             FROM ranked r JOIN embeddings e USING (vec_id)
             WHERE r.rn = 1 ORDER BY r.vec_id
         """,
@@ -2891,8 +2895,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM keep
             )
             SELECT user_id, state, version, valid_from, valid_to,
-                   CASE WHEN valid_to = -1 THEN 1 ELSE 0 END
-                       AS is_current
+                   CAST(CASE WHEN valid_to = -1 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_current
             FROM v ORDER BY user_id, version
         """,
         # k-means twin (stages/kmeans.py): init = the 4 smallest
@@ -3718,7 +3722,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
             qs(q_permille) AS (VALUES (50), (500), (950))
-            SELECT qs.q_permille, n.n, s.qty AS value
+            SELECT CAST(qs.q_permille AS BIGINT) AS q_permille,
+                   n.n, s.qty AS value
             FROM qs, n
             JOIN s ON s.r = CAST(floor(
                 (qs.q_permille / 1000.0) * (n.n - 1)) AS BIGINT)
@@ -4165,7 +4170,8 @@ r5 AS (
                             THEN GREATEST(o1, o2) ELSE 0 END AS hi
                 FROM split
             )
-            SELECT doc_id, fim_applied, lo, hi,
+            SELECT doc_id, CAST(fim_applied AS BIGINT) AS fim_applied,
+                   lo, hi,
                    CASE WHEN fim_applied = 1
                         THEN md5('<PRE>' || substr(text, 1, lo)
                                  || '<SUF>' || substr(text, hi + 1)

@@ -24,7 +24,15 @@ def to_pandas(res) -> pd.DataFrame:
         return res.reset_index(drop=True)
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    df = res.to_pandas()  # ray Dataset
+    if len(df) == 0 and len(df.columns) == 0:
+        # Ray quirk: to_pandas() on an empty Dataset drops all columns —
+        # rebuild the typed empty frame from the Dataset schema
+        schema = res.schema()
+        empty = pa.table({n: pa.array([], t)
+                          for n, t in zip(schema.names, schema.types)})
+        return empty.to_pandas()
+    return df
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -76,12 +84,24 @@ def main() -> int:
             continue
         got = canon(raw)
         try:
-            want = canon(con.execute(oracles[name]).fetchdf())
+            want_raw = con.execute(oracles[name]).fetchdf()
+            want = canon(want_raw)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL raised {e}")
             failures += 1
             continue
         ok = True
+        # dtype-strict pass: the driver's canonical hash is dtype-sensitive
+        # (r4's q_ts_emitted was value-equal but float64-vs-int64 red), so a
+        # raw-dtype mismatch between the Ray output and the DuckDB oracle is
+        # a FAILURE here even when values compare equal below.
+        if set(raw.columns) == set(want_raw.columns):
+            for c in sorted(raw.columns):
+                da, db = raw[c].dtype, want_raw[c].dtype
+                if str(da) != str(db):
+                    print(f"FAIL {name}: dtype skew col {c}: ray={da} "
+                          f"oracle={db}")
+                    ok = False
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             ok = False

@@ -240,6 +240,9 @@ def q_events_hourly(sf_dir: str):
         .to_pandas()
     )
     out["sum_value"] = out["sum_value"].round(4)
+    # [us] matches the DuckDB twin's timestamp unit (driver hash is
+    # dtype-sensitive; see NOTES_r5 dtype sweep)
+    out["hour"] = out["hour"].astype("datetime64[us]")
     return out
 
 
@@ -273,6 +276,7 @@ def q_events_sliding(sf_dir: str, window_hours: int = 3):
         .to_pandas()
     )
     out["sum_value"] = out["sum_value"].round(4)
+    out["window_end"] = out["window_end"].astype("datetime64[us]")
     return out
 
 
@@ -735,10 +739,18 @@ def q_timeseries(sf_dir: str):
     # tests); the oracle-checked projection is the order-insensitive subset
     # avg is sum/n: a last-ulp sum difference can round apart at a 4-decimal
     # boundary (observed at sf0.01) — the checked projection keeps sum and n
-    return out.select_columns(
+    out = out.select_columns(
         ["metric", "bucket", "n", "sum_value", "min_value", "max_value",
          "p50", "p75", "p90", "p95", "p99", "distinct_entities"]
     )
+
+    def _bucket_us(t: pa.Table) -> pa.Table:
+        # the shard-agg pandas round-trip upcasts bucket to [ns]; the DuckDB
+        # twin is [us] and the driver hash is dtype-sensitive — cast back
+        i = t.schema.get_field_index("bucket")
+        return t.set_column(i, "bucket", t["bucket"].cast(pa.timestamp("us")))
+
+    return out.map_batches(_bucket_us, batch_format="pyarrow")
 
 
 SEARCH_DORK = 'lang:en batch || lang:de merge &limit:50'
@@ -1084,6 +1096,7 @@ def q_monthly_orders(sf_dir: str):
         .to_pandas()
     )
     out["total_price"] = out["total_price"].round(2)
+    out["month"] = out["month"].astype("datetime64[us]")
     return out
 
 
@@ -1435,7 +1448,7 @@ class _KeywordEmitStage:
         self._Emitter = Emitter
         self._base = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         from datetime import timedelta
 
         from ..ts_emitter import IndexedArtifactInput
@@ -1462,13 +1475,16 @@ class _KeywordEmitStage:
         } for o in repo.observations]
         obs = pd.DataFrame(rows, columns=["keyword", "bucket_start", "occ"])
         # per-batch combiner: the downstream groupby moves
-        # O(groups-per-batch × batches) partial rows, not every observation
-        return (
+        # O(groups-per-batch × batches) partial rows, not every observation.
+        # Arrow out — this stage feeds a groupby (pandas exchanges tax
+        # sort-aggregates ~25x; measured r3s8).
+        part = (
             obs.groupby(["keyword", "bucket_start"], sort=False)["occ"]
             .agg(n_obs="size", sum_occ="sum")
             .reset_index()
             .astype({"n_obs": "int64", "sum_occ": "int64"})
         )
+        return pa.Table.from_pandas(part, preserve_index=False)
 
 
 def q_ts_emitted(sf_dir: str):
@@ -1494,6 +1510,9 @@ def q_ts_emitted(sf_dir: str):
     )
     out["n_obs"] = out["n_obs"].astype("int64")
     out["sum_occ"] = out["sum_occ"].astype("int64")
+    # [us] matches the DuckDB twin (the r4 driver-red row was a dtype hash
+    # artifact: float64 SUM + [ns] bucket vs the oracle's BIGINT + [us])
+    out["bucket_start"] = out["bucket_start"].astype("datetime64[us]")
     return out
 
 
