@@ -294,3 +294,28 @@ class TestInfoStats:
                       "y": pa.array([], pa.string())})
         got = entropy_mi(rd.from_arrow(t), "x", "y")
         assert int(got["n"].iloc[0]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_int64_precision_beyond_2_53():
+    # epoch-nanosecond-scale seqs: adjacent values differ by 1 at
+    # magnitudes where float64 rounds them together — the chain must
+    # stay exact-integer (r4 advice finding)
+    import ray.data as rd
+
+    base = 2**60 + 12345  # far beyond float64's 2^53 integer range
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "event_type": ["view", "click", "buy", "view", "click"],
+        # user 1: strictly increasing by 1 at 2^60 scale
+        # user 2: click at EXACTLY the view time (strictness must reject)
+        "seq": [base, base + 1, base + 2, base + 10, base + 10],
+    })
+    out = funnel(rd.from_pandas(df), ["view", "click", "buy"]).to_pandas()
+    out = out.sort_values("user").reset_index(drop=True)
+    assert out.loc[0, "steps_completed"] == 3
+    assert int(out.loc[0, "t_1"]) == base
+    assert int(out.loc[0, "t_2"]) == base + 1
+    assert int(out.loc[0, "t_3"]) == base + 2
+    assert out.loc[1, "steps_completed"] == 1
+    assert int(out.loc[1, "t_2"]) == -1

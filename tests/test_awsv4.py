@@ -59,8 +59,12 @@ def _verify_sigv4(method, path, query, headers, payload, secret):
         f"{urllib.parse.quote(k, safe='-_.~')}="
         f"{urllib.parse.quote(v, safe='-_.~')}"
         for k, v in urllib.parse.parse_qsl(query, keep_blank_values=True)))
+    # S3 signs the raw request path verbatim (single-encoded as sent);
+    # other services double-encode per the SigV4 spec
+    canon_path = path if service == "s3" \
+        else urllib.parse.quote(path, safe="/-_.~")
     creq = "\n".join([
-        method, urllib.parse.quote(path, safe="/-_.~"), qs,
+        method, canon_path, qs,
         canon_headers, fields["SignedHeaders"],
         hashlib.sha256(payload).hexdigest()])
     sts = "\n".join([
@@ -216,3 +220,16 @@ def test_from_env_requires_credentials():
         "AWS_REGION": "us-west-1"})
     assert c is not None and c.region == "us-west-1"
     assert c.endpoint == "https://s3.us-west-1.amazonaws.com"
+
+
+def test_special_char_keys_roundtrip(s3_server):
+    # keys with space / % / + / = / non-ASCII must sign correctly: S3's
+    # canonical URI is the single-encoded wire path, NOT re-encoded
+    # (the old double-encoding bug turned 'a b' into 'a%2520b')
+    c = _client(s3_server)
+    for key in ["a b/c d.txt", "pct%file", "plus+file", "eq=file",
+                "uni-é€.bin"]:
+        c.put_object("bkt", key, b"payload-" + key.encode())
+        body, _ = c.get_object("bkt", key)
+        assert body == b"payload-" + key.encode(), key
+    assert s3_server.bad_sig == 0

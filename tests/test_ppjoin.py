@@ -88,3 +88,38 @@ def test_ppjoin_shingles():
     assert pairs == brute_sh(docs, 3, 6, 10)
     assert (90, 91) not in [(a, b) for a, b, *_ in pairs] or True
     assert any(a == 0 and b == 90 for a, b, *_ in pairs)  # identical docs pair
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppjoin_join_path_parity():
+    # broadcast_doc_threshold=0 forces the distributed two-join verify
+    # path; the result must be identical to the broadcast path + brute
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {i: " ".join(rng.choice(vocab, size=rng.randint(5, 25)))
+            for i in range(50)}
+    docs[200] = docs[1]
+    docs[201] = docs[1] + " tail"
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = ppjoin_pairs(rd.from_pandas(df), threshold_num=7,
+                       threshold_den=10,
+                       broadcast_doc_threshold=0).to_pandas()
+    pairs = ([] if got.empty else
+             [tuple(int(x) for x in r)
+              for r in got[["doc_a", "doc_b", "inter", "uni"]].to_numpy()])
+    assert pairs == _brute(docs, 7, 10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppjoin_cap_contract():
+    # default: no cap, exact. Explicit cap + cap_mode="raise": loud.
+    # cap_mode="drop": documented false-negative escape hatch.
+    docs = {i: "a b c d e f g h" for i in range(12)}  # all identical
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    with pytest.raises(Exception) as ei:
+        ppjoin_pairs(rd.from_pandas(df), threshold_num=7, threshold_den=10,
+                     max_docs_per_token=5).to_pandas()
+    assert "max_docs_per_token" in str(ei.value)
+    got = ppjoin_pairs(rd.from_pandas(df), threshold_num=7, threshold_den=10,
+                       max_docs_per_token=5, cap_mode="drop").to_pandas()
+    assert got.empty  # every prefix token oversize -> all pairs dropped

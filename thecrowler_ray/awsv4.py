@@ -92,9 +92,15 @@ def sign_request(
                    for k, v in out.items())
     canonical_headers = "".join(f"{k}:{v}\n" for k, v in lower)
     signed_headers = ";".join(k for k, _ in lower)
+    # S3 signs the request path AS SENT (encoded exactly once by the
+    # caller); re-encoding here would double-encode 'a b' -> 'a%2520b'
+    # and yield SignatureDoesNotMatch for keys with space/%/+/= chars.
+    # Every other AWS service double-encodes per the SigV4 spec.
+    canonical_uri = (parts.path or "/") if service == "s3" \
+        else _uri_encode(parts.path or "/", keep_slash=True)
     canonical_request = "\n".join([
         method.upper(),
-        _uri_encode(parts.path or "/", keep_slash=True),
+        canonical_uri,
         _canonical_query(parts.query),
         canonical_headers,
         signed_headers,

@@ -3196,12 +3196,17 @@ def q_host_rank(sf_dir: str, *, broadcast_threshold: int = 2_000_000):
         ref = ray.put(int_lut(hmap, "doc_id", "hid"))
 
         def to_hosts(b: pa.Table) -> pa.Table:
+            # clamp + membership-mask: an edge referencing a doc_id
+            # absent from documents DROPS (matching the join path's
+            # inner join) instead of raising or mis-mapping
             k, v = ray.get(ref)
-            hs = v[np.searchsorted(k, b["src"].to_numpy(
-                zero_copy_only=False))]
-            hd = v[np.searchsorted(k, b["dst"].to_numpy(
-                zero_copy_only=False))]
-            keep = hs != hd
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            ps = np.minimum(np.searchsorted(k, s), len(k) - 1)
+            pd_ = np.minimum(np.searchsorted(k, d), len(k) - 1)
+            ok = (k[ps] == s) & (k[pd_] == d)
+            hs, hd = v[ps], v[pd_]
+            keep = ok & (hs != hd)
             return pa.table({"src": pa.array(hs[keep]),
                              "dst": pa.array(hd[keep])})
 

@@ -51,27 +51,45 @@ def funnel(
 
     slim = ds.map_batches(prep, batch_format="pyarrow")
 
+    INT64_MIN = np.iinfo(np.int64).min
+    INT64_MAX = np.iinfo(np.int64).max
+
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized across users: k chained groupby-mins (k is the
+        # vectorized across users: k chained scatter-mins (k is the
         # funnel length, a small constant), floors carried per user —
-        # never a Python loop over users
+        # never a Python loop over users. Everything stays int64: a
+        # float64 detour (reindex/fillna/np.inf) silently loses
+        # precision for seq beyond 2^53 (epoch-nanosecond sequence
+        # numbers are in-contract). Stalled users carry the sentinel
+        # floor INT64_MAX — ``seq > INT64_MAX`` is unsatisfiable, which
+        # IS the break semantics.
         users = np.unique(g["user"].to_numpy())
-        floor = pd.Series(-(2 ** 62), index=users, dtype="float64")
-        times: list[pd.Series] = []
-        for i in range(k):
-            gi = g[g["step"] == i]
-            f = floor.loc[gi["user"]].to_numpy()
-            gi = gi[gi["seq"].to_numpy() > f]
-            col = gi.groupby("user")["seq"].min().reindex(users)
-            times.append(col.fillna(-1).astype("int64"))
-            # a stalled user blocks every later step (break semantics)
-            floor = col.fillna(np.inf)
+        nu = len(users)
+        floor = np.full(nu, INT64_MIN, dtype=np.int64)
+        seqs = g["seq"].to_numpy().astype(np.int64, copy=False)
+        steps_col = g["step"].to_numpy()
+        uidx_all = np.searchsorted(users, g["user"].to_numpy())
         out = pd.DataFrame({"user": users.astype(np.int64)})
-        completed = np.zeros(len(users), dtype=np.int64)
+        completed = np.zeros(nu, dtype=np.int64)
+        tcols = []
         for i in range(k):
-            completed += (times[i].to_numpy() >= 0).astype(np.int64)
-            out[f"t_{i + 1}"] = times[i].to_numpy()
-        out.insert(1, "steps_completed", completed)
+            sel = steps_col == i
+            uidx, sv = uidx_all[sel], seqs[sel]
+            if i:
+                ok = sv > floor[uidx]
+                uidx, sv = uidx[ok], sv[ok]
+            # step 0 takes every event (no strictly-greater filter:
+            # seq == INT64_MIN must still count)
+            t = np.full(nu, INT64_MAX, dtype=np.int64)
+            np.minimum.at(t, uidx, sv)
+            present = np.zeros(nu, dtype=bool)
+            present[uidx] = True
+            completed += present
+            tcols.append(np.where(present, t, np.int64(-1)))
+            floor = np.where(present, t, INT64_MAX)
+        out["steps_completed"] = completed
+        for i, t in enumerate(tcols):
+            out[f"t_{i + 1}"] = t
         return out
 
     from ..ops.gutil import group_by_key_shards
