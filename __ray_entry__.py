@@ -85,12 +85,41 @@ _R4_WINDOW = [
 ]
 
 
+# r5 gate window: the 39 queries that have never had a driver row in any
+# round (CORRECTNESS_r01-r04 set difference, judge-confirmed in the r4
+# VERDICT) lead; then the rows whose oracle SQL or implementation changed
+# this round (the dtype-skew sweep: re-prove them green under the new
+# casts — q_ts_emitted was r4's one red row); the crawl-engine north-rule
+# core fills the window to 50.
+_R5_WINDOW = [
+    # --- never driver-checked (39) ---
+    "q_anchor_text", "q_anomalies", "q_bm25", "q_centroid_classify",
+    "q_chunking", "q_cohort", "q_dbscan", "q_dedup_keep_best",
+    "q_exact_quantiles", "q_fim", "q_funnel", "q_gopher_filter",
+    "q_heavy_hitters", "q_interval_merge", "q_kmeans", "q_markov",
+    "q_moments", "q_mutual_info", "q_ngram_lm", "q_ols_trend",
+    "q_pca_gram", "q_pmi", "q_ppjoin", "q_quantile_bucket",
+    "q_repetition", "q_resample", "q_rrf_fusion", "q_scd2",
+    "q_session_paths", "q_shuffle_split", "q_sketch_quantiles",
+    "q_source_overlap", "q_tfidf", "q_twa", "q_url_prefixes",
+    "q_url_templates", "q_weighted_sample", "q_window", "q_winnow",
+    # --- changed this round (dtype sweep + bounds fix): re-prove ---
+    "q_ts_emitted", "q_timeseries", "q_monthly_orders", "q_events_hourly",
+    "q_events_sliding", "q_nb_classify", "q_host_rank",
+    # --- crawl-engine north-rule core: keep green every round ---
+    "q_crawl", "q_crawl_index", "q_action_rules", "q_doc_spans",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out = _queries_unordered()
-    assert len(_R4_WINDOW) == 50 and all(k in out for k in _R4_WINDOW)
-    ordered = {k: out[k] for k in _R4_WINDOW}
-    # remaining never-driver-checked rows next (first in line for the r5
-    # rotation), then the r2/r3-driver-green relational rows at the back
+    assert len(_R5_WINDOW) == 50 and all(k in out for k in _R5_WINDOW)
+    ordered = {k: out[k] for k in _R5_WINDOW}
+    # then the rest of the r4 window (driver-green r4), then the
+    # r2/r3-driver-green relational rows at the back
+    for k in _R4_WINDOW:
+        if k not in ordered:
+            ordered[k] = out[k]
     checked_r123 = {
         "q_pricing_summary", "q_top_customers", "q_orders_by_priority",
         "q_supplier_per_region", "q_part_types", "q_lineitem_topk",
