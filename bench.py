@@ -143,6 +143,10 @@ def run_queries(sf_dir: str, limit: int | None = None) -> dict:
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
             print(f"# query {name} failed: {e}", file=sys.stderr)
+        # drop the reference so the query's materialized blocks free
+        # BEFORE the next query runs (refcounting suffices; a per-query
+        # gc.collect() measured as churn, not a win)
+        res = None
     return timings
 
 
