@@ -565,3 +565,51 @@ def test_bind_reduceright_defineproperty():
         o.name = 'ada';
         o.greet() + '|' + Object.getOwnPropertyNames(o).join(',')
     """) == "hi ada|name"
+
+
+def test_function_declaration_hoisting():
+    # ES5 10.5: function declarations bind before the scope's body runs
+    assert run_script("f(); function f() { return 1; } f();") == 1
+    assert run_script("""
+        function g() { return inner() + 1; function inner() { return 8; } }
+        g();
+    """) == 9
+    # mutual recursion across two declarations
+    assert run_script("""
+        function even(n) { return n === 0 ? true : odd(n - 1); }
+        function odd(n) { return n === 0 ? false : even(n - 1); }
+        even(10) && !odd(10);
+    """) is True
+    # var hoisting: the NAME enters scope as undefined, the init does not run
+    assert run_script("var r = typeof x; var x = 1; r;") == "undefined"
+    # a function-expression initializer must NOT hoist
+    assert run_script(
+        "var t = typeof h; var h = function() {}; t;") == "undefined"
+
+
+def test_typeof_undeclared_is_undefined():
+    assert run_script("typeof nope;") == "undefined"
+    assert run_script("typeof nope === 'undefined' ? 'safe' : 'no';") == "safe"
+
+
+def test_named_function_expression():
+    # the name binds only inside the function's own scope (ES5 13)
+    assert run_script("""
+        var f = function fact(n) { return n < 2 ? 1 : n * fact(n - 1); };
+        f(5);
+    """) == 120
+    assert run_script(
+        "var f = function g() { return 1; }; typeof g;") == "undefined"
+
+
+def test_array_elisions():
+    assert run_script("var a = [1,,3]; a.length;") == 3
+    assert run_script("var a = [1,,3]; a[1] === undefined;") is True
+    assert run_script("[1,2,].length;") == 2
+    assert run_script("[,,].length;") == 2
+
+
+def test_try_catch_completion_value():
+    assert run_script("try { throw { code: 42 }; } catch (e) { e.code; }") == 42
+    assert run_script("try { throw 'boom'; } catch (e) { e; }") == "boom"
+    assert run_script("try { 'ok'; } finally { 'discarded'; }") == "ok"

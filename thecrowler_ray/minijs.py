@@ -388,10 +388,13 @@ class _Parser:
                 return ("return", ("lit", UNDEFINED))
             return ("return", self.expr())
         if self.at("kw", "function"):
+            # FunctionDeclaration (ES5 13): distinct node so the
+            # declaration-binding pass (ES5 10.5) can hoist it — a
+            # `var f = function(){}` initializer must NOT hoist
             self.next()
             name = self.eat("id")[1]
             fn = self.function_rest()
-            return ("decl", [(name, fn)])
+            return ("fdecl", name, fn)
         if self.at("id") and self.peek(1) == ("punct", ":"):
             # labeled statement (ES5 12.12): label targets for the
             # enclosed loop's break/continue
@@ -592,6 +595,11 @@ class _Parser:
                 return ("lit", UNDEFINED)
             if t[1] == "function":
                 self.next()
+                if self.at("id"):
+                    # named function expression (ES5 13): the name is
+                    # visible only inside the function's own scope
+                    name = self.next()[1]
+                    return ("namedfunc", name, self.function_rest())
                 return self.function_rest()
         if t[0] == "id":
             self.next()
@@ -605,6 +613,12 @@ class _Parser:
             self.next()
             items = []
             while not self.at("punct", "]"):
+                if self.at("punct", ","):
+                    # elision (ES5 11.1.4): the hole reads as undefined;
+                    # a trailing comma adds no element
+                    items.append(("lit", UNDEFINED))
+                    self.next()
+                    continue
                 items.append(self.assignment())
                 if self.at("punct", ","):
                     self.next()
@@ -910,6 +924,7 @@ class Interpreter:
         self.ops = 0
         last = UNDEFINED
         try:
+            self._hoist(ast[1], env)
             for stmt in ast[1]:
                 last = self.exec_stmt(stmt, env)
         except _Thrown as t:
@@ -926,6 +941,47 @@ class Interpreter:
         self.ops += 1
         if self.ops > self.max_ops:
             raise MiniJsBudgetError("script exceeded op budget")
+
+    # -- declaration binding (ES5 10.5) -------------------------------------
+    def _hoist(self, stmts, env):
+        """Bind function declarations and enter var names as undefined
+        BEFORE the scope's statements run; recursion stops at nested
+        function bodies (they hoist at their own invocation)."""
+        for s in stmts:
+            k = s[0]
+            if k == "fdecl":
+                env[s[1]] = _Function(s[2][1], s[2][2], env)
+            elif k == "decl":
+                for name, _init in s[1]:
+                    if name not in env:
+                        env[name] = UNDEFINED
+            elif k == "block":
+                self._hoist(s[1], env)
+            elif k == "if":
+                self._hoist([s[2]], env)
+                if s[3] is not None:
+                    self._hoist([s[3]], env)
+            elif k in ("while", "dowhile"):
+                self._hoist([s[2]], env)
+            elif k == "for":
+                if s[1] is not None:
+                    self._hoist([s[1]], env)
+                self._hoist([s[4]], env)
+            elif k == "forin":
+                if s[4] and s[1] not in env:
+                    env[s[1]] = UNDEFINED
+                self._hoist([s[3]], env)
+            elif k == "label":
+                self._hoist([s[2]], env)
+            elif k == "try":
+                self._hoist([s[1]], env)
+                if s[3] is not None:
+                    self._hoist([s[3]], env)
+                if s[4] is not None:
+                    self._hoist([s[4]], env)
+            elif k == "switch":
+                for _test, body in s[2]:
+                    self._hoist(body, env)
 
     # -- statements --------------------------------------------------------
     def exec_stmt(self, node, env, label=None):
@@ -949,6 +1005,12 @@ class Interpreter:
         if kind == "decl":
             for name, init in node[1]:
                 env[name] = self.eval(init, env)
+            return UNDEFINED
+        if kind == "fdecl":
+            # bound by the hoisting pass before the scope ran; late-bind
+            # only if this scope was entered without hoisting
+            if node[1] not in env:
+                env[node[1]] = _Function(node[2][1], node[2][2], env)
             return UNDEFINED
         if kind == "if":
             if _truthy(self.eval(node[1], env)):
@@ -1051,13 +1113,16 @@ class Interpreter:
             raise _Continue(node[1] if len(node) > 1 else None)
         if kind == "try":
             _block, catch_name, catch_block, fin = node[1:]
+            # completion value: the try block's (or, after a throw, the
+            # catch block's); finally's value is discarded (ES5 12.14)
+            last = UNDEFINED
             try:
                 try:
-                    self.exec_stmt(_block, env)
+                    last = self.exec_stmt(_block, env)
                 except _Thrown as t:
                     if catch_block is not None:
                         local = {"__parent__": env, catch_name: t.value}
-                        self.exec_stmt(catch_block, local)
+                        last = self.exec_stmt(catch_block, local)
                     else:
                         raise
                 except MiniJsBudgetError:
@@ -1068,13 +1133,13 @@ class Interpreter:
                         local = {"__parent__": env,
                                  catch_name: {"name": "Error",
                                               "message": str(exc)}}
-                        self.exec_stmt(catch_block, local)
+                        last = self.exec_stmt(catch_block, local)
                     else:
                         raise
             finally:
                 if fin is not None:
                     self.exec_stmt(fin, env)
-            return UNDEFINED
+            return last
         if kind == "return":
             raise _Return(self.eval(node[1], env))
         if kind == "throw":
@@ -1124,6 +1189,13 @@ class Interpreter:
             return out
         if kind == "func":
             return _Function(node[1], node[2], env)
+        if kind == "namedfunc":
+            # the function expression's own name binds in a scope layer
+            # visible only to the function body (ES5 13 FunctionExpression)
+            scope = {"__parent__": env}
+            f = _Function(node[2][1], node[2][2], scope)
+            scope[node[1]] = f
+            return f
         if kind == "regexlit":
             return _RegExp(node[1], node[2])
         if kind == "not":
@@ -1135,7 +1207,17 @@ class Interpreter:
         if kind == "pos":
             return _num(self.eval(node[1], env))
         if kind == "typeof":
-            v = self.eval(node[1], env)
+            if node[1][0] == "name":
+                # typeof on an undeclared name is 'undefined', never a
+                # ReferenceError (ES5 11.4.3)
+                try:
+                    v = self.eval(node[1], env)
+                except MiniJsBudgetError:
+                    raise
+                except MiniJsError:
+                    return "undefined"
+            else:
+                v = self.eval(node[1], env)
             if v is UNDEFINED:
                 return "undefined"
             if isinstance(v, bool):
@@ -1513,6 +1595,7 @@ class Interpreter:
             for i, p in enumerate(fn.params):
                 local[p] = args[i] if i < len(args) else UNDEFINED
             try:
+                self._hoist(fn.body[1], local)
                 self.exec_stmt(fn.body, local)
             except _Return as r:
                 return r.value

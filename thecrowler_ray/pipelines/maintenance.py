@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 import pyarrow as pa
 import ray.data
@@ -84,6 +85,12 @@ def compact_waves(run_dir: str, out_dir: str | None = None) -> dict:
         return {"files_before": 0, "files_after": 0, "rows": 0}
     ds = ray.data.read_parquet(files)
     rows = ds.count()
+    # compaction REPLACES its derived output: write_parquet appends
+    # uniquely-named files, so re-running into a stale dir would
+    # silently duplicate every row (idempotent-overwrite is the
+    # resumable-restart contract)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     # one file per ~100k rows
     ds.repartition(max(1, rows // 100_000 + 1)).write_parquet(out_dir)
     after = len(glob.glob(os.path.join(out_dir, "*.parquet")))
