@@ -106,8 +106,11 @@ _R5_WINDOW = [
     # --- changed this round (dtype sweep + bounds fix): re-prove ---
     "q_ts_emitted", "q_timeseries", "q_monthly_orders", "q_events_hourly",
     "q_events_sliding", "q_nb_classify", "q_host_rank",
+    # --- new this round (oracle-checked engine rows for the formerly
+    # unit-only M10/M18 components) ---
+    "q_content_type", "q_page_validation",
     # --- crawl-engine north-rule core: keep green every round ---
-    "q_crawl", "q_crawl_index", "q_action_rules", "q_doc_spans",
+    "q_crawl", "q_crawl_index",
 ]
 
 
@@ -289,6 +292,8 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         # and detection engines under the DuckDB-oracle gate)
         "q_scrape_docs": q.q_scrape_docs,
         "q_tech_detect_docs": q.q_tech_detect_docs,
+        "q_content_type": q.q_content_type,
+        "q_page_validation": q.q_page_validation,
         "q_screenshots": q.q_screenshots,
         "q_xhr_requests": q.q_xhr_requests,
         "q_xhr_merge": q.q_xhr_merge,
@@ -2455,6 +2460,52 @@ def oracle_sql() -> dict[str, str]:
                        AS description,
                    text AS body
             FROM documents
+        """,
+        # M10 content-type decision table: sniff (every 7th doc carries
+        # '<!doctype html') overrides the docTypeMap extension pick;
+        # unmapped .xyz and extension-less paths fall to UNKNOWN
+        "q_content_type": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'text/html'
+                        ELSE CASE CAST(doc_id % 12 AS INTEGER)
+                             WHEN 0 THEN 'text/html'
+                             WHEN 1 THEN 'application/json'
+                             WHEN 2 THEN 'application/pdf'
+                             WHEN 3 THEN 'image/png'
+                             WHEN 4 THEN 'image/jpeg'
+                             WHEN 5 THEN 'video/mp4'
+                             WHEN 6 THEN 'text/css'
+                             WHEN 7 THEN 'application/zip'
+                             WHEN 8 THEN 'application/xml'
+                             WHEN 9 THEN 'UNKNOWN'
+                             WHEN 10 THEN 'UNKNOWN'
+                             ELSE 'text/csv' END
+                   END AS mime
+            FROM documents ORDER BY doc_id
+        """,
+        # M18 page-load validation replay: even ids gate on a body-text
+        # word ('scan' anywhere, group on_fail skip); odd ids gate on
+        # the meta description STARTING with it (per-validation retry)
+        "q_page_validation": """
+            WITH f AS (
+                SELECT doc_id,
+                       ' ' || text || ' ' LIKE '% scan %' AS has_scan,
+                       (text LIKE 'scan %' OR text = 'scan') AS starts_scan
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN CASE WHEN has_scan THEN 1 ELSE 0 END
+                        ELSE CASE WHEN starts_scan THEN 1 ELSE 0 END
+                        END AS BIGINT) AS valid,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CASE WHEN has_scan THEN 'none' ELSE 'skip' END
+                        ELSE CASE WHEN starts_scan THEN 'none'
+                             ELSE 'retry' END
+                   END AS action,
+                   CAST(CASE WHEN doc_id % 2 = 1 AND NOT starts_scan
+                        THEN 2 ELSE 0 END AS BIGINT) AS max_retries
+            FROM f ORDER BY doc_id
         """,
         "q_tech_detect_docs": """
             SELECT doc_id,

@@ -969,6 +969,96 @@ def q_scrape_docs(sf_dir: str):
     return out.map_batches(explode, batch_format="pyarrow")
 
 
+_CT_EXTS = [".html", ".json", ".pdf", ".png", ".jpg", ".mp4",
+            ".css", ".zip", ".xml", ".xyz", "", ".csv"]
+
+
+def q_content_type(sf_dir: str):
+    """The real content-type detector (M10: HTML sniff first, then the
+    reference's docTypeMap extension map, else UNKNOWN —
+    pkg/crawler/web.go:3044-3088 + types.go:323-413) over
+    documents-derived URLs/payloads: extension cycles through the map
+    (incl. an unmapped .xyz and an extension-less path), every 7th doc
+    carries a sniffable '<!doctype html' payload that must override the
+    extension. The SQL twin re-states the decision table."""
+    from ..content_type import infer_document_type
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def detect(t: pa.Table) -> pa.Table:
+        mimes = []
+        for d, s, x in zip(t["doc_id"].to_pylist(), t["source"].to_pylist(),
+                           t["text"].to_pylist()):
+            ext = _CT_EXTS[int(d) % 12]
+            url = f"https://{s}.example.test/files/item{d}{ext}"
+            content = (f"<!doctype html><p>{x or ''}</p>"
+                       if int(d) % 7 == 0 else (x or ""))
+            mimes.append(infer_document_type(url, content))
+        return pa.table({"doc_id": t["doc_id"],
+                         "mime": pa.array(mimes, pa.string())})
+
+    return ds.map_batches(detect, batch_format="pyarrow")
+
+
+_DOC_VALIDATION_CONFIG = {
+    "load_validation": {
+        "groups": [
+            {   # even doc ids: the body paragraph must mention 'scan'
+                "url_pattern": r"doc://\d*[02468]$",
+                "on_fail": "skip",
+                "validations": [
+                    {"dom_checks": [{
+                        "selector": "p",
+                        "conditions": [
+                            {"type": "text", "pattern": r"\bscan\b"}],
+                    }]},
+                ],
+            },
+            {   # odd doc ids: the meta description must START with
+                # 'scan'; a failing check asks for a per-validation retry
+                "url_pattern": r"doc://\d*[13579]$",
+                "validations": [
+                    {"dom_checks": [{
+                        "selector": "meta",
+                        "conditions": [
+                            {"type": "attribute", "attribute": "content",
+                             "pattern": r"^scan\b"}],
+                    }],
+                        "on_fail": "retry", "max_retries": 2},
+                ],
+            },
+        ],
+    }
+}
+
+
+def q_page_validation(sf_dir: str):
+    """The real page-load validator (M18:
+    pkg/crawler/page_validation.go semantics — url_pattern group gate,
+    dom_checks with text/attribute conditions, per-validation retry
+    precedence, group on_fail skip) over documents-derived pages. Every
+    decision is a pure function of (doc_id parity, text content), which
+    the SQL twin re-states."""
+    from ..page_validation import apply_load_validation
+
+    def validate(t: pa.Table) -> pa.Table:
+        valid, action, retries = [], [], []
+        for d, h, u in zip(t["doc_id"].to_pylist(), t["html"].to_pylist(),
+                           t["url"].to_pylist()):
+            st = apply_load_validation(_DOC_VALIDATION_CONFIG, h, u)
+            valid.append(1 if st.valid else 0)
+            action.append(st.action)
+            retries.append(st.max_retries)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "valid": pa.array(valid, pa.int64()),
+            "action": pa.array(action, pa.string()),
+            "max_retries": pa.array(retries, pa.int64())})
+
+    return _doc_pages(sf_dir).map_batches(validate, batch_format="pyarrow",
+                                          batch_size=128)
+
+
 def q_tech_detect_docs(sf_dir: str):
     """The real tech-detection engine (regex signatures, confidence curve,
     implied-stack closure) over documents-derived HTML with per-class
