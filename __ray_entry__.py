@@ -294,6 +294,7 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         "q_tech_detect_docs": q.q_tech_detect_docs,
         "q_content_type": q.q_content_type,
         "q_page_validation": q.q_page_validation,
+        "q_transforms": q.q_transforms,
         "q_screenshots": q.q_screenshots,
         "q_xhr_requests": q.q_xhr_requests,
         "q_xhr_merge": q.q_xhr_merge,
@@ -2482,6 +2483,30 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 'text/csv' END
                    END AS mime
             FROM documents ORDER BY doc_id
+        """,
+        # M16 transforms replay: the clean-step chain + regex remove in
+        # regexp_replace form, JSON validity as the %5 CASE
+        "q_transforms": """
+            WITH raw AS (
+                SELECT doc_id,
+                       '<b>Doc &amp; ' || CAST(doc_id AS VARCHAR)
+                       || '</b>  ' || substr(text, 1, 40) || chr(10)
+                       || ' tail ' || CAST(doc_id % 100 AS VARCHAR) AS v
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   replace(v, '&amp;', '&'),
+                                   '<[^>]*>', '', 'g'),
+                               '[0-9]+', '', 'g'),
+                           '\\s+', ' ', 'g'),
+                       '\\btail\\b', '', 'g')) AS cleaned,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END
+                        AS BIGINT) AS valid_json
+            FROM raw ORDER BY doc_id
         """,
         # M18 page-load validation replay: even ids gate on a body-text
         # word ('scan' anywhere, group on_fail skip); odd ids gate on

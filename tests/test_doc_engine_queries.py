@@ -54,3 +54,19 @@ def test_page_validation_rows():
     odd = out[out.index % 2 == 1]
     assert set(even["action"]) == {"none", "skip"}
     assert "retry" in set(odd["action"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transforms_rows():
+    from thecrowler_ray.pipelines.queries import q_transforms
+
+    out = q_transforms(SF).to_pandas().set_index("doc_id")
+    # html removed, entity decoded, digits gone, 'tail' removed, trimmed
+    c0 = out.loc[0, "cleaned"]
+    assert c0.startswith("Doc &")
+    assert "<" not in c0 and "&amp;" not in c0 and "tail" not in c0
+    assert not any(ch.isdigit() for ch in c0)
+    # JSON validity flag: 0 for %5==0 (broken payload), else 1
+    assert int(out.loc[0, "valid_json"]) == 0
+    assert int(out.loc[5, "valid_json"]) == 0
+    assert int(out.loc[1, "valid_json"]) == 1

@@ -1059,6 +1059,36 @@ def q_page_validation(sf_dir: str):
                                           batch_size=128)
 
 
+def q_transforms(sf_dir: str):
+    """The real post-processing transforms (M16:
+    pkg/scraper/transforms.go — clean-step chain, regex remove, JSON
+    validate) over documents-derived dirty scraped values. The dirty
+    value is plain string assembly, so DuckDB replays the whole chain
+    with regexp_replace/trim and a CASE for the validity flag."""
+    from ..transforms import (transform_clean, transform_remove,
+                              transform_validate)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        cleaned, valid = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            raw = (f"<b>Doc &amp; {d}</b>  {(x or '')[:40]}\n"
+                   f" tail {int(d) % 100}")
+            c = transform_clean(raw, [
+                "decode_html_entities", "remove_html", "remove_numbers",
+                "remove_extra_whitespace"])
+            c = transform_remove(c, r"\btail\b").strip()
+            payload = '{"k": %d}' % d if int(d) % 5 else "{broken"
+            cleaned.append(c)
+            valid.append(1 if transform_validate(payload, ["k"]) else 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "cleaned": pa.array(cleaned, pa.string()),
+                         "valid_json": pa.array(valid, pa.int64())})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def q_tech_detect_docs(sf_dir: str):
     """The real tech-detection engine (regex signatures, confidence curve,
     implied-stack closure) over documents-derived HTML with per-class
