@@ -295,6 +295,7 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         "q_content_type": q.q_content_type,
         "q_page_validation": q.q_page_validation,
         "q_transforms": q.q_transforms,
+        "q_servicescout": q.q_servicescout,
         "q_screenshots": q.q_screenshots,
         "q_xhr_requests": q.q_xhr_requests,
         "q_xhr_merge": q.q_xhr_merge,
@@ -2507,6 +2508,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END
                         AS BIGINT) AS valid_json
             FROM raw ORDER BY doc_id
+        """,
+        # M23 nmap-argv replay: concat_ws skips the NULL CASE pieces,
+        # mirroring the builder's conditional flag appends
+        "q_servicescout": """
+            SELECT doc_id,
+                   concat_ws(' ',
+                       CASE WHEN doc_id % 2 = 0 THEN '-sU' END,
+                       CASE WHEN doc_id % 3 = 0 THEN '-sS' END,
+                       '--system-dns',
+                       CASE WHEN doc_id % 2 = 1 THEN '-n' END,
+                       CASE WHEN doc_id % 4 = 0 THEN '-Pn -p 1-'
+                            || CAST(1000 + doc_id % 5 AS VARCHAR)
+                            || ' -sV' END,
+                       CASE WHEN doc_id % 5 = 0 THEN '-O' END,
+                       CASE WHEN doc_id % 7 <> 0
+                            THEN '-T' || CAST(doc_id % 6 AS VARCHAR) END,
+                       CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 1
+                            THEN '--scan-delay 1.5ms' END,
+                       CASE WHEN doc_id % 3 > 0 THEN '--max-retries '
+                            || CAST(doc_id % 3 AS VARCHAR) END,
+                       CASE WHEN doc_id % 3 = 0 THEN '-sS' END,
+                       CASE WHEN doc_id % 3 = 0 THEN '-sO' END,
+                       '--traceroute', '-v2', '-d2', '--privileged',
+                       '10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                   ) AS argv
+            FROM documents ORDER BY doc_id
         """,
         # M18 page-load validation replay: even ids gate on a body-text
         # word ('scan' anywhere, group on_fail skip); odd ids gate on

@@ -70,3 +70,27 @@ def test_transforms_rows():
     assert int(out.loc[0, "valid_json"]) == 0
     assert int(out.loc[5, "valid_json"]) == 0
     assert int(out.loc[1, "valid_json"]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_servicescout_rows():
+    from thecrowler_ray.pipelines.queries import q_servicescout
+
+    out = q_servicescout(SF).to_pandas().set_index("doc_id")["argv"]
+    # doc 0: %7==0 -> 'fast' template aborts timing; udp+syn+service+os
+    a0 = out.loc[0]
+    assert a0.startswith("-sU -sS --system-dns -Pn -p 1-1000 -sV -O -sS")
+    assert a0.endswith("--traceroute -v2 -d2 --privileged 10.0.0.0")
+    assert "--scan-delay" not in a0 and "-T" not in a0.replace("-sT", "")
+    # doc 6: numeric template '0' -> -T0 present (even id, no delay)
+    a6 = out.loc[6]
+    assert "-T0" in a6.split() and "--scan-delay" not in a6
+    # doc 7: %7==0 -> non-numeric template aborts timing AND scan-delay
+    a7 = out.loc[7]
+    assert "-T" not in a7.replace("-sT", "")  # no timing flag
+    assert "--scan-delay" not in a7
+    # doc 1: odd -> -n present, scan-delay 1.5ms (template numeric)
+    a1 = out.loc[1]
+    assert "-n" in a1.split() and "--scan-delay 1.5ms" in a1
+    # doc 3: syn -> the double -sS plus -sO quirk
+    assert out.loc[3].split().count("-sS") == 2 and "-sO" in out.loc[3]

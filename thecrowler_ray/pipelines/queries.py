@@ -1089,6 +1089,41 @@ def q_transforms(sf_dir: str):
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def q_servicescout(sf_dir: str):
+    """The real ServiceScout nmap-options builder (M23:
+    serviceescout.go:118-297 — scan-type flags, DNS fallbacks, service
+    detection port ranges, the non-numeric-timing-template early return
+    that skips scan-delay, the double -sS/-sO quirk) over
+    documents-derived configs. The argv is a pure function of doc_id,
+    which the SQL twin re-states with concat_ws CASE pieces."""
+    from ..serviceescout import build_nmap_args
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        argvs = []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            cfg = {
+                "udp_scan": d % 2 == 0,
+                "syn_scan": d % 3 == 0,
+                "service_detection": d % 4 == 0,
+                "max_port_number": 1000 + d % 5,
+                "os_finger_print": d % 5 == 0,
+                # non-numeric template aborts timing (incl. scan-delay)
+                "timing_template": str(d % 6) if d % 7 else "fast",
+                "scan_delay": "0.5" if d % 2 else "",
+                "max_retries": d % 3,
+                "no_dns_resolution": d % 2 == 1,
+            }
+            argvs.append(" ".join(
+                build_nmap_args(cfg, f"10.0.0.{d % 250}", "linux")))
+        return pa.table({"doc_id": t["doc_id"],
+                         "argv": pa.array(argvs, pa.string())})
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
 def q_tech_detect_docs(sf_dir: str):
     """The real tech-detection engine (regex signatures, confidence curve,
     implied-stack closure) over documents-derived HTML with per-class
