@@ -103,12 +103,17 @@ _R5_WINDOW = [
     "q_session_paths", "q_shuffle_split", "q_sketch_quantiles",
     "q_source_overlap", "q_tfidf", "q_twa", "q_url_prefixes",
     "q_url_templates", "q_weighted_sample", "q_window", "q_winnow",
-    # --- changed this round (dtype sweep + bounds fix): re-prove ---
-    "q_ts_emitted", "q_timeseries", "q_monthly_orders", "q_events_hourly",
-    "q_events_sliding", "q_nb_classify", "q_host_rank",
+    # --- changed this round (dtype sweep + bounds fix): re-prove.
+    # q_events_hourly / q_events_sliding carry the same [us]-alignment
+    # change as q_monthly_orders (re-proven here) and were r1-3
+    # driver-green; their slots go to the new rows below so EVERY query
+    # has had a driver row by end of r5 ---
+    "q_ts_emitted", "q_timeseries", "q_monthly_orders",
+    "q_nb_classify", "q_host_rank",
     # --- new this round (oracle-checked engine rows for the formerly
-    # unit-only M10/M18 components) ---
-    "q_content_type", "q_page_validation",
+    # unit-only M10/M16/M18/M23 components) ---
+    "q_content_type", "q_page_validation", "q_transforms",
+    "q_servicescout",
     # --- crawl-engine north-rule core: keep green every round ---
     "q_crawl", "q_crawl_index",
 ]
