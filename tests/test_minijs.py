@@ -613,3 +613,44 @@ def test_try_catch_completion_value():
     assert run_script("try { throw { code: 42 }; } catch (e) { e.code; }") == 42
     assert run_script("try { throw 'boom'; } catch (e) { e; }") == "boom"
     assert run_script("try { 'ok'; } finally { 'discarded'; }") == "ok"
+
+
+def test_es5_library_surface_r5():
+    # String.prototype.search / lastIndexOf
+    assert run_script("'hello'.search(/l+/);") == 2
+    assert run_script("'hello'.search('lo');") == 3
+    assert run_script("'abcabc'.lastIndexOf('b');") == 4
+    # Array.prototype.splice: remove / insert / negative start
+    assert run_script(
+        "var a=[1,2,3,4]; var r=a.splice(1,2);"
+        "r.join('')+':'+a.join('');") == "23:14"
+    assert run_script("var a=[1,4]; a.splice(1,0,2,3); a.join('');") == "1234"
+    assert run_script(
+        "var a=[1,2,3]; a.splice(-1).join('') + ':' + a.length;") == "3:2"
+    assert run_script("[1,2,1,3].lastIndexOf(1);") == 2
+    assert run_script("[1].lastIndexOf(9);") == -1
+    # Object.getPrototypeOf / Number constants
+    assert run_script(
+        "var p={}; var o=Object.create(p);"
+        "Object.getPrototypeOf(o)===p;") is True
+    assert run_script("Number.MAX_VALUE > 1e308;") is True
+    # URI coding (the JS unescaped sets, not Python's defaults)
+    assert run_script("encodeURIComponent('a b&c/d');") == "a%20b%26c%2Fd"
+    assert run_script(
+        "encodeURI('http://x.test/a b?q=1&r=2');") == \
+        "http://x.test/a%20b?q=1&r=2"
+    assert run_script("decodeURIComponent('a%20b%26c');") == "a b&c"
+    # Error constructors as first-class globals + instanceof semantics
+    assert run_script(
+        "try { throw new Error('x'); } catch (e) "
+        "{ e instanceof Error; }") is True
+    assert run_script(
+        "try { throw new TypeError('x'); } catch (e) "
+        "{ (e instanceof TypeError) && (e instanceof Error); }") is True
+    assert run_script("Error('m').message;") == "m"
+    # Number.prototype.toString(radix); Date ToNumber via valueOf
+    assert run_script(
+        "(255).toString(16) + ':' + (10).toString(2) + ':'"
+        "+ (-255).toString(16);") == "ff:1010:-ff"
+    assert run_script("+new Date(5);") == 5
+    assert run_script("new Date(5) - new Date(2);") == 3

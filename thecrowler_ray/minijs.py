@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import math
 import re as _re
+import urllib.parse
 
 
 class MiniJsError(Exception):
@@ -847,6 +848,17 @@ def _num(v) -> float:
             return math.nan
     if v is None:
         return 0.0
+    if isinstance(v, dict):
+        # ToNumber via valueOf for native-backed objects (Date): the
+        # stored natives take (it, args) with it unused; user _Function
+        # valueOf needs an interpreter, so it stays NaN here
+        vf = v.get("valueOf")
+        if callable(vf) and not isinstance(
+                vf, (_Function, _Bound, _NativeThis, _Callable)):
+            try:
+                return float(vf(None, []))
+            except Exception:
+                return math.nan
     return math.nan
 
 
@@ -1402,8 +1414,15 @@ class Interpreter:
                                       _Bound))
             if name == "Object":
                 return isinstance(a, (dict, list, _RegExp))
+            if name in _ERROR_NAMES:
+                return (isinstance(a, dict)
+                        and isinstance(a.get("name"), str)
+                        and "message" in a
+                        and (a["name"] == name
+                             or (name == "Error"
+                                 and a["name"].endswith("Error"))))
             raise MiniJsError("instanceof supports RegExp/Array/Function/"
-                              "Object only")
+                              "Object/Error only")
         raise MiniJsError(f"bad operator {op}")
 
     @staticmethod
@@ -1692,6 +1711,8 @@ _METHODS = {
     ("str", "trim"): _m(lambda it, s, a: s.strip()),
     ("str", "split"): _m(lambda it, s, a: _str_split(s, a)),
     ("str", "indexOf"): _m(lambda it, s, a: float(s.find(_to_str(a[0])))),
+    ("str", "lastIndexOf"): _m(lambda it, s, a: float(s.rfind(_to_str(a[0])))),
+    ("str", "search"): _m(lambda it, s, a: _str_search(s, a)),
     ("str", "includes"): _m(lambda it, s, a: _to_str(a[0]) in s),
     ("str", "slice"): _m(lambda it, s, a: _slice(s, a)),
     ("str", "substring"): _m(lambda it, s, a: _substring(s, a)),
@@ -1740,8 +1761,13 @@ _METHODS = {
     ("list", "reduceRight"): _m(lambda it, l, a: _reduce(it, l, a,
                                                          right=True)),
     ("list", "sort"): _m(lambda it, l, a: _sort(it, l, a)),
+    ("list", "splice"): _m(lambda it, l, a: _splice(l, a)),
+    ("list", "lastIndexOf"): _m(
+        lambda it, l, a: float(len(l) - 1 - l[::-1].index(a[0]))
+        if a and a[0] in l else -1.0),
     # numbers
     ("float", "toFixed"): _m(lambda it, x, a: f"{x:.{int(_num(a[0]) if a else 0)}f}"),
+    ("float", "toString"): _m(lambda it, x, a: _num_to_string(x, a)),
 }
 
 
@@ -1930,6 +1956,71 @@ _ARRAY_PROTO = {
     for (tname, name), meth in list(_METHODS.items()) if tname == "list"
 }
 
+def _str_search(s: str, a: list) -> float:
+    """String.prototype.search (ES5 15.5.4.12): RegExp or pattern string;
+    ignores the g flag, returns the first match index or -1."""
+    pat = a[0] if a else ""
+    rx = pat.regex if isinstance(pat, _RegExp) else _re.compile(
+        _re.escape(_to_str(pat)))
+    m = rx.search(s)
+    return float(m.start()) if m else -1.0
+
+
+def _splice(lst: list, a: list) -> list:
+    """Array.prototype.splice (ES5 15.4.4.12): mutates in place, returns
+    the removed elements; negative start counts from the end, an omitted
+    deleteCount deletes through the end."""
+    n = len(lst)
+    start = int(_num(a[0])) if a else 0
+    start = max(n + start, 0) if start < 0 else min(start, n)
+    if len(a) > 1:
+        count = max(0, min(int(_num(a[1])), n - start))
+    else:
+        count = n - start
+    removed = lst[start:start + count]
+    lst[start:start + count] = list(a[2:])
+    return removed
+
+
+def _num_to_string(x: float, a: list) -> str:
+    """Number.prototype.toString with optional radix (integers only for
+    radix != 10; fractional radix conversion fails loudly)."""
+    radix = int(_num(a[0])) if a else 10
+    if radix == 10:
+        return _to_str(x)
+    if not 2 <= radix <= 36:
+        raise _Thrown({"name": "RangeError",
+                       "message": "toString() radix must be between 2 and 36"})
+    if math.isnan(x) or math.isinf(x) or x != int(x):
+        raise MiniJsError("toString(radix) supports integers only")
+    n = int(x)
+    if n == 0:
+        return "0"
+    sign = "-" if n < 0 else ""
+    n = abs(n)
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    out = []
+    while n:
+        n, r = divmod(n, radix)
+        out.append(digits[r])
+    return sign + "".join(reversed(out))
+
+
+def _error_ctor(name: str) -> "_Callable":
+    return _Callable(
+        lambda it, a, _n=name: {"name": _n,
+                                "message": _to_str(a[0]) if a else ""},
+        name=name)
+
+
+_ERROR_NAMES = ("Error", "TypeError", "RangeError", "SyntaxError")
+
+# JS encodeURIComponent unescaped set: A-Za-z0-9 - _ . ! ~ * ' ( )
+_URI_COMPONENT_SAFE = "!'()*-._~"
+# encodeURI additionally leaves the URI reserved set intact
+_URI_SAFE = "!#$&'()*+,-./:;=?@_~"
+
+
 _GLOBALS = {
     "Math": {
         "floor": lambda it, a: float(math.floor(_num(a[0]))),
@@ -1953,6 +2044,7 @@ _GLOBALS = {
             if isinstance(a[0], dict) else [],
             "getOwnPropertyNames": lambda it, a: list(a[0].keys())
             if isinstance(a[0], dict) else [],
+            "getPrototypeOf": lambda it, a: getattr(a[0], "proto", None),
             "create": lambda it, a: _JsObject(
                 proto=a[0] if a and isinstance(a[0], dict) else None),
             "defineProperty": lambda it, a: _define_property(it, a),
@@ -1976,8 +2068,20 @@ _GLOBALS = {
         },
         name="String",
     ),
-    "Number": _Callable(lambda it, a: _num(a[0]) if a else 0.0,
-                        name="Number"),
+    "Number": _Callable(
+        lambda it, a: _num(a[0]) if a else 0.0,
+        props={
+            "MAX_VALUE": 1.7976931348623157e308,
+            "MIN_VALUE": 5e-324,
+            "POSITIVE_INFINITY": math.inf,
+            "NEGATIVE_INFINITY": -math.inf,
+            "NaN": math.nan,
+        },
+        name="Number"),
+    "Error": _error_ctor("Error"),
+    "TypeError": _error_ctor("TypeError"),
+    "RangeError": _error_ctor("RangeError"),
+    "SyntaxError": _error_ctor("SyntaxError"),
     "RegExp": _Callable(
         lambda it, a: _RegExp(_to_str(a[0]) if a else "",
                               _to_str(a[1]) if len(a) > 1 else ""),
@@ -1993,6 +2097,12 @@ _GLOBALS = {
         props={"now": lambda it, a: it.now_ms},
         name="Date",
     ),
+    "encodeURIComponent": lambda it, a: urllib.parse.quote(
+        _to_str(a[0]) if a else "undefined", safe=_URI_COMPONENT_SAFE),
+    "encodeURI": lambda it, a: urllib.parse.quote(
+        _to_str(a[0]) if a else "undefined", safe=_URI_SAFE),
+    "decodeURIComponent": lambda it, a: urllib.parse.unquote(
+        _to_str(a[0]) if a else "undefined"),
     "parseInt": lambda it, a: _parse_int(a),
     "parseFloat": lambda it, a: _parse_float(a),
     "isNaN": lambda it, a: isinstance(_num(a[0]), float)
