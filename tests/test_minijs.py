@@ -654,3 +654,24 @@ def test_es5_library_surface_r5():
         "+ (-255).toString(16);") == "ff:1010:-ff"
     assert run_script("+new Date(5);") == 5
     assert run_script("new Date(5) - new Date(2);") == 3
+
+
+def test_es5_library_surface_r5_batch2():
+    # substr (Annex B), split limit, function length
+    assert run_script("'abcdef'.substr(1, 3);") == "bcd"
+    assert run_script("'abcdef'.substr(-2);") == "ef"
+    assert run_script("'a,b,c'.split(',', 2).join('|');") == "a|b"
+    assert run_script("(function(a,b){}).length;") == 2
+    # Date getters on the deterministic UTC clock (Jan 2 1970 = Friday)
+    assert run_script(
+        "var d=new Date(86400000);"
+        "d.getUTCFullYear()+':'+d.getMonth()+':'+d.getUTCDate()"
+        "+':'+d.getDay()+':'+d.getTimezoneOffset();") == "1970:0:2:5:0"
+    # number formatting (JS exponent style, no zero padding)
+    assert run_script("(123.456).toPrecision(4);") == "123.5"
+    assert run_script("(12345).toExponential(2);") == "1.23e+4"
+    # exec() results carry .index/.input and stay arrays
+    assert run_script(
+        "var m = /(\\w+)@(\\w+)/.exec('hi joe@corp');"
+        "m[1] + m[2] + ':' + m.index + ':' + m.length;") == "joecorp:3:3"
+    assert run_script("/a/.exec('bab').join('');") == "a"

@@ -808,9 +808,20 @@ class _RegExp:
             return None
         if self.is_global:
             self.last_index = float(m.end())
-        return [m.group(0)] + [
+        out = _MatchArray([m.group(0)] + [
             (g if g is not None else UNDEFINED) for g in m.groups()
-        ]
+        ])
+        out.index = float(m.start())
+        out.input = s
+        return out
+
+
+class _MatchArray(list):
+    """RegExp.exec result: an array carrying the .index/.input
+    expando properties (ES5 15.10.6.2)."""
+
+    index = -1.0
+    input = ""
 
 
 def _to_int32(v) -> int:
@@ -1499,6 +1510,8 @@ class Interpreter:
         if isinstance(obj, _Function):
             if name == "prototype":
                 return obj.prototype()
+            if name == "length":  # declared-parameter count (ES5 15.3.5.1)
+                return float(len(obj.params))
             if name in obj.props:
                 return obj.props[name]
         if isinstance(obj, (_Function, _NativeThis, _Bound)) or (
@@ -1529,7 +1542,13 @@ class Interpreter:
             if m is not None:  # Object.prototype.* fallback, this-bound
                 return _Bound(m.fn, obj)
             return UNDEFINED
-        method = _METHODS.get((type(obj).__name__, name))
+        if isinstance(obj, _MatchArray) and name in ("index", "input"):
+            return getattr(obj, name)
+        # list subclasses (_MatchArray) must dispatch as "list"
+        tname = ("list" if isinstance(obj, list)
+                 else "float" if isinstance(obj, float)
+                 else type(obj).__name__)
+        method = _METHODS.get((tname, name))
         if method is not None:
             return _Bound(method, obj)
         if obj is UNDEFINED or obj is None:
@@ -1712,6 +1731,7 @@ _METHODS = {
     ("str", "split"): _m(lambda it, s, a: _str_split(s, a)),
     ("str", "indexOf"): _m(lambda it, s, a: float(s.find(_to_str(a[0])))),
     ("str", "lastIndexOf"): _m(lambda it, s, a: float(s.rfind(_to_str(a[0])))),
+    ("str", "substr"): _m(lambda it, s, a: _substr_b23(s, a)),
     ("str", "search"): _m(lambda it, s, a: _str_search(s, a)),
     ("str", "includes"): _m(lambda it, s, a: _to_str(a[0]) in s),
     ("str", "slice"): _m(lambda it, s, a: _slice(s, a)),
@@ -1768,6 +1788,10 @@ _METHODS = {
     # numbers
     ("float", "toFixed"): _m(lambda it, x, a: f"{x:.{int(_num(a[0]) if a else 0)}f}"),
     ("float", "toString"): _m(lambda it, x, a: _num_to_string(x, a)),
+    ("float", "toPrecision"): _m(lambda it, x, a: _js_exp(
+        f"{x:.{int(_num(a[0]))}g}") if a else _to_str(x)),
+    ("float", "toExponential"): _m(lambda it, x, a: _js_exp(
+        f"{x:.{int(_num(a[0]) if a else 6)}e}")),
 }
 
 
@@ -1836,11 +1860,15 @@ def _str_split(s, a):
         return [s]
     sep = a[0]
     if isinstance(sep, _RegExp):
-        return list(sep.regex.split(s))
-    sep = _to_str(sep)
-    if sep == "":
-        return list(s)
-    return list(s.split(sep))
+        out = list(sep.regex.split(s))
+    else:
+        sep = _to_str(sep)
+        out = list(s) if sep == "" else list(s.split(sep))
+    if len(a) > 1 and a[1] is not UNDEFINED:
+        # ES5 15.5.4.14: limit TRUNCATES the result (it does not change
+        # how many splits happen)
+        out = out[:max(0, int(_num(a[1])))]
+    return out
 
 
 def _str_replace(it, s, a):
@@ -1955,6 +1983,22 @@ _ARRAY_PROTO = {
             it, this if isinstance(this, list) else [], a))
     for (tname, name), meth in list(_METHODS.items()) if tname == "list"
 }
+
+def _substr_b23(s: str, a: list) -> str:
+    """String.prototype.substr (ES5 B.2.3): (start, length); negative
+    start counts from the end."""
+    n = len(s)
+    start = int(_num(a[0])) if a else 0
+    start = max(n + start, 0) if start < 0 else min(start, n)
+    length = n - start if len(a) < 2 or a[1] is UNDEFINED \
+        else max(0, int(_num(a[1])))
+    return s[start:start + length]
+
+
+def _js_exp(s: str) -> str:
+    """Python zero-pads exponents ('1.23e+04'); JS does not ('1.23e+4')."""
+    return _re.sub(r"e([+-])0*(\d)", r"e\1\2", s)
+
 
 def _str_search(s: str, a: list) -> float:
     """String.prototype.search (ES5 15.5.4.12): RegExp or pattern string;
@@ -2121,11 +2165,32 @@ def _iso_ms(ms: float) -> str:
 
 
 def _date_object(ms: float) -> dict:
-    return {
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(ms / 1000.0,
+                                         datetime.timezone.utc)
+    out = {
         "toISOString": lambda it, a, _ms=ms: _iso_ms(_ms),
         "getTime": lambda it, a, _ms=ms: float(_ms),
         "valueOf": lambda it, a, _ms=ms: float(_ms),
     }
+    # the engine's Date clock IS UTC (deterministic now_ms), so local
+    # getters alias the UTC ones
+    fields = {
+        "FullYear": float(dt.year),
+        "Month": float(dt.month - 1),  # 0-based (ES5 15.9.1.4)
+        "Date": float(dt.day),
+        "Day": float(dt.isoweekday() % 7),  # 0 = Sunday
+        "Hours": float(dt.hour),
+        "Minutes": float(dt.minute),
+        "Seconds": float(dt.second),
+        "Milliseconds": float(int(ms) % 1000),
+    }
+    for f, v in fields.items():
+        out[f"get{f}"] = lambda it, a, _v=v: _v
+        out[f"getUTC{f}"] = lambda it, a, _v=v: _v
+    out["getTimezoneOffset"] = lambda it, a: 0.0
+    return out
 
 
 _INT_DIGITS = "0123456789abcdefghijklmnopqrstuvwxyz"
