@@ -675,3 +675,31 @@ def test_es5_library_surface_r5_batch2():
         "var m = /(\\w+)@(\\w+)/.exec('hi joe@corp');"
         "m[1] + m[2] + ':' + m.index + ':' + m.length;") == "joecorp:3:3"
     assert run_script("/a/.exec('bab').join('');") == "a"
+
+
+def test_es5_library_surface_r5_batch3():
+    # JSON.stringify replacer + space arguments (ES5 15.12.3)
+    assert run_script(
+        "JSON.stringify({a:1,b:[1,2]}, null, 2);") == \
+        '{\n  "a": 1,\n  "b": [\n    1,\n    2\n  ]\n}'
+    assert run_script("JSON.stringify({a:1,b:2}, ['a']);") == '{"a":1}'
+    assert run_script(
+        "JSON.stringify({a:1,b:2}, function(k,v)"
+        "{ return k === 'b' ? undefined : v; });") == '{"a":1}'
+    # ToString semantics: arrays join, objects tag, regex literal form
+    assert run_script("'' + [1,2];") == "1,2"
+    assert run_script("'' + [1,null,2];") == "1,,2"
+    assert run_script("'' + {};") == "[object Object]"
+    assert run_script("'' + /ab/gi;") == "/ab/gi"
+    assert run_script(
+        "'' + NaN + ':' + Infinity + ':' + (-Infinity);") == \
+        "NaN:Infinity:-Infinity"
+    assert run_script("var o={}; o[NaN]=1; o['NaN'];") == 1
+    # Object.keys over arrays; primitive wrappers
+    assert run_script("Object.keys([7,8]).join(',');") == "0,1"
+    assert run_script(
+        "'a'.localeCompare('b') + ':' + 'b'.localeCompare('a')"
+        "+ ':' + 'a'.localeCompare('a');") == "-1:1:0"
+    assert run_script("(5).valueOf();") == 5
+    assert run_script("(true).toString();") == "true"
+    assert run_script("'x'.toString() + 'y'.valueOf();") == "xy"

@@ -881,9 +881,22 @@ def _to_str(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
         return str(int(v)) if v.is_integer() and abs(v) < 1e15 else repr(v)
     if isinstance(v, str):
         return v
+    if isinstance(v, list):
+        # Array.prototype.toString === join(',') (ES5 15.4.4.2);
+        # null/undefined elements render empty
+        return ",".join("" if x is None or x is UNDEFINED else _to_str(x)
+                        for x in v)
+    if isinstance(v, _RegExp):
+        return "/" + v.source + "/" + v.flags
+    if isinstance(v, dict):
+        return "[object Object]"
     return _json_stringify(v)
 
 
@@ -903,6 +916,50 @@ def _json_ready(v):
 
 def _json_stringify(v) -> str:
     return json.dumps(_json_ready(v), separators=(",", ":"), sort_keys=False)
+
+
+def _json_stringify_full(it, a) -> str:
+    """JSON.stringify with the replacer + space arguments (ES5
+    15.12.3): an ARRAY replacer filters object keys; a FUNCTION
+    replacer maps (key, value) pairs; space indents (number of spaces,
+    capped at 10, or a literal indent string)."""
+    v = a[0] if a else UNDEFINED
+    replacer = a[1] if len(a) > 1 else None
+    space = a[2] if len(a) > 2 else None
+
+    if isinstance(replacer, list):
+        keep = {_to_str(k) for k in replacer}
+
+        def filt(x):
+            if isinstance(x, dict):
+                return {k: filt(y) for k, y in x.items() if k in keep}
+            if isinstance(x, list):
+                return [filt(y) for y in x]
+            return x
+
+        v = filt(v)
+    elif replacer is not None and replacer is not UNDEFINED and (
+            isinstance(replacer, (_Function, _Bound)) or callable(replacer)):
+        def walk(key, val):
+            val = it._invoke(replacer, [key, val])
+            if isinstance(val, dict):
+                return {k: walk(k, y) for k, y in val.items()}
+            if isinstance(val, list):
+                return [walk(_to_str(float(i)), y)
+                        for i, y in enumerate(val)]
+            return val
+
+        v = walk("", v)
+
+    ready = _json_ready(v)
+    if space is None or space is UNDEFINED:
+        return json.dumps(ready, separators=(",", ":"), sort_keys=False)
+    indent = (" " * min(10, max(0, int(_num(space))))
+              if isinstance(space, (float, bool)) else _to_str(space)[:10])
+    if not indent:
+        return json.dumps(ready, separators=(",", ":"), sort_keys=False)
+    return json.dumps(ready, indent=indent, separators=(",", ": "),
+                      sort_keys=False)
 
 
 def _json_parse(s):
@@ -1732,6 +1789,10 @@ _METHODS = {
     ("str", "indexOf"): _m(lambda it, s, a: float(s.find(_to_str(a[0])))),
     ("str", "lastIndexOf"): _m(lambda it, s, a: float(s.rfind(_to_str(a[0])))),
     ("str", "substr"): _m(lambda it, s, a: _substr_b23(s, a)),
+    ("str", "localeCompare"): _m(lambda it, s, a: float(
+        (s > _to_str(a[0])) - (s < _to_str(a[0])))),
+    ("str", "valueOf"): _m(lambda it, s, a: s),
+    ("str", "toString"): _m(lambda it, s, a: s),
     ("str", "search"): _m(lambda it, s, a: _str_search(s, a)),
     ("str", "includes"): _m(lambda it, s, a: _to_str(a[0]) in s),
     ("str", "slice"): _m(lambda it, s, a: _slice(s, a)),
@@ -1792,6 +1853,9 @@ _METHODS = {
         f"{x:.{int(_num(a[0]))}g}") if a else _to_str(x)),
     ("float", "toExponential"): _m(lambda it, x, a: _js_exp(
         f"{x:.{int(_num(a[0]) if a else 6)}e}")),
+    ("float", "valueOf"): _m(lambda it, x, a: x),
+    ("bool", "toString"): _m(lambda it, b, a: "true" if b else "false"),
+    ("bool", "valueOf"): _m(lambda it, b, a: b),
 }
 
 
@@ -2050,6 +2114,14 @@ def _num_to_string(x: float, a: list) -> str:
     return sign + "".join(reversed(out))
 
 
+def _object_keys(v) -> list:
+    if isinstance(v, dict):
+        return list(v.keys())
+    if isinstance(v, list):  # array indices as strings (ES5 15.2.3.14)
+        return [str(i) for i in range(len(v))]
+    return []
+
+
 def _error_ctor(name: str) -> "_Callable":
     return _Callable(
         lambda it, a, _n=name: {"name": _n,
@@ -2079,15 +2151,13 @@ _GLOBALS = {
     },
     "JSON": {
         "parse": lambda it, a: _json_parse(_to_str(a[0])),
-        "stringify": lambda it, a: _json_stringify(a[0]),
+        "stringify": lambda it, a: _json_stringify_full(it, a),
     },
     "Object": _Callable(
         lambda it, a: a[0] if a else {},
         props={
-            "keys": lambda it, a: list(a[0].keys())
-            if isinstance(a[0], dict) else [],
-            "getOwnPropertyNames": lambda it, a: list(a[0].keys())
-            if isinstance(a[0], dict) else [],
+            "keys": lambda it, a: _object_keys(a[0]),
+            "getOwnPropertyNames": lambda it, a: _object_keys(a[0]),
             "getPrototypeOf": lambda it, a: getattr(a[0], "proto", None),
             "create": lambda it, a: _JsObject(
                 proto=a[0] if a and isinstance(a[0], dict) else None),
