@@ -77,18 +77,11 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
     e = edges if pre_canonical else _canonical_edges(edges)
     e = e.materialize()
     n_edges = e.count()
-
-    def endpoints(batch: pa.Table) -> pa.Table:
-        xs = batch["x"].to_numpy(zero_copy_only=False)
-        ys = batch["y"].to_numpy(zero_copy_only=False)
-        u, c = np.unique(np.concatenate([xs, ys]), return_counts=True)
-        return pa.table({"node": pa.array(u.astype(np.int64)),
-                         "d": pa.array(c.astype(np.int64))})
-
-    deg = (e.map_batches(endpoints, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("d", alias_name="deg"))
-           .materialize())
+    deg = None
     if n_edges == 0:
+        deg = ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64())}))
         empty = ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "triangles": pa.array([], pa.int64())}))
@@ -97,91 +90,124 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
     if n_edges <= broadcast_threshold:
         from .gutil import collect_tables
 
-        id_parts, dg_parts = [], []
-        for b in collect_tables(deg):
-            id_parts.append(b["node"].to_numpy(zero_copy_only=False))
-            dg_parts.append(b["deg"].to_numpy(zero_copy_only=False))
-        nid = np.concatenate(id_parts).astype(np.int64)
-        dgv = np.concatenate(dg_parts).astype(np.int64)
-        so = np.argsort(nid)
-        deg_ref = ray.put((nid[so], dgv[so]))
+        # the packed edge set heads to the driver regardless in this
+        # regime — so degrees come from ONE np.unique over the already
+        # collected endpoints (np.unique returns sorted ids), not a
+        # full distributed groupby pass over E
+        x_parts, y_parts = [], []
+        for b in collect_tables(e):
+            x_parts.append(
+                b["x"].to_numpy(zero_copy_only=False).astype(np.int64))
+            y_parts.append(
+                b["y"].to_numpy(zero_copy_only=False).astype(np.int64))
+        x_all = np.concatenate(x_parts)
+        y_all = np.concatenate(y_parts)
+        nid_srt, cnts = np.unique(np.concatenate([x_all, y_all]),
+                                  return_counts=True)
+        dgv_srt = cnts.astype(np.int64)
+        deg = ray.data.from_arrow(pa.table({
+            "node": pa.array(nid_srt),
+            "deg": pa.array(dgv_srt)}))
 
-        def orient(batch: pa.Table) -> pa.Table:
-            nid_s, dgv_s = ray.get(deg_ref)
-            x = batch["x"].to_numpy(zero_copy_only=False)
-            y = batch["y"].to_numpy(zero_copy_only=False)
-            dx = dgv_s[np.searchsorted(nid_s, x)]
-            dy = dgv_s[np.searchsorted(nid_s, y)]
-            fwd = (dx < dy) | ((dx == dy) & (x < y))
-            return pa.table({
-                "src": pa.array(np.where(fwd, x, y).astype(np.int64)),
-                "dst": pa.array(np.where(fwd, y, x).astype(np.int64)),
-                "kd": pa.array(np.where(fwd, dy, dx).astype(np.int64)),
-            })
+        # Broadcast close path, in RANK space: nodes re-key to their
+        # dense rank in the (deg, id) orientation order, so the
+        # orientation test, the within-apex out-neighbor ordering, AND
+        # the edge-set key all become single-int comparisons — no
+        # lexsort anywhere, just two np.sorts of packed int64s. The
+        # oriented edge set ships ONCE, twice packed: sorted by
+        # (src_rank, dst_rank) key for the close searchsorted, and
+        # sorted by (src-hash shard, src_rank, dst_rank) with an
+        # offsets table so each shard task SLICES its rows instead of
+        # scanning or shuffling. Tasks fan out over a range() dataset,
+        # explode wedges in chunked run-length vectorized passes and
+        # close them in-worker. No E-row groupby(shard) shuffle, no
+        # per-shard rescan, no per-apex Python loop. Output is
+        # per-shard (node, count) partials into one small node groupby.
+        n_nodes = len(nid_srt)
+        kbits = max(1, int(n_nodes).bit_length())
+        n_shards = max(16, nparts * 2)
+        # ranks are dense so arbitrary int64 node ids pack fine; only
+        # a pathologically large broadcast_threshold could overflow
+        # the (shard, rs, rd) composite — fall to the join path then
+        if 2 * kbits + int(n_shards).bit_length() <= 62:
+            ord2 = np.lexsort((nid_srt, dgv_srt))  # V- not E-sized
+            rank_of = np.empty(n_nodes, dtype=np.int64)
+            rank_of[ord2] = np.arange(n_nodes, dtype=np.int64)
+            id_by_rank = nid_srt[ord2]
+            # orientation is a min/max in rank space
+            rx = rank_of[np.searchsorted(nid_srt, x_all)]
+            ry = rank_of[np.searchsorted(nid_srt, y_all)]
+            rs_a = np.minimum(rx, ry)
+            rd_a = np.maximum(rx, ry)
+            edge_set = np.sort((rs_a << kbits) + rd_a)
+            sh_a = rs_a * 2654435761 % n_shards
+            by_shard = np.sort((sh_a << (2 * kbits)) + (rs_a << kbits)
+                               + rd_a)
+            offsets = np.searchsorted(by_shard >> (2 * kbits),
+                                      np.arange(n_shards + 1))
+            by_shard &= (1 << (2 * kbits)) - 1
+            set_ref = ray.put((edge_set, by_shard, offsets,
+                               id_by_rank))
+            maskk = (1 << kbits) - 1
 
-        ep = e.map_batches(orient, batch_format="pyarrow").materialize()
-
-        # Broadcast close path: the oriented edge set ships ONCE as a
-        # sorted packed-int64 array; wedges are generated per src-hash
-        # SHARD (a bounded number of vectorized map_groups calls, not
-        # one pandas call per node) and closed in-worker against the
-        # set with searchsorted — the wedge explosion NEVER leaves the
-        # worker, no 10^7-row shuffle, no join. Output is per-shard
-        # (node, count) partials.
-        packed_parts = []
-        for b in collect_tables(ep):
-            s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(s) and (s.max() >= (1 << 31) or d.max() >= (1 << 31)
-                           or s.min() < 0 or d.min() < 0):
-                packed_parts = None  # ids too wide to pack — join path
-                break
-            packed_parts.append((s << 31) + d)
-        if packed_parts is not None:
-            edge_set = np.sort(np.concatenate(packed_parts)
-                               if packed_parts
-                               else np.array([], dtype=np.int64))
-            set_ref = ray.put(edge_set)
-            n_shards = max(16, nparts * 2)
-
-            def add_shard(batch: pa.Table) -> pa.Table:
-                s = batch["src"].to_numpy(zero_copy_only=False)
-                return batch.append_column(
-                    "shard", pa.array((s * 2654435761 % n_shards)
-                                      .astype(np.int64)))
-
-            def close_shard(g: pa.Table) -> pa.Table:
+            def close_shards(batch: pa.Table) -> pa.Table:
                 # arrow in/out: pandas blocks make the downstream node
                 # groupby ~25x slower (stages/basket.py measurement)
-                es = ray.get(set_ref)
-                gs = g["src"].to_numpy(zero_copy_only=False)
-                gd = g["dst"].to_numpy(zero_copy_only=False)
-                gk = g["kd"].to_numpy(zero_copy_only=False)
-                order = np.lexsort((gd, gk, gs))
-                src = gs[order]
-                dst = gd[order]
-                run_starts = np.flatnonzero(
-                    np.r_[True, src[1:] != src[:-1]])
-                run_ends = np.r_[run_starts[1:], len(src)]
+                es, bysh, off, ids = ray.get(set_ref)
                 nodes_acc, cnt_acc = [], []
-                for a, b_ in zip(run_starts, run_ends):
-                    nb = dst[a:b_]
-                    k = len(nb)
-                    if k < 2:
+                for sh in batch["id"].to_numpy(zero_copy_only=False):
+                    rows = bysh[off[sh]:off[sh + 1]]
+                    if len(rows) == 0:
                         continue
-                    iu, ju = np.triu_indices(k, 1)
-                    v, w = nb[iu], nb[ju]
-                    hit = np.searchsorted(es, (v << 31) + w)
-                    ok = (hit < len(es)) & (es[np.minimum(
-                        hit, len(es) - 1)] == (v << 31) + w)
-                    if not ok.any():
+                    src = rows >> kbits
+                    dst = rows & maskk
+                    n = len(src)
+                    starts = np.flatnonzero(
+                        np.r_[True, src[1:] != src[:-1]])
+                    ends = np.r_[starts[1:], n]
+                    run_end = np.repeat(ends, ends - starts)
+                    pos = np.arange(n)
+                    reps = run_end - pos - 1
+                    csum = np.cumsum(reps)
+                    total = int(csum[-1]) if n else 0
+                    if total == 0:
                         continue
-                    tri_nodes = np.concatenate([
-                        np.full(int(ok.sum()), src[a], dtype=np.int64),
-                        v[ok], w[ok]])
-                    u, c = np.unique(tri_nodes, return_counts=True)
-                    nodes_acc.append(u)
-                    cnt_acc.append(c)
+                    # chunk rows so each vectorized explosion stays
+                    # ~≤200k wedges — larger chunks blow the cache and
+                    # collapse under full-node concurrency (measured
+                    # 13 s/shard at 4M-wedge chunks vs 0.2 s at 200k,
+                    # 32 concurrent tasks, sf0.1)
+                    lo = 0
+                    while lo < n:
+                        base = csum[lo - 1] if lo else 0
+                        hi = int(np.searchsorted(
+                            csum, base + 200_000)) + 1
+                        hi = min(hi, n)
+                        r = reps[lo:hi]
+                        t = int(r.sum())
+                        if t == 0:
+                            lo = hi
+                            continue
+                        out_start = np.cumsum(r) - r
+                        p = pos[lo:hi]
+                        w_idx = (np.arange(t)
+                                 - np.repeat(out_start, r)
+                                 + np.repeat(p + 1, r))
+                        apex = np.repeat(src[lo:hi], r)
+                        v = np.repeat(dst[lo:hi], r)
+                        w = dst[w_idx]
+                        key = (v << kbits) + w
+                        hit = np.searchsorted(es, key)
+                        ok = (hit < len(es)) & (es[np.minimum(
+                            hit, len(es) - 1)] == key)
+                        if ok.any():
+                            tri_nodes = np.concatenate(
+                                [apex[ok], v[ok], w[ok]])
+                            u, c = np.unique(tri_nodes,
+                                             return_counts=True)
+                            nodes_acc.append(u)
+                            cnt_acc.append(c)
+                        lo = hi
                 if not nodes_acc:
                     return pa.table({
                         "node": pa.array([], pa.int64()),
@@ -193,18 +219,34 @@ def triangle_counts(edges, *, broadcast_threshold: int = 2_000_000,
                 first = np.r_[True, u_s[1:] != u_s[:-1]]
                 idx = np.flatnonzero(first)
                 return pa.table({
-                    "node": pa.array(u_s[idx].astype(np.int64)),
+                    "node": pa.array(ids[u_s[idx]].astype(np.int64)),
                     "t": pa.array(np.add.reduceat(c_s, idx)
                                   .astype(np.int64))})
 
-            res = (ep.map_batches(add_shard, batch_format="pyarrow")
-                   .groupby("shard")
-                   .map_groups(close_shard, batch_format="pyarrow")
+            res = (ray.data.range(n_shards,
+                                  override_num_blocks=n_shards)
+                   .map_batches(close_shards, batch_format="pyarrow")
                    .groupby("node")
                    .aggregate(Sum("t", alias_name="triangles")))
             return (res, deg) if return_degrees else res
     if True:
-        # join path: attach each endpoint's degree via two hash joins
+        # join path: degrees via a distributed endpoints groupby (the
+        # edge set never visits the driver here), then attach each
+        # endpoint's degree via two hash joins
+        if deg is None:
+
+            def endpoints(batch: pa.Table) -> pa.Table:
+                xs = batch["x"].to_numpy(zero_copy_only=False)
+                ys = batch["y"].to_numpy(zero_copy_only=False)
+                u, c = np.unique(np.concatenate([xs, ys]),
+                                 return_counts=True)
+                return pa.table({"node": pa.array(u.astype(np.int64)),
+                                 "d": pa.array(c.astype(np.int64))})
+
+            deg = (e.map_batches(endpoints, batch_format="pyarrow")
+                   .groupby("node")
+                   .aggregate(Sum("d", alias_name="deg"))
+                   .materialize())
         dx = deg.map_batches(
             lambda b: b.rename_columns(["x", "dx"]),
             batch_format="pyarrow")
