@@ -703,3 +703,125 @@ def test_es5_library_surface_r5_batch3():
     assert run_script("(5).valueOf();") == 5
     assert run_script("(true).toString();") == "true"
     assert run_script("'x'.toString() + 'y'.valueOf();") == "xy"
+
+
+def test_prefix_increment_decrement():
+    # prefix ++/-- return the NEW value (ES5 11.4.4-5); postfix the old
+    assert run_script("var c=0; var f=function(){return ++c;}; f(); f()") == 2
+    assert run_script("var i=5; --i; i") == 4
+    assert run_script("var i=0; [++i, i++, i].join(',')") == "1,1,2"
+    assert run_script("var o={n:1}; ++o.n; o.n") == 2
+
+
+def test_with_statement():
+    # ES5 12.10: object joins the scope chain for reads and writes
+    assert run_script("var o={x:5}; var r; with(o){ r=x; } r") == 5
+    assert run_script("var o={x:1}; with(o){ x=9; } o.x") == 9
+    # names NOT on the object fall through to the outer scope; new
+    # names bind outside the with wrapper (object envs never capture)
+    assert run_script(
+        "var o={x:1}, y=2; with(o){ y=7; z=3; } [y, o.z===undefined, z]"
+        ".join(',')") == "7,true,3"
+    # var inside with hoists to the function scope, not the object
+    assert run_script(
+        "var o={}; function f(){ with(o){ var v=4; } return v; } f()") == 4
+    with pytest.raises(MiniJsError):
+        run_script("with(5){}")
+
+
+def test_arguments_callee():
+    assert run_script(
+        "(function(n){ return n<=1?1:n*arguments.callee(n-1); })(5)") == 120
+
+
+def test_object_integrity_levels():
+    # freeze: no writes, adds, or deletes (silently ignored, non-strict)
+    assert run_script(
+        "var o=Object.freeze({a:1}); o.a=2; o.b=3; delete o.a;"
+        "[o.a, o.b===undefined, 'a' in o, Object.isFrozen(o)].join(',')"
+    ) == "1,true,true,true"
+    # seal: writes OK, adds and deletes blocked
+    assert run_script(
+        "var o=Object.seal({a:1}); o.a=2; o.b=3; delete o.a;"
+        "[o.a, o.b===undefined, 'a' in o, Object.isSealed(o),"
+        " Object.isFrozen(o)].join(',')") == "2,true,true,true,false"
+    # preventExtensions: only adds blocked
+    assert run_script(
+        "var o=Object.preventExtensions({a:1}); o.b=2; o.a=5; delete o.a;"
+        "[o.b===undefined, 'a' in o, Object.isExtensible(o)].join(',')"
+    ) == "true,false,false"
+    # frozen arrays: index writes and length assignment ignored
+    assert run_script(
+        "var a=Object.freeze([1,2]); a[0]=9; a[5]=9; a.length=0;"
+        "a.join(',')+'/'+a.length") == "1,2/2"
+    assert run_script("Object.isExtensible({})") is True
+
+
+def test_property_is_enumerable():
+    assert run_script("({a:1}).propertyIsEnumerable('a')") is True
+    assert run_script("({a:1}).propertyIsEnumerable('b')") is False
+    # inherited properties are not own (ES5 15.2.4.7)
+    assert run_script(
+        "var o=Object.create({p:1}); o.propertyIsEnumerable('p')") is False
+
+
+def test_date_parse_utc_and_ctor_forms():
+    assert run_script("Date.parse('1970-01-01T00:00:01Z')") == 1000
+    assert run_script("Date.parse('1970-01-02')") == 86400000
+    # offset timezones normalize to UTC epoch ms
+    assert run_script("Date.parse('1970-01-01T01:00:00+01:00')") == 0
+    assert run_script("isNaN(Date.parse('nonsense'))") is True
+    assert run_script("Date.UTC(1970,0,2)") == 86400000
+    assert run_script("new Date('1970-01-01T00:00:10Z').getTime()") == 10000
+    assert run_script("new Date(1970,0,2).getTime()") == 86400000
+    # Invalid Date: every field NaN, never a crash (ES5 15.9.1.1)
+    assert run_script("isNaN(new Date('x').getTime())") is True
+
+
+def test_to_primitive_user_valueof_tostring():
+    # ES5 8.12.8: valueOf wins the number/default hint...
+    assert run_script("({valueOf:function(){return 3;}}) * 2") == 6
+    assert run_script("({valueOf:function(){return 3;}}) + 1") == 4
+    assert run_script("({valueOf:function(){return 3;}}) < 4") is True
+    assert run_script("+({valueOf:function(){return 7;}})") == 7
+    assert run_script("({valueOf:function(){return 5;}}) == 5") is True
+    # ...toString backs it up for string results
+    assert run_script("({toString:function(){return 'T';}}) + '!'") == "T!"
+    # Date prefers the string hint on '+' (its [[DefaultValue]] quirk)
+    assert run_script("typeof (new Date(0) + 'x')") == "string"
+    assert run_script("+new Date(5)") == 5
+    # method-less objects still fall back to '[object Object]'
+    assert run_script("({}) + ''") == "[object Object]"
+
+
+def test_json_stringify_skips_functions():
+    assert run_script(
+        "JSON.stringify({a:undefined,b:function(){},c:1})") == '{"c":1}'
+    assert run_script("JSON.stringify([1,function(){},2])") == "[1,null,2]"
+    assert run_script("JSON.stringify(function(){}) === undefined") is True
+
+
+def test_array_length_assignment():
+    assert run_script("var a=[1,2,3]; a.length=1; a.join(',')+'/'+a.length"
+                      ) == "1/1"
+    assert run_script("var a=[1]; a.length=3; a.length") == 3
+    assert run_script(
+        "try{ [1].length=-1; 'no' }catch(e){ e.name }") == "RangeError"
+
+
+def test_boolean_global():
+    assert run_script("Boolean('')") is False
+    assert run_script("Boolean('0')") is True
+    assert run_script("Boolean()") is False
+
+
+def test_index_of_from_index():
+    assert run_script("[1,2,1].indexOf(1,1)") == 2
+    assert run_script("[1,2,1].indexOf(1,-1)") == 2
+    assert run_script("[1,2,1].lastIndexOf(1)") == 2
+    assert run_script("[1,2,1].lastIndexOf(1,1)") == 0
+    # strict equality: '1' does not match 1 (ES5 15.4.4.14)
+    assert run_script("[1,'1',2].indexOf('1')") == 1
+    assert run_script("'abcabc'.indexOf('b',2)") == 4
+    assert run_script("'abcabc'.lastIndexOf('b',3)") == 1
+    assert run_script("'abcabc'.lastIndexOf('b')") == 4

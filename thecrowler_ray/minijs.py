@@ -92,6 +92,7 @@ _KEYWORDS = {
     "function", "true", "false", "null", "undefined", "typeof", "throw",
     "new", "do", "break", "continue", "try", "catch", "finally",
     "instanceof", "delete", "in", "switch", "case", "default", "void",
+    "with",
 }
 
 # a `/` starts a regex literal (not division) when the previous
@@ -292,6 +293,13 @@ class _Parser:
             cond = self.expr()
             self.eat("punct", ")")
             return ("while", cond, self.statement())
+        if self.at("kw", "with"):
+            # ES5 12.10: the object joins the front of the scope chain
+            self.next()
+            self.eat("punct", "(")
+            obj = self.expr()
+            self.eat("punct", ")")
+            return ("with", obj, self.statement())
         if self.at("kw", "do"):
             self.next()
             body = self.statement()
@@ -514,6 +522,9 @@ class _Parser:
         if self.at("punct", "+"):
             self.next()
             return ("pos", self.unary())
+        if self.at("punct", "++") or self.at("punct", "--"):
+            op = self.next()[1]
+            return ("preincr", op, self.unary())
         if self.at("kw", "typeof"):
             self.next()
             return ("typeof", self.unary())
@@ -824,6 +835,13 @@ class _MatchArray(list):
     input = ""
 
 
+class _Arguments(list):
+    """The arguments object: array-like with .callee bound to the
+    executing function (ES5 10.6; no caller, no live param aliasing)."""
+
+    callee = None
+
+
 def _to_int32(v) -> int:
     """JS ToInt32: truncate toward zero, wrap mod 2^32, signed."""
     f = _num(v)
@@ -900,6 +918,11 @@ def _to_str(v) -> str:
     return _json_stringify(v)
 
 
+def _is_fnlike(v) -> bool:
+    return isinstance(v, (_Function, _Bound, _NativeThis, _Callable)) or (
+        callable(v) and not isinstance(v, (dict, list)))
+
+
 def _json_ready(v):
     if v is UNDEFINED:
         return None
@@ -908,9 +931,12 @@ def _json_ready(v):
     if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
         return int(v)
     if isinstance(v, list):
-        return [_json_ready(x) for x in v]
+        # unserializable array elements render null (ES5 15.12.3)
+        return [None if _is_fnlike(x) else _json_ready(x) for x in v]
     if isinstance(v, dict):
-        return {k: _json_ready(x) for k, x in v.items() if x is not UNDEFINED}
+        # function-valued / undefined properties are skipped (15.12.3)
+        return {k: _json_ready(x) for k, x in v.items()
+                if x is not UNDEFINED and not _is_fnlike(x)}
     return v
 
 
@@ -951,6 +977,8 @@ def _json_stringify_full(it, a) -> str:
 
         v = walk("", v)
 
+    if v is UNDEFINED or _is_fnlike(v):
+        return UNDEFINED  # JSON.stringify(undefined|function) (15.12.3)
     ready = _json_ready(v)
     if space is None or space is UNDEFINED:
         return json.dumps(ready, separators=(",", ":"), sort_keys=False)
@@ -985,6 +1013,24 @@ class Interpreter:
         # exposes the real clock; a data-plane plugin must be replayable,
         # so wall time is a parameter here, never an ambient read)
         self.now_ms = float(now_ms)
+        # ES5 integrity levels (8.6.2): id -> (obj, level). Holding the
+        # object keeps its id stable for the interpreter's lifetime.
+        # Enforced on property set/add/delete and array index/length
+        # writes; array MUTATOR METHODS (push/splice/...) are not
+        # barriered — a documented subset.
+        self._integrity: dict[int, tuple] = {}
+
+    def _set_integrity(self, obj, level: str):
+        if isinstance(obj, (dict, list)):
+            cur = self._integrity.get(id(obj))
+            rank = {"prevent": 0, "seal": 1, "freeze": 2}
+            if cur is None or rank[cur[1]] < rank[level]:
+                self._integrity[id(obj)] = (obj, level)
+        return obj
+
+    def _integrity_of(self, obj) -> str | None:
+        e = self._integrity.get(id(obj))
+        return e[1] if e is not None and e[0] is obj else None
 
     def run(self, src: str, params: dict | None = None,
             extra_vars: dict | None = None,
@@ -1041,7 +1087,7 @@ class Interpreter:
                 self._hoist([s[2]], env)
                 if s[3] is not None:
                     self._hoist([s[3]], env)
-            elif k in ("while", "dowhile"):
+            elif k in ("while", "dowhile", "with"):
                 self._hoist([s[2]], env)
             elif k == "for":
                 if s[1] is not None:
@@ -1082,9 +1128,21 @@ class Interpreter:
             for s in node[1]:
                 last = self.exec_stmt(s, env)
             return last
+        if kind == "with":
+            obj = self.eval(node[1], env)
+            if not isinstance(obj, dict):
+                raise MiniJsError("with requires an object")
+            # name resolution checks __with__ objects before the scope's
+            # own bindings (see the name/eval and _store loops)
+            return self.exec_stmt(node[2], {"__parent__": env,
+                                            "__with__": obj})
         if kind == "decl":
             for name, init in node[1]:
-                env[name] = self.eval(init, env)
+                # assign through the scope chain: the binding was hoisted
+                # into the function scope, and inside a with block the
+                # walk correctly hits a same-named with-object property
+                # first (ES5 12.2 + 10.2.1.2)
+                self._store(("name", name), self.eval(init, env), env)
             return UNDEFINED
         if kind == "fdecl":
             # bound by the hoisting pass before the scope ran; late-bind
@@ -1240,6 +1298,12 @@ class Interpreter:
             while e is not None:
                 if name in e:
                     return e[name]
+                w = e.get("__with__")
+                if w is not None:
+                    v, found = _proto_lookup(w, name)
+                    if found:
+                        return v.read(self, w) if isinstance(
+                            v, _Accessor) else v
                 e = e.get("__parent__")
             builtin = _GLOBALS.get(name, UNDEFINED)
             if builtin is UNDEFINED and name not in _GLOBALS:
@@ -1283,9 +1347,11 @@ class Interpreter:
         if kind == "bitnot":
             return float(_as_i32(~_to_int32(self.eval(node[1], env))))
         if kind == "neg":
-            return -_num(self.eval(node[1], env))
+            return -_num(self._to_primitive(self.eval(node[1], env),
+                                            "number"))
         if kind == "pos":
-            return _num(self.eval(node[1], env))
+            return _num(self._to_primitive(self.eval(node[1], env),
+                                           "number"))
         if kind == "typeof":
             if node[1][0] == "name":
                 # typeof on an undeclared name is 'undefined', never a
@@ -1348,7 +1414,12 @@ class Interpreter:
                     return {"name": ctor[1],
                             "message": _to_str(args[0]) if args else ""}
                 if ctor[1] == "Date":
-                    ms = _num(args[0]) if args else self.now_ms
+                    if args and isinstance(args[0], str):
+                        ms = _date_parse(args[0])
+                    elif len(args) >= 2:  # new Date(y, mo[, d, ...])
+                        ms = _date_utc(args)
+                    else:
+                        ms = _num(args[0]) if args else self.now_ms
                     return _date_object(ms)
                 if ctor[1] == "RegExp":
                     if args and isinstance(args[0], _RegExp):
@@ -1384,6 +1455,9 @@ class Interpreter:
             obj = self.eval(target[1], env)
             key = target[2] if target[0] == "member" else _to_str(
                 self.eval(target[2], env))
+            if self._integrity_of(obj) in ("seal", "freeze"):
+                return False  # sealed/frozen properties are
+                # non-configurable (ES5 15.2.3.8-9)
             if isinstance(obj, dict):
                 obj.pop(key, None)
                 return True
@@ -1404,6 +1478,11 @@ class Interpreter:
             new = old + 1 if op == "++" else old - 1
             self._store(target, new, env)
             return old
+        if kind == "preincr":
+            op, target = node[1], node[2]
+            new = _num(self.eval(target, env)) + (1 if op == "++" else -1)
+            self._store(target, new, env)
+            return new
         raise MiniJsError(f"bad expression {kind}")
 
     def _binop(self, op, ln, rn, env):
@@ -1415,6 +1494,14 @@ class Interpreter:
             return left if _truthy(left) else self.eval(rn, env)
         a = self.eval(ln, env)
         b = self.eval(rn, env)
+        if op in ("+", "-", "*", "/", "%", "<", "<=", ">", ">="):
+            # ToPrimitive on object operands (ES5 11.6.1 / 11.8.5: '+'
+            # uses the default hint, relationals hint number)
+            hint = "default" if op == "+" else "number"
+            if isinstance(a, dict):
+                a = self._to_primitive(a, hint)
+            if isinstance(b, dict):
+                b = self._to_primitive(b, hint)
         if op == "+":
             if isinstance(a, str) or isinstance(b, str):
                 return _to_str(a) + _to_str(b)
@@ -1521,6 +1608,32 @@ class Interpreter:
             return True
         return a is b
 
+    def _to_primitive(self, v, hint="default"):
+        """ES5 8.12.8 [[DefaultValue]] for engine dict objects: invoke
+        valueOf then toString (number/default hint; Date objects prefer
+        string on the default hint, detected by their getTime +
+        toISOString natives) through the interpreter, first primitive
+        result wins. Non-dicts and method-less dicts pass through (the
+        caller's _to_str then yields '[object Object]')."""
+        if not isinstance(v, dict):
+            return v
+        if hint == "default" and "getTime" in v and "toISOString" in v:
+            hint = "string"
+        order = (("toString", "valueOf") if hint == "string"
+                 else ("valueOf", "toString"))
+        for name in order:
+            f, found = _proto_lookup(v, name)
+            if found and not isinstance(f, _Accessor):
+                try:
+                    r = self._invoke(f, [], this_val=v)
+                except MiniJsBudgetError:
+                    raise
+                except MiniJsError:
+                    continue
+                if not isinstance(r, (dict, list)):
+                    return r
+        return v
+
     def _loose_eq(self, a, b):
         """ES5 11.9.3 abstract equality over the engine's value model:
         null == undefined, number/string/boolean coercion, objects via
@@ -1547,9 +1660,11 @@ class Interpreter:
         if is_obj(a) and is_obj(b):
             return self._strict_eq(a, b)
         if is_obj(a):
-            return self._loose_eq(_to_str(a), b)
+            p = self._to_primitive(a)
+            return self._loose_eq(p if not is_obj(p) else _to_str(a), b)
         if is_obj(b):
-            return self._loose_eq(a, _to_str(b))
+            p = self._to_primitive(b)
+            return self._loose_eq(a, p if not is_obj(p) else _to_str(b))
         return self._strict_eq(a, b)
 
     def _member(self, obj, name):
@@ -1601,6 +1716,8 @@ class Interpreter:
             return UNDEFINED
         if isinstance(obj, _MatchArray) and name in ("index", "input"):
             return getattr(obj, name)
+        if isinstance(obj, _Arguments) and name == "callee":
+            return obj.callee
         # list subclasses (_MatchArray) must dispatch as "list"
         tname = ("list" if isinstance(obj, list)
                  else "float" if isinstance(obj, float)
@@ -1645,6 +1762,9 @@ class Interpreter:
         while e is not None:
             if name in e:
                 return True
+            w = e.get("__with__")
+            if w is not None and _proto_lookup(w, name)[1]:
+                return True
             e = e.get("__parent__")
         return False
 
@@ -1685,7 +1805,9 @@ class Interpreter:
         if isinstance(fn, _Callable):
             return fn.fn(self, args)
         if isinstance(fn, _Function):
-            local = {"__parent__": fn.env, "arguments": list(args),
+            argobj = _Arguments(args)
+            argobj.callee = fn
+            local = {"__parent__": fn.env, "arguments": argobj,
                      "this": this_val}
             for i, p in enumerate(fn.params):
                 local[p] = args[i] if i < len(args) else UNDEFINED
@@ -1727,8 +1849,17 @@ class Interpreter:
                 if name in e:
                     e[name] = value
                     return
+                w = e.get("__with__")
+                if w is not None and _proto_lookup(w, name)[1]:
+                    self._dict_store(w, name, value)
+                    return
                 e = e.get("__parent__")
-            env[name] = value  # implicit global (JS semantics)
+            # implicit global (JS semantics): lands in the innermost
+            # NON-with scope — a with wrapper is an object environment,
+            # never a binding target for new names (ES5 10.2.1.2)
+            while "__with__" in env:
+                env = env["__parent__"]
+            env[name] = value
             return
         if target[0] == "member":
             obj = self.eval(target[1], env)
@@ -1741,6 +1872,18 @@ class Interpreter:
             if isinstance(obj, _Function):
                 obj.props[target[2]] = value
                 return
+            if isinstance(obj, list) and target[2] == "length":
+                # ES5 15.4.5.1: assigning length truncates or extends
+                # with holes (engine holes are UNDEFINED)
+                if self._integrity_of(obj) is not None:
+                    return
+                n = int(_num(value))
+                if n < 0 or _num(value) != n:
+                    raise _Thrown({"name": "RangeError",
+                                   "message": "invalid array length"})
+                del obj[n:]
+                obj.extend([UNDEFINED] * (n - len(obj)))
+                return
             if not isinstance(obj, dict):
                 raise MiniJsError("cannot set property on non-object")
             self._dict_store(obj, target[2], value)
@@ -1749,7 +1892,10 @@ class Interpreter:
             obj = self.eval(target[1], env)
             idx = self.eval(target[2], env)
             if isinstance(obj, list):
+                lvl = self._integrity_of(obj)
                 i = int(_num(idx))
+                if lvl == "freeze" or (lvl is not None and i >= len(obj)):
+                    return  # silently ignored (non-strict ES5)
                 while len(obj) <= i:
                     obj.append(UNDEFINED)
                 obj[i] = value
@@ -1767,6 +1913,10 @@ class Interpreter:
         if found and isinstance(cur, _Accessor):
             cur.write(self, obj, value)
             return
+        lvl = self._integrity_of(obj)
+        if lvl == "freeze" or (lvl is not None and key not in obj):
+            return  # non-strict JS: writes to frozen / adds to sealed
+            # or non-extensible objects are silently ignored (ES5 8.12.5)
         obj[key] = value
 
 
@@ -1786,8 +1936,9 @@ _METHODS = {
     ("str", "toUpperCase"): _m(lambda it, s, a: s.upper()),
     ("str", "trim"): _m(lambda it, s, a: s.strip()),
     ("str", "split"): _m(lambda it, s, a: _str_split(s, a)),
-    ("str", "indexOf"): _m(lambda it, s, a: float(s.find(_to_str(a[0])))),
-    ("str", "lastIndexOf"): _m(lambda it, s, a: float(s.rfind(_to_str(a[0])))),
+    ("str", "indexOf"): _m(lambda it, s, a: float(s.find(
+        _to_str(a[0]), max(0, int(_num(a[1]))) if len(a) > 1 else 0))),
+    ("str", "lastIndexOf"): _m(lambda it, s, a: _str_last_index_of(s, a)),
     ("str", "substr"): _m(lambda it, s, a: _substr_b23(s, a)),
     ("str", "localeCompare"): _m(lambda it, s, a: float(
         (s > _to_str(a[0])) - (s < _to_str(a[0])))),
@@ -1813,8 +1964,7 @@ _METHODS = {
     ("list", "pop"): _m(lambda it, l, a: l.pop() if l else UNDEFINED),
     ("list", "join"): _m(lambda it, l, a: (_to_str(a[0]) if a else ",").join(
         _to_str(x) for x in l)),
-    ("list", "indexOf"): _m(lambda it, l, a: float(l.index(a[0]))
-                            if a[0] in l else -1.0),
+    ("list", "indexOf"): _m(lambda it, l, a: _arr_index_of(l, a)),
     ("list", "includes"): _m(lambda it, l, a: a[0] in l),
     ("list", "slice"): _m(lambda it, l, a: _slice(l, a)),
     ("list", "concat"): _m(lambda it, l, a: l + [x for arg in a for x in
@@ -1829,8 +1979,6 @@ _METHODS = {
     ("list", "shift"): _m(lambda it, l, a: l.pop(0) if l else UNDEFINED),
     ("list", "unshift"): _m(lambda it, l, a: (l.__setitem__(slice(0, 0), a),
                                               float(len(l)))[1]),
-    ("list", "lastIndexOf"): _m(lambda it, l, a: float(
-        len(l) - 1 - l[::-1].index(a[0])) if a[0] in l else -1.0),
     ("list", "forEach"): _m(lambda it, l, a: ([it._invoke(a[0], [x, float(i)])
                                                for i, x in enumerate(l)],
                                               UNDEFINED)[1]),
@@ -1844,8 +1992,7 @@ _METHODS = {
     ("list", "sort"): _m(lambda it, l, a: _sort(it, l, a)),
     ("list", "splice"): _m(lambda it, l, a: _splice(l, a)),
     ("list", "lastIndexOf"): _m(
-        lambda it, l, a: float(len(l) - 1 - l[::-1].index(a[0]))
-        if a and a[0] in l else -1.0),
+        lambda it, l, a: _arr_index_of(l, a, last=True)),
     # numbers
     ("float", "toFixed"): _m(lambda it, x, a: f"{x:.{int(_num(a[0]) if a else 0)}f}"),
     ("float", "toString"): _m(lambda it, x, a: _num_to_string(x, a)),
@@ -2038,6 +2185,10 @@ def _has_own(this, key) -> bool:
 _OBJECT_PROTO = {
     "hasOwnProperty": _NativeThis(
         lambda it, this, a: _has_own(this, a[0] if a else UNDEFINED)),
+    # every own data property in this engine is enumerable (ES5 15.2.4.7
+    # restricted to the model: accessor/defineProperty flags not tracked)
+    "propertyIsEnumerable": _NativeThis(
+        lambda it, this, a: _has_own(this, a[0] if a else UNDEFINED)),
     "toString": _NativeThis(lambda it, this, a: _js_class(this)),
 }
 
@@ -2072,6 +2223,43 @@ def _str_search(s: str, a: list) -> float:
         _re.escape(_to_str(pat)))
     m = rx.search(s)
     return float(m.start()) if m else -1.0
+
+
+def _arr_index_of(l: list, a: list, last: bool = False) -> float:
+    """Array.prototype.indexOf / lastIndexOf (ES5 15.4.4.14-15): strict
+    equality, optional fromIndex (negative counts from the end)."""
+    if not a:
+        return -1.0
+    x, n = a[0], len(l)
+    if last:
+        frm = n - 1
+        if len(a) > 1:
+            frm = int(_num(a[1]))
+            if frm < 0:
+                frm += n
+            frm = min(frm, n - 1)
+        rng = range(frm, -1, -1)
+    else:
+        frm = 0
+        if len(a) > 1:
+            frm = int(_num(a[1]))
+            if frm < 0:
+                frm = max(0, n + frm)
+        rng = range(frm, n)
+    for i in rng:
+        if Interpreter._strict_eq(l[i], x):
+            return float(i)
+    return -1.0
+
+
+def _str_last_index_of(s: str, a: list) -> float:
+    """String.prototype.lastIndexOf with the position argument (ES5
+    15.5.4.8): rightmost match whose START is ≤ position."""
+    sub = _to_str(a[0]) if a else "undefined"
+    pos = len(s)
+    if len(a) > 1 and not (isinstance(a[1], float) and math.isnan(a[1])):
+        pos = max(0, int(_num(a[1])))
+    return float(s.rfind(sub, 0, pos + len(sub)))
 
 
 def _splice(lst: list, a: list) -> list:
@@ -2162,6 +2350,15 @@ _GLOBALS = {
             "create": lambda it, a: _JsObject(
                 proto=a[0] if a and isinstance(a[0], dict) else None),
             "defineProperty": lambda it, a: _define_property(it, a),
+            "freeze": lambda it, a: it._set_integrity(a[0], "freeze"),
+            "seal": lambda it, a: it._set_integrity(a[0], "seal"),
+            "preventExtensions": lambda it, a: it._set_integrity(
+                a[0], "prevent"),
+            "isFrozen": lambda it, a: it._integrity_of(a[0]) == "freeze",
+            "isSealed": lambda it, a: it._integrity_of(a[0])
+            in ("seal", "freeze"),
+            "isExtensible": lambda it, a: isinstance(a[0], (dict, list))
+            and it._integrity_of(a[0]) is None,
             "prototype": _OBJECT_PROTO,
         },
         name="Object",
@@ -2175,7 +2372,8 @@ _GLOBALS = {
         name="Array",
     ),
     "String": _Callable(
-        lambda it, a: _to_str(a[0]) if a else "",
+        lambda it, a: _to_str(it._to_primitive(a[0], "string"))
+        if a else "",
         props={
             "fromCharCode": lambda it, a: "".join(
                 chr(int(_num(x)) & 0xFFFF) for x in a),
@@ -2206,9 +2404,18 @@ _GLOBALS = {
             MiniJsError("Function constructor is not supported")),
         name="Function",
     ),
+    "Boolean": _Callable(
+        lambda it, a: _truthy(a[0]) if a else False,
+        name="Boolean",
+    ),
     "Date": _Callable(
         lambda it, a: _iso_ms(it.now_ms),
-        props={"now": lambda it, a: it.now_ms},
+        props={
+            "now": lambda it, a: it.now_ms,
+            "parse": lambda it, a: _date_parse(_to_str(a[0]) if a
+                                               else ""),
+            "UTC": lambda it, a: _date_utc(a),
+        },
         name="Date",
     ),
     "encodeURIComponent": lambda it, a: urllib.parse.quote(
@@ -2227,6 +2434,49 @@ _GLOBALS = {
 }
 
 
+def _date_parse(s: str) -> float:
+    """Date.parse (ES5 15.9.4.2): the ISO 8601 interchange format only
+    (date-only, date+time, optional .ms and Z/±HH:MM offset; a bare
+    'T'-less space separator accepted as a common extension). → epoch
+    ms, NaN on anything else."""
+    import datetime
+
+    m = _re.match(
+        r"^(\d{4})(?:-(\d{2})(?:-(\d{2}))?)?"
+        r"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,3}))?)?"
+        r"(Z|[+-]\d{2}:?\d{2})?)?$", s.strip())
+    if not m:
+        return math.nan
+    y, mo, d, h, mi, sec, ms, tz = m.groups()
+    try:
+        dt = datetime.datetime(int(y), int(mo or 1), int(d or 1),
+                               int(h or 0), int(mi or 0), int(sec or 0),
+                               tzinfo=datetime.timezone.utc)
+    except ValueError:
+        return math.nan
+    t = dt.timestamp() * 1000.0 + float((ms or "0").ljust(3, "0"))
+    if tz and tz != "Z":
+        sign = 1.0 if tz[0] == "+" else -1.0
+        t -= sign * (int(tz[1:3]) * 60 + int(tz[-2:])) * 60000.0
+    return t
+
+
+def _date_utc(a: list) -> float:
+    """Date.UTC(year, month[, day, h, m, s, ms]) → epoch ms (ES5
+    15.9.4.3); NaN on out-of-range fields (no overflow normalization)."""
+    import datetime
+
+    if len(a) < 2:
+        return math.nan
+    g = [int(_num(x)) for x in a[:7]] + [0] * (7 - min(len(a), 7))
+    try:
+        dt = datetime.datetime(g[0], g[1] + 1, g[2] or 1, g[3], g[4],
+                               g[5], tzinfo=datetime.timezone.utc)
+    except ValueError:
+        return math.nan
+    return dt.timestamp() * 1000.0 + float(g[6])
+
+
 def _iso_ms(ms: float) -> str:
     import datetime
 
@@ -2237,6 +2487,16 @@ def _iso_ms(ms: float) -> str:
 def _date_object(ms: float) -> dict:
     import datetime
 
+    if math.isnan(ms):  # Invalid Date (ES5 15.9.1.1): every field NaN
+        nanf = lambda it, a: math.nan  # noqa: E731
+        out = {"getTime": nanf, "valueOf": nanf,
+               "toISOString": lambda it, a: "Invalid Date"}
+        for f in ("FullYear", "Month", "Date", "Day", "Hours", "Minutes",
+                  "Seconds", "Milliseconds"):
+            out[f"get{f}"] = nanf
+            out[f"getUTC{f}"] = nanf
+        out["getTimezoneOffset"] = nanf
+        return out
     dt = datetime.datetime.fromtimestamp(ms / 1000.0,
                                          datetime.timezone.utc)
     out = {
