@@ -825,3 +825,55 @@ def test_index_of_from_index():
     assert run_script("'abcabc'.indexOf('b',2)") == 4
     assert run_script("'abcabc'.lastIndexOf('b',3)") == 1
     assert run_script("'abcabc'.lastIndexOf('b')") == 4
+
+
+def test_replace_function_replacer_full_args():
+    # ES5 15.5.4.11: replacer gets (match, p1..pn, offset, string)
+    assert run_script(
+        "'a1b2'.replace(/(\\d)/g, function(m,g1,off,s){ return g1+'@'+off; })"
+    ) == "a1@1b2@3"
+    assert run_script(
+        "'xay'.replace('a', function(m, off, s){ return off + s; })"
+    ) == "x1xayy"
+    # unmatched alternation groups arrive as undefined, not ''
+    assert run_script(
+        "'ab'.replace(/(x)|(b)/, function(m,g1,g2){ return typeof g1; })"
+    ) == "aundefined"
+
+
+def test_forin_walks_prototype_chain():
+    assert run_script(
+        "function F(){this.a=1;} F.prototype.b=2;"
+        "var ks=[]; for(var k in new F()) ks.push(k); ks.sort().join(',')"
+    ) == "a,b"
+    # shadowed prototype keys enumerate once (ES5 12.6.4)
+    assert run_script(
+        "function F(){this.b=1;} F.prototype.b=2;"
+        "var n=0; for(var k in new F()) n++; n") == 1
+
+
+def test_bare_var_redeclaration_keeps_value():
+    # ES5 10.5/12.2: `var x;` on an existing binding is a no-op
+    assert run_script("function f(x){ var x; return x; } f(7)") == 7
+    assert run_script("var x=3; var x; x") == 3
+    assert run_script("var y; y === undefined") is True
+
+
+def test_signed_zero_division():
+    assert run_script("1/-0 === -Infinity") is True
+    assert run_script("-1/-0 === Infinity") is True
+    assert run_script("isNaN(0/0)") is True
+
+
+def test_js_number_to_string_format():
+    # integral values print without a decimal up to 1e21 (ES5 9.8.1)
+    assert run_script("String(9007199254740993)") == "9007199254740992"
+    assert run_script("String(10000000000000000)") == "10000000000000000"
+    assert run_script("String(1e21)") == "1e+21"
+    # no leading zero in exponents
+    assert run_script("String(1e-7)") == "1e-7"
+
+
+def test_join_renders_holes_empty():
+    # ES5 15.4.4.5: undefined/null elements join as ''
+    assert run_script("[1,undefined,null,2].join('-')") == "1---2"

@@ -263,7 +263,10 @@ class _Parser:
             decls = []
             while True:
                 name = self.eat("id")[1]
-                init = ("lit", UNDEFINED)
+                # None marks a bare declarator: `var x;` must NOT reset
+                # an existing binding (ES5 10.5 / 12.2 — re-declaring a
+                # parameter or prior var leaves its value intact)
+                init = None
                 if self.at("punct", "="):
                     self.next()
                     # AssignmentExpression, NOT Expression: the comma
@@ -903,7 +906,12 @@ def _to_str(v) -> str:
             return "NaN"
         if math.isinf(v):
             return "Infinity" if v > 0 else "-Infinity"
-        return str(int(v)) if v.is_integer() and abs(v) < 1e15 else repr(v)
+        if v.is_integer() and abs(v) < 1e21:
+            # JS prints integral numbers without a decimal point up to
+            # 1e21, where exponent notation starts (ES5 9.8.1)
+            return str(int(v))
+        # JS exponents carry no leading zero: 1e-7, not Python's 1e-07
+        return _re.sub(r"e([+-])0(\d)$", r"e\1\2", repr(v))
     if isinstance(v, str):
         return v
     if isinstance(v, list):
@@ -1138,6 +1146,8 @@ class Interpreter:
                                             "__with__": obj})
         if kind == "decl":
             for name, init in node[1]:
+                if init is None:
+                    continue  # bare `var x;` — binding already hoisted
                 # assign through the scope chain: the binding was hoisted
                 # into the function scope, and inside a with block the
                 # walk correctly hits a same-named with-object property
@@ -1206,7 +1216,17 @@ class Interpreter:
             name, declared = node[1], node[4]
             obj = self.eval(node[2], env)
             if isinstance(obj, dict):
-                keys = list(obj.keys())  # own enumerable, insertion order
+                # own enumerable in insertion order, then un-shadowed
+                # prototype-chain keys (ES5 12.6.4 walks [[Prototype]])
+                keys = list(obj.keys())
+                seen = set(keys)
+                p = getattr(obj, "proto", None)
+                while isinstance(p, dict):
+                    for k in p:
+                        if k not in seen:
+                            seen.add(k)
+                            keys.append(k)
+                    p = getattr(p, "proto", None)
             elif isinstance(obj, (list, str)):
                 keys = [str(i) for i in range(len(obj))]
             else:
@@ -1514,9 +1534,14 @@ class Interpreter:
             return _num(a) * _num(b)
         if op == "/":
             d = _num(b)
-            return math.inf if d == 0 and _num(a) > 0 else (
-                -math.inf if d == 0 and _num(a) < 0 else (
-                    math.nan if d == 0 else _num(a) / d))
+            if d == 0:
+                n = _num(a)
+                if n == 0 or math.isnan(n):
+                    return math.nan
+                # sign of ±0 matters: 1/-0 === -Infinity (IEEE 754)
+                neg = (n < 0) != (math.copysign(1.0, d) < 0)
+                return -math.inf if neg else math.inf
+            return _num(a) / d
         if op == "%":
             d = _num(b)
             return math.nan if d == 0 else math.fmod(_num(a), d)
@@ -1963,7 +1988,7 @@ _METHODS = {
     ("list", "push"): _m(lambda it, l, a: (l.extend(a), float(len(l)))[1]),
     ("list", "pop"): _m(lambda it, l, a: l.pop() if l else UNDEFINED),
     ("list", "join"): _m(lambda it, l, a: (_to_str(a[0]) if a else ",").join(
-        _to_str(x) for x in l)),
+        "" if x is None or x is UNDEFINED else _to_str(x) for x in l)),
     ("list", "indexOf"): _m(lambda it, l, a: _arr_index_of(l, a)),
     ("list", "includes"): _m(lambda it, l, a: a[0] in l),
     ("list", "slice"): _m(lambda it, l, a: _slice(l, a)),
@@ -2084,10 +2109,14 @@ def _str_split(s, a):
 
 def _str_replace(it, s, a):
     pat, repl = a[0], a[1] if len(a) > 1 else UNDEFINED
-    def do(match_text, groups=()):
+    def do(match_text, groups=(), offset=0):
         if isinstance(repl, (_Function, _Bound)) or callable(repl):
-            return _to_str(it._invoke(repl, [match_text,
-                                             *[g or "" for g in groups]]))
+            # function replacer args: match, p1..pn, offset, string
+            # (ES5 15.5.4.11); unmatched groups pass as undefined
+            return _to_str(it._invoke(repl, [
+                match_text,
+                *[UNDEFINED if g is None else g for g in groups],
+                float(offset), s]))
         out = []
         i, r = 0, _to_str(repl)
         while i < len(r):
@@ -2113,9 +2142,11 @@ def _str_replace(it, s, a):
 
     if isinstance(pat, _RegExp):
         count = 0 if pat.is_global else 1
-        return pat.regex.sub(lambda m: do(m.group(0), m.groups()), s,
-                             count=count)
-    return s.replace(_to_str(pat), do(_to_str(pat)), 1)
+        return pat.regex.sub(
+            lambda m: do(m.group(0), m.groups(), m.start()), s,
+            count=count)
+    p = _to_str(pat)
+    return s.replace(p, do(p, (), s.find(p)), 1)
 
 
 def _str_match(s, a):
