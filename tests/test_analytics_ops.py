@@ -257,6 +257,40 @@ class TestBasket:
                            item="i", k=3).to_pandas()
         assert len(got) == 3
 
+    def test_packed_unpacked_parity(self, ray_session):
+        # the packed int64-key groupby (default) and the two-column
+        # fallback must agree bit-for-bit
+        import numpy as np
+
+        from thecrowler_ray.stages.basket import pair_support
+
+        rng = np.random.default_rng(7)
+        rows = pd.DataFrame({
+            "b": rng.integers(0, 40, 300),
+            "i": rng.integers(0, 25, 300),
+        })
+        a = (pair_support(rd.from_pandas(rows), basket="b", item="i",
+                          k=1000).to_pandas().reset_index(drop=True))
+        b = (pair_support(rd.from_pandas(rows), basket="b", item="i",
+                          k=1000, packed=False)
+             .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_packed_overflow_raises(self, ray_session):
+        # item ids beyond 2^32 must raise loudly, never wrap silently
+        import pytest as _pytest
+
+        from thecrowler_ray.stages.basket import pair_support
+
+        rows = pd.DataFrame({"b": [1, 1], "i": [1, 1 << 33]})
+        with _pytest.raises(Exception, match="packed=False"):
+            pair_support(rd.from_pandas(rows), basket="b",
+                         item="i").to_pandas()
+        # and the escape hatch works on the same input
+        got = pair_support(rd.from_pandas(rows), basket="b", item="i",
+                           packed=False).to_pandas()
+        assert int(got["support"].iloc[0]) == 1
+
 
 class TestInfoStats:
     def test_independent_columns_zero_mi(self, ray_session):

@@ -146,14 +146,53 @@ def pair_support(
     basket: str,
     item: str,
     k: int = 100,
+    packed: bool = True,
 ) -> "ray.data.Dataset":
     """Dataset with int64 ``basket``/``item`` → Dataset (x, y, support)
-    — the k most-supported unordered item pairs."""
+    — the k most-supported unordered item pairs.
+
+    ``packed=True`` (default) runs the global count groupby on ONE
+    int64 key (x << 32 | y) instead of the (x, y) pair — Ray's
+    sort-based aggregate on a single int column is markedly faster
+    than the two-column key and the exchange ships one column, not
+    two. Packing requires item ids in [0, 2^32); out-of-range ids
+    RAISE with instructions (no silent wraparound) — pass
+    ``packed=False`` for the two-column groupby then. The plan is
+    lazy, so the range check must live in-task; auto-fallback would
+    need an extra eager max() scan over the input."""
+    import pyarrow as pa
     from ray.data.aggregate import Sum
 
-    return (cooccur_pair_counts(ds, basket=basket, item=item)
-            .groupby(["x", "y"]).aggregate(Sum("c",
-                                               alias_name="support"))
+    partials = cooccur_pair_counts(ds, basket=basket, item=item)
+
+    if not packed:
+        return (partials
+                .groupby(["x", "y"]).aggregate(Sum("c",
+                                                   alias_name="support"))
+                .sort(["support", "x", "y"],
+                      descending=[True, False, False])
+                .limit(k))
+
+    def pack(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        if len(x) and (int(x.max()) >= 1 << 32 or int(y.max()) >= 1 << 32
+                       or int(x.min()) < 0 or int(y.min()) < 0):
+            raise ValueError(
+                "pair_support(packed=True) needs item ids in [0, 2^32); "
+                "got out-of-range ids - call with packed=False")
+        return pa.table({"xy": pa.array((x << np.int64(32)) | y),
+                         "c": t["c"]})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        xy = t["xy"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": pa.array(xy >> np.int64(32)),
+                         "y": pa.array(xy & np.int64(0xFFFFFFFF)),
+                         "support": t["support"]})
+
+    return (partials.map_batches(pack, batch_format="pyarrow")
+            .groupby("xy").aggregate(Sum("c", alias_name="support"))
+            .map_batches(unpack, batch_format="pyarrow")
             .sort(["support", "x", "y"],
                   descending=[True, False, False])
             .limit(k))
