@@ -324,6 +324,7 @@ def _queries_unordered() -> dict[str, Callable[[str], Any]]:
         "q_dedup_keep_best": q.q_dedup_keep_best,
         # exact prefix-filtered set-similarity join (added round 4)
         "q_ppjoin": q.q_ppjoin,
+        "q_ngram_jaccard": q.q_ngram_jaccard,
         # fill-in-the-middle training transform (added round 4)
         "q_fim": q.q_fim,
     }
@@ -4277,6 +4278,57 @@ r5 AS (
             JOIN sz sb ON sb.doc_id = ov.doc_b
             WHERE 10 * inter >= 7 * (sa.n + sb.n - inter)
             ORDER BY doc_a, doc_b
+        """,
+        # consecutive-pair exact n-gram Jaccard twin: the scalar
+        # ngram_jaccard shingle semantics (max(1, n-k+1) windows) —
+        # docs with <3 words own exactly ONE shingle, the join of all
+        # their words ('' for empty text); pairs are (id, id+1) with
+        # both sides present
+        "q_ngram_jaccard": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               lower(COALESCE(text, '')), '\\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ), words AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(generate_series(1, len(ws))) AS ord
+                FROM base WHERE len(ws) >= 3
+            ), tok AS (
+                SELECT DISTINCT a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w AS token
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                JOIN words c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+                UNION
+                SELECT doc_id, array_to_string(ws, ' ') AS token
+                FROM base WHERE len(ws) < 3
+            ), sz AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tok GROUP BY doc_id
+            ), pairs AS (
+                SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+                FROM documents d1
+                JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+            ), ov AS (
+                SELECT p.doc_a, p.doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter
+                FROM pairs p
+                JOIN tok a ON a.doc_id = p.doc_a
+                JOIN tok b ON b.doc_id = p.doc_b AND b.token = a.token
+                GROUP BY 1, 2
+            )
+            SELECT p.doc_a, p.doc_b,
+                   COALESCE(ov.inter, CAST(0 AS BIGINT)) AS inter,
+                   sa.n + sb.n
+                       - COALESCE(ov.inter, CAST(0 AS BIGINT)) AS uni
+            FROM pairs p
+            JOIN sz sa ON sa.doc_id = p.doc_a
+            JOIN sz sb ON sb.doc_id = p.doc_b
+            LEFT JOIN ov ON ov.doc_a = p.doc_a AND ov.doc_b = p.doc_b
+            ORDER BY p.doc_a
         """,
         # FIM transform twin: the same md5 coin/offsets and the PSM
         # string rebuilt with 1-based substr — prefix = text[:lo],

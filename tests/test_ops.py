@@ -500,3 +500,36 @@ def test_fixed_bin_histogram_quantiles_and_merge():
     edge = FixedBinHistogram(width=1.0, lo_bin=-4, hi_bin=4)
     edge.add_values([-1e9, 1e9, 0.5])
     assert edge.counts[0] == 1 and edge.counts[-1] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_pairs_matches_scalar():
+    # the distributed consecutive-pair op must agree with the scalar
+    # verification function on every pair, including short/empty docs
+    # and id gaps (pair (6,7) missing its left side must not appear)
+    from thecrowler_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+             for _ in range(8)]
+    texts[2] = ""            # empty -> one '' shingle
+    texts[3] = "one two"     # <3 words -> one 2-word shingle
+    ids = [0, 1, 2, 3, 4, 5, 7, 8]  # gap at 6
+    docs = pa.table({"doc_id": ids, "text": texts})
+    got = (ngram_jaccard_pairs(ray.data.from_arrow(docs), k=3)
+           .to_pandas().reset_index(drop=True))
+    by_id = dict(zip(ids, texts))
+    want = []
+    for a in ids:
+        if a + 1 not in by_id:
+            continue
+        def sh(t):
+            toks = t.lower().split()
+            return {" ".join(toks[i:i + 3])
+                    for i in range(max(1, len(toks) - 2))}
+        A, B = sh(by_id[a]), sh(by_id[a + 1])
+        want.append((a, a + 1, len(A & B), len(A | B)))
+    exp = pd.DataFrame(want, columns=["doc_a", "doc_b", "inter", "uni"])
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))

@@ -3664,6 +3664,19 @@ def q_ppjoin(sf_dir: str):
                         shingle_k=3)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact 3-word-shingle Jaccard over every consecutive doc-id pair
+    (``stages/dedup.py:ngram_jaccard_pairs`` — the distributed form of
+    the scalar verification function, same ``max(1, n−k+1)`` shingle
+    windows). One slim (pair, side, tok-hash) shard shuffle; |A|, |B|
+    and |A∩B| all fall out of one per-shard duplicate-count merge.
+    → (doc_a, doc_b, inter, uni), int64, sorted by doc_a."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, k=3)
+
+
 def q_fim(sf_dir: str):
     """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     Training of Language Models to Fill in the Middle" — the public FIM

@@ -348,6 +348,84 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(A & B) / max(1, len(A | B))
 
 
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_shards: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact k-word-shingle Jaccard for every CONSECUTIVE id pair
+    (id, id+1) present on both sides — the distributed form of
+    :func:`ngram_jaccard` (identical shingle semantics:
+    ``max(1, n_words − k + 1)`` windows, so every doc owns ≥1
+    shingle and short/empty docs keep the scalar function's edge
+    behavior). → (doc_a, doc_b, inter, uni) int64, sorted by doc_a.
+
+    Shape: one ``map_batches`` turns text into slim (pair, side,
+    tok-hash) int64 rows — each doc's set feeds pair ``id`` as the
+    LEFT side and pair ``id − 1`` as the RIGHT side; ONE uniform
+    pair-hash shard groupby co-locates each pair; per shard a lexsort
+    duplicate-count merge yields |A∩B| while the side counts yield
+    |A| and |B| directly — no sizes join, no second text read, and
+    the text itself never enters an exchange. Pairs missing either
+    side (corpus boundaries, id gaps) drop inside the shard.
+    Token identity is the 63-bit md5 hash (the ppjoin convention)."""
+    from ..ops.gutil import group_by_key_shards
+    from .ppjoin import _tok_hash
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        pair_parts, side_parts, tok_parts = [], [], []
+        for did, text in zip(ids, texts):
+            ws = (text or "").lower().split()
+            hh = _tok_hash(sorted(
+                {" ".join(ws[i:i + k])
+                 for i in range(max(1, len(ws) - k + 1))}))
+            m = len(hh)
+            pair_parts.append(np.concatenate(
+                [np.full(m, did), np.full(m, did - 1)]))
+            side_parts.append(np.concatenate(
+                [np.zeros(m, np.int8), np.ones(m, np.int8)]))
+            tok_parts.append(np.concatenate([hh, hh]))
+        if not pair_parts:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "tok": pa.array([], pa.int64())})
+        return pa.table({
+            "pair": pa.array(np.concatenate(pair_parts)),
+            "side": pa.array(np.concatenate(side_parts)),
+            "tok": pa.array(np.concatenate(tok_parts)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g["pair"].to_numpy()
+        side = g["side"].to_numpy()
+        tok = g["tok"].to_numpy()
+        order = np.lexsort((side, tok, pair))
+        p, t_, s = pair[order], tok[order], side[order]
+        upair, idx = np.unique(p, return_inverse=True)
+        nl = np.bincount(idx[s == 0], minlength=len(upair))
+        nr = np.bincount(idx[s == 1], minlength=len(upair))
+        # each (pair, tok, side) is unique, so an adjacent (pair, tok)
+        # repeat means the token sits on BOTH sides
+        dup = (p[1:] == p[:-1]) & (t_[1:] == t_[:-1])
+        inter = np.bincount(idx[:-1][dup], minlength=len(upair))
+        valid = (nl > 0) & (nr > 0)
+        return pd.DataFrame({
+            "doc_a": upair[valid],
+            "doc_b": upair[valid] + 1,
+            "inter": inter[valid].astype(np.int64),
+            "uni": (nl + nr - inter)[valid].astype(np.int64),
+        })
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    return group_by_key_shards(rows, "pair", merge,
+                               n_shards=n_shards).sort("doc_a")
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup (hamming ≤ d via band rotation)
 # ---------------------------------------------------------------------------
