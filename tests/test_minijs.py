@@ -877,3 +877,169 @@ def test_js_number_to_string_format():
 def test_join_renders_holes_empty():
     # ES5 15.4.4.5: undefined/null elements join as ''
     assert run_script("[1,undefined,null,2].join('-')") == "1---2"
+
+
+# ---------------------------------------------------------------------------
+# wave 4 (round 5): node-differential probe — 24 gaps closed, each
+# expectation below pinned against node's output on the same snippet
+# ---------------------------------------------------------------------------
+
+
+def test_array_iteration_callbacks_full_args():
+    # (value, index, array) + thisArg (ES5 15.4.4.16-21)
+    assert run_script(
+        "var o={t:2}; [1,2,3].filter(function(x){return x>=this.t;},o)"
+        ".join('')") == "23"
+    assert run_script(
+        "var s=''; [7,8].forEach(function(v,i,a){s+=v+':'+i+':'+a.length"
+        "+';';}); s") == "7:0:2;8:1:2;"
+    assert run_script(
+        "[1,2].map(function(x,i,a){return x+a[1-i];}).join(',')") == "3,3"
+
+
+def test_array_holes_semantics():
+    # ES5 15.4: holes are skipped by iteration methods and absent for `in`
+    assert run_script("[1,,3].every(function(x){return x>0;})") is True
+    assert run_script("var m=[1,,3].map(function(x){return x*2;});"
+                      "[m.length, 1 in m, m[0]].join(',')") == "3,false,2"
+    assert run_script("[,1,,2,].reduce(function(a,b){return a+b;})") == 3
+    assert run_script("new Array(3).every(function(){return false;})") is True
+    assert run_script("JSON.stringify([,1,,2])") == "[null,1,null,2]"
+
+
+def test_reduce_empty_no_init_typeerror():
+    assert run_script(
+        "var r; try { [].reduce(function(a,b){return a+b;}); r=0; }"
+        "catch(e) { r = e instanceof TypeError; } r") is True
+
+
+def test_array_expando_properties():
+    # arrays are objects: non-index keys are real properties, visible
+    # to for-in and Object.keys, invisible to JSON.stringify/length
+    assert run_script(
+        "var a=[9,8]; a.x=1; var s='';"
+        "for(var k in a){s+=k+':'+typeof k+';';} s") == "0:string;1:string;x:string;"
+    assert run_script("var a=[1]; a.x=7; [a.x, a.length, "
+                      "JSON.stringify(a), Object.keys(a).join(',')]"
+                      ".join('|')") == "7|1|[1]|0,x"
+    assert run_script("var a=[1]; a['k']='v'; a['k']") == "v"
+
+
+def test_math_round_minmax_edges():
+    assert run_script("1/Math.round(-0.5) < 0") is True
+    assert run_script("[Math.round(2.5), Math.round(-2.5)].join(',')") == "3,-2"
+    assert run_script("String(Math.min(1,NaN))") == "NaN"
+    assert run_script("Math.max() === -Infinity") is True
+    assert run_script("Math.min() === Infinity") is True
+
+
+def test_tofixed_exact_binary_ties():
+    # (1.45).toFixed(1): binary 1.45 stores BELOW the tie -> '1.4';
+    # exact ties round away from zero
+    assert run_script("[(1.45).toFixed(1),(2.5).toFixed(0),"
+                      "(-2.5).toFixed(0),(1.005).toFixed(2),"
+                      "(123.456).toFixed(1)].join('|')") == \
+        "1.4|3|-3|1.00|123.5"
+
+
+def test_parseint_parsefloat_edges():
+    assert run_script("parseInt('0x1f')") == 31
+    assert run_script("parseInt('0X1A')") == 26
+    assert run_script("parseFloat('3.5e2x')") == 350
+    assert run_script("parseFloat('  .5')") == 0.5
+    assert run_script("parseFloat('-Infinity') === -Infinity") is True
+
+
+def test_string_hex_unicode_escapes():
+    assert run_script("'\\x41\\u0042'") == "AB"
+    assert run_script("'\\0'.charCodeAt(0)") == 0
+
+
+def test_empty_statement():
+    assert run_script("var i=0; for(;i<3;i++); i") == 3
+
+
+def test_match_nonglobal_index_and_regex_flags():
+    assert run_script("var m='a1b2'.match(/(\\d)/);"
+                      "[m[0],m[1],m.index].join(',')") == "1,1,1"
+    assert run_script("var r=/ab+/gi; [r.source,r.global,r.ignoreCase,"
+                      "r.multiline].join('|')") == "ab+|true|true|false"
+
+
+def test_json_parse_reviver_and_tojson():
+    assert run_script(
+        "JSON.stringify(JSON.parse('{\"a\":1,\"b\":{\"c\":2}}',"
+        "function(k,v){return typeof v==='number'?v*10:v;}))") == \
+        '{"a":10,"b":{"c":20}}'
+    assert run_script(
+        "JSON.stringify({toJSON:function(){return 'T';}})") == '"T"'
+    assert run_script("JSON.stringify(new Date(0))") == \
+        '"1970-01-01T00:00:00.000Z"'
+
+
+def test_date_overflow_setters_invalid():
+    # MakeDay normalization: month 12 -> January next year
+    assert run_script("var d=new Date(Date.UTC(2020,12,1));"
+                      "[d.getUTCFullYear(),d.getUTCMonth()].join(',')") == \
+        "2021,0"
+    assert run_script("String(new Date(NaN))") == "Invalid Date"
+    assert run_script("var d=new Date(0); d.setUTCFullYear(1999);"
+                      "d.getUTCFullYear()") == 1999
+    assert run_script("var d=new Date(0); d.setUTCMonth(13);"
+                      "[d.getUTCFullYear(),d.getUTCMonth()].join(',')") == \
+        "1971,1"
+
+
+def test_object_create_props_and_null_proto():
+    assert run_script(
+        "var o=Object.create({p:1},{q:{value:2,enumerable:true}});"
+        "[o.p,o.q,Object.keys(o).join('')].join('|')") == "1|2|q"
+    assert run_script(
+        "var o=Object.create(null); o.x=1;"
+        "[o.x, typeof o.toString].join(',')") == "1,undefined"
+
+
+def test_defineproperty_enumerable_default_false():
+    assert run_script(
+        "var o={}; Object.defineProperty(o,'h',{value:1});"
+        "[o.h, Object.keys(o).length, JSON.stringify(o)].join('|')") == \
+        "1|0|{}"
+    assert run_script(
+        "var o={}; Object.defineProperty(o,'h',"
+        "{value:1,enumerable:true}); Object.keys(o).join('')") == "h"
+
+
+def test_integer_key_enumeration_order():
+    assert run_script(
+        "var o={}; o.b=1; o['2']=2; o.a=3; o['1']=4;"
+        "Object.keys(o).join(',')") == "1,2,b,a"
+    assert run_script(
+        "JSON.stringify({b:1,'2':2,'1':3})") == '{"1":3,"2":2,"b":1}'
+
+
+def test_function_prototype_and_constructor():
+    assert run_script("function C(){} Object.getPrototypeOf(C)"
+                      " === Function.prototype") is True
+    assert run_script("Object.getPrototypeOf('x'.constructor)"
+                      " === Function.prototype") is True
+    assert run_script("[(5).constructor === Number,"
+                      "[].constructor === Array].join(',')") == "true,true"
+
+
+def test_arguments_param_aliasing():
+    # non-strict ES5 10.6: arguments[i] aliases the i-th parameter
+    assert run_script("function f(a){arguments[0]=9; return a;} f(1)") == 9
+    assert run_script("function f(a){a=5; return arguments[0];} f(1)") == 5
+
+
+def test_this_in_plain_call_is_global_object():
+    assert run_script("function f(){return typeof this;} f()") == "object"
+    assert run_script("var g=7; function f(){return this.g;} f()") == 7
+
+
+def test_sort_undefined_last():
+    assert run_script(
+        "[undefined,'z','a'].sort().join(',')") == "a,z,"
+    assert run_script(
+        "var a=[3,undefined,1]; a.sort();"
+        "[a[0],a[1],String(a[2])].join(',')") == "1,3,undefined"

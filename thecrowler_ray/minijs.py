@@ -81,6 +81,29 @@ class _Undefined:
 
 UNDEFINED = _Undefined()
 
+
+class _HoleType:
+    """An array HOLE (elision / length-grow): reads as undefined but is
+    absent for `in`, iteration methods and JSON key counts (ES5
+    15.4)."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "<hole>"
+
+
+HOLE = _HoleType()
+
+
+def _unhole(v):
+    return UNDEFINED if v is HOLE else v
+
 _PUNCT = [
     ">>>=", "===", "!==", ">>>", "<<=", ">>=", "&&", "||", "==", "!=",
     "<=", ">=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "++",
@@ -185,7 +208,16 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
             while j < n and src[j] != c:
                 if src[j] == "\\" and j + 1 < n:
                     esc = src[j + 1]
-                    out.append({"n": "\n", "t": "\t", "r": "\r"}.get(esc, esc))
+                    if esc == "x" and j + 3 < n:  # \xHH
+                        out.append(chr(int(src[j + 2:j + 4], 16)))
+                        j += 4
+                        continue
+                    if esc == "u" and j + 5 < n:  # \uHHHH
+                        out.append(chr(int(src[j + 2:j + 6], 16)))
+                        j += 6
+                        continue
+                    out.append({"n": "\n", "t": "\t", "r": "\r", "b": "\b",
+                                "f": "\f", "v": "\v", "0": "\0"}.get(esc, esc))
                     j += 2
                 else:
                     out.append(src[j])
@@ -250,6 +282,9 @@ class _Parser:
         return ("block", body)
 
     def statement(self):
+        if self.at("punct", ";"):  # empty statement (ES5 12.3)
+            self.next()
+            return ("block", [])
         if self.at("punct", "{"):
             self.next()
             body = []
@@ -629,9 +664,9 @@ class _Parser:
             items = []
             while not self.at("punct", "]"):
                 if self.at("punct", ","):
-                    # elision (ES5 11.1.4): the hole reads as undefined;
-                    # a trailing comma adds no element
-                    items.append(("lit", UNDEFINED))
+                    # elision (ES5 11.1.4): a real HOLE — reads as
+                    # undefined, skipped by iteration methods and `in`
+                    items.append(("lit", HOLE))
                     self.next()
                     continue
                 items.append(self.assignment())
@@ -709,13 +744,16 @@ class _Function:
 
 class _JsObject(dict):
     """A plain JS object carrying a [[Prototype]] link outside its own
-    keys (so Object.keys / for..in / JSON never see it)."""
+    keys (so Object.keys / for..in / JSON never see it).
+    ``null_proto`` marks ``Object.create(null)`` objects: member reads
+    must NOT fall through to the Object.prototype builtins."""
 
-    __slots__ = ("proto",)
+    __slots__ = ("proto", "null_proto")
 
-    def __init__(self, *a, proto=None, **kw):
+    def __init__(self, *a, proto=None, null_proto=False, **kw):
         super().__init__(*a, **kw)
         self.proto = proto
+        self.null_proto = null_proto
 
 
 def _proto_lookup(obj, name: str):
@@ -840,9 +878,20 @@ class _MatchArray(list):
 
 class _Arguments(list):
     """The arguments object: array-like with .callee bound to the
-    executing function (ES5 10.6; no caller, no live param aliasing)."""
+    executing function and non-strict param aliasing (ES5 10.6):
+    ``arguments[i] = v`` writes through to the i-th declared
+    parameter's binding, and param writes flow back (handled in
+    ``_store``)."""
 
     callee = None
+    env = None      # the call's local scope (set by _invoke)
+    params = None   # declared parameter names
+
+    def __setitem__(self, i, v):
+        list.__setitem__(self, i, v)
+        if (self.env is not None and isinstance(i, int)
+                and self.params and 0 <= i < len(self.params)):
+            self.env[self.params[i]] = v
 
 
 def _to_int32(v) -> int:
@@ -895,7 +944,7 @@ def _num(v) -> float:
 
 
 def _to_str(v) -> str:
-    if v is UNDEFINED:
+    if v is UNDEFINED or v is HOLE:
         return "undefined"
     if v is None:
         return "null"
@@ -932,7 +981,7 @@ def _is_fnlike(v) -> bool:
 
 
 def _json_ready(v):
-    if v is UNDEFINED:
+    if v is UNDEFINED or v is HOLE:
         return None
     if hasattr(v, "js_json"):
         return v.js_json()
@@ -960,6 +1009,23 @@ def _json_stringify_full(it, a) -> str:
     v = a[0] if a else UNDEFINED
     replacer = a[1] if len(a) > 1 else None
     space = a[2] if len(a) > 2 else None
+
+    def apply_tojson(x, depth=0):
+        # ES5 15.12.3 step 2a: call toJSON() before the replacer
+        if depth > 64:
+            return x
+        if isinstance(x, dict) and not isinstance(x, _Accessor):
+            tj = x.get("toJSON") or x.get("toISOString")  # Date 15.9.5.44
+            if tj is not None and (isinstance(tj, (_Function, _Bound))
+                                   or callable(tj)):
+                return it._invoke(tj, [], this_val=x)
+            return {k: apply_tojson(x[k], depth + 1)
+                    for k in _own_keys(x, it)}
+        if isinstance(x, list):
+            return [apply_tojson(y, depth + 1) for y in x]
+        return x
+
+    v = apply_tojson(v)
 
     if isinstance(replacer, list):
         keep = {_to_str(k) for k in replacer}
@@ -1013,6 +1079,32 @@ def _json_parse(s):
     return conv(json.loads(s))
 
 
+def _json_parse_full(it, a):
+    """JSON.parse with the reviver argument (ES5 15.12.2): bottom-up
+    walk calling reviver(key, value); undefined return DELETES the
+    property (objects) or leaves undefined (arrays)."""
+    v = _json_parse(_to_str(a[0] if a else ""))
+    reviver = a[1] if len(a) > 1 else None
+    if reviver is None or reviver is UNDEFINED or not (
+            isinstance(reviver, (_Function, _Bound)) or callable(reviver)):
+        return v
+
+    def walk(holder, key, val):
+        if isinstance(val, dict):
+            for k in list(val.keys()):
+                nv = walk(val, k, val[k])
+                if nv is UNDEFINED:
+                    del val[k]
+                else:
+                    val[k] = nv
+        elif isinstance(val, list):
+            for i in range(len(val)):
+                val[i] = walk(val, _to_str(float(i)), val[i])
+        return it._invoke(reviver, [key, val], this_val=holder)
+
+    return walk({"": v}, "", v)
+
+
 class Interpreter:
     def __init__(self, max_ops: int = 500_000, now_ms: float = 0.0):
         self.max_ops = max_ops
@@ -1027,6 +1119,34 @@ class Interpreter:
         # writes; array MUTATOR METHODS (push/splice/...) are not
         # barriered — a documented subset.
         self._integrity: dict[int, tuple] = {}
+        # non-enumerable own properties (ES5 8.6.1 [[Enumerable]]):
+        # id -> (obj, set of keys), same holding discipline as above
+        self._nonenum: dict[int, tuple] = {}
+
+        # expando properties on arrays (id -> (list, props dict)):
+        # arrays are objects (ES5 15.4), Python lists can't carry
+        # attributes, so non-index keys live in this side table
+        self._list_props: dict[int, tuple] = {}
+
+    def _list_props_of(self, obj, create: bool = False):
+        ent = self._list_props.get(id(obj))
+        if ent is None or ent[0] is not obj:
+            if not create:
+                return None
+            ent = (obj, {})
+            self._list_props[id(obj)] = ent
+        return ent[1]
+
+    def _mark_nonenum(self, obj, key: str):
+        ent = self._nonenum.get(id(obj))
+        if ent is None or ent[0] is not obj:
+            ent = (obj, set())
+            self._nonenum[id(obj)] = ent
+        ent[1].add(key)
+
+    def _nonenum_of(self, obj):
+        ent = self._nonenum.get(id(obj))
+        return ent[1] if ent is not None and ent[0] is obj else ()
 
     def _set_integrity(self, obj, level: str):
         if isinstance(obj, (dict, list)):
@@ -1051,6 +1171,10 @@ class Interpreter:
         the DOM seam uses it for ``document``."""
         ast = _Parser(_tokenize(src)).program()
         env = {"params": _json_parse(json.dumps(params or {}))}
+        # the root scope doubles as the global object (non-strict
+        # `this` in plain calls, ES5 10.4.3)
+        self.global_env = env
+        env["this"] = env
         for k, v in (extra_vars or {}).items():
             env[k] = _json_parse(json.dumps(v, default=str))
         for k, v in (host_vars or {}).items():
@@ -1216,19 +1340,26 @@ class Interpreter:
             name, declared = node[1], node[4]
             obj = self.eval(node[2], env)
             if isinstance(obj, dict):
-                # own enumerable in insertion order, then un-shadowed
-                # prototype-chain keys (ES5 12.6.4 walks [[Prototype]])
-                keys = list(obj.keys())
-                seen = set(keys)
+                # own enumerable keys (integer-like ascending first,
+                # then insertion order), then un-shadowed prototype-
+                # chain keys (ES5 12.6.4 walks [[Prototype]])
+                keys = _own_keys(obj, self)
+                seen = set(obj.keys())
                 p = getattr(obj, "proto", None)
                 while isinstance(p, dict):
-                    for k in p:
+                    for k in _own_keys(p, self):
                         if k not in seen:
                             seen.add(k)
                             keys.append(k)
                     p = getattr(p, "proto", None)
             elif isinstance(obj, (list, str)):
-                keys = [str(i) for i in range(len(obj))]
+                keys = [str(i) for i in range(len(obj))
+                        if not (isinstance(obj, list)
+                                and obj[i] is HOLE)]
+                if isinstance(obj, list):
+                    lp = self._list_props_of(obj)
+                    if lp:
+                        keys.extend(lp.keys())
             else:
                 keys = []  # null/undefined/primitives iterate nothing
             for k in keys:
@@ -1413,8 +1544,13 @@ class Interpreter:
             obj = self.eval(node[1], env)
             idx = self.eval(node[2], env)
             if isinstance(obj, list):
-                i = int(_num(idx))
-                return obj[i] if 0 <= i < len(obj) else UNDEFINED
+                f = _num(idx)
+                if math.isnan(f) or f != int(f):
+                    lp = self._list_props_of(obj)
+                    key = _to_str(idx)
+                    return lp[key] if lp and key in lp else UNDEFINED
+                i = int(f)
+                return _unhole(obj[i]) if 0 <= i < len(obj) else UNDEFINED
             if isinstance(obj, dict):
                 return self._member(obj, _to_str(idx))
             if isinstance(obj, str):
@@ -1452,7 +1588,7 @@ class Interpreter:
                     return _JsObject()
                 if ctor[1] == "Array":
                     if len(args) == 1 and isinstance(args[0], float):
-                        return [UNDEFINED] * int(args[0])
+                        return [HOLE] * int(args[0])
                     return list(args)
             fn = self.eval(ctor, env)
             if isinstance(fn, _Callable) and fn.name == "RegExp":
@@ -1573,7 +1709,7 @@ class Interpreter:
                     i = int(float(key))
                 except ValueError:
                     return False
-                return 0 <= i < len(b)
+                return 0 <= i < len(b) and b[i] is not HOLE
             raise MiniJsError("'in' requires an object operand")
         if op == "instanceof":
             if isinstance(b, _Function):  # user constructor: walk [[Proto]]
@@ -1722,6 +1858,10 @@ class Interpreter:
                 return obj.flags
             if name == "global":
                 return obj.is_global
+            if name == "ignoreCase":
+                return "i" in obj.flags
+            if name == "multiline":
+                return "m" in obj.flags
             if name == "lastIndex":
                 return obj.last_index
             if name == "test":
@@ -1735,12 +1875,27 @@ class Interpreter:
                 if isinstance(v, _Accessor):
                     return v.read(self, obj)
                 return v
+            if getattr(obj, "null_proto", False):
+                return UNDEFINED  # Object.create(null): no fallback
             m = _OBJECT_PROTO.get(name)
             if m is not None:  # Object.prototype.* fallback, this-bound
                 return _Bound(m.fn, obj)
             return UNDEFINED
         if isinstance(obj, _MatchArray) and name in ("index", "input"):
             return getattr(obj, name)
+        if isinstance(obj, list):
+            lp = self._list_props_of(obj)
+            if lp is not None and name in lp:
+                return lp[name]
+        if name == "constructor":  # primitive wrappers (ES5 15.x.4.1)
+            if isinstance(obj, str):
+                return _GLOBALS["String"]
+            if isinstance(obj, bool):
+                return _GLOBALS["Boolean"]
+            if isinstance(obj, float):
+                return _GLOBALS["Number"]
+            if isinstance(obj, list):
+                return _GLOBALS["Array"]
         if isinstance(obj, _Arguments) and name == "callee":
             return obj.callee
         # list subclasses (_MatchArray) must dispatch as "list"
@@ -1830,12 +1985,18 @@ class Interpreter:
         if isinstance(fn, _Callable):
             return fn.fn(self, args)
         if isinstance(fn, _Function):
+            if this_val is UNDEFINED:
+                # non-strict plain call: this = the global object
+                # (ES5 10.4.3); the root scope dict plays that role
+                this_val = getattr(self, "global_env", UNDEFINED)
             argobj = _Arguments(args)
             argobj.callee = fn
             local = {"__parent__": fn.env, "arguments": argobj,
                      "this": this_val}
             for i, p in enumerate(fn.params):
                 local[p] = args[i] if i < len(args) else UNDEFINED
+            argobj.env = local
+            argobj.params = list(fn.params)
             try:
                 self._hoist(fn.body[1], local)
                 self.exec_stmt(fn.body, local)
@@ -1873,6 +2034,12 @@ class Interpreter:
             while e is not None:
                 if name in e:
                     e[name] = value
+                    ao = e.get("arguments")
+                    if (isinstance(ao, _Arguments) and ao.params
+                            and name in ao.params):
+                        i = ao.params.index(name)
+                        if i < len(ao):  # param write → arguments[i]
+                            list.__setitem__(ao, i, value)
                     return
                 w = e.get("__with__")
                 if w is not None and _proto_lookup(w, name)[1]:
@@ -1907,7 +2074,11 @@ class Interpreter:
                     raise _Thrown({"name": "RangeError",
                                    "message": "invalid array length"})
                 del obj[n:]
-                obj.extend([UNDEFINED] * (n - len(obj)))
+                obj.extend([HOLE] * (n - len(obj)))
+                return
+            if isinstance(obj, list):
+                if self._integrity_of(obj) != "freeze":
+                    self._list_props_of(obj, create=True)[target[2]] = value
                 return
             if not isinstance(obj, dict):
                 raise MiniJsError("cannot set property on non-object")
@@ -1918,11 +2089,19 @@ class Interpreter:
             idx = self.eval(target[2], env)
             if isinstance(obj, list):
                 lvl = self._integrity_of(obj)
-                i = int(_num(idx))
+                f = _num(idx)
+                if math.isnan(f) or f != int(f) or f < 0:
+                    # non-index key: an expando property (ES5 15.4 —
+                    # arrays are objects)
+                    if lvl == "freeze":
+                        return
+                    self._list_props_of(obj, create=True)[_to_str(idx)] = value
+                    return
+                i = int(f)
                 if lvl == "freeze" or (lvl is not None and i >= len(obj)):
                     return  # silently ignored (non-strict ES5)
                 while len(obj) <= i:
-                    obj.append(UNDEFINED)
+                    obj.append(HOLE)
                 obj[i] = value
                 return
             if isinstance(obj, dict):
@@ -1988,7 +2167,8 @@ _METHODS = {
     ("list", "push"): _m(lambda it, l, a: (l.extend(a), float(len(l)))[1]),
     ("list", "pop"): _m(lambda it, l, a: l.pop() if l else UNDEFINED),
     ("list", "join"): _m(lambda it, l, a: (_to_str(a[0]) if a else ",").join(
-        "" if x is None or x is UNDEFINED else _to_str(x) for x in l)),
+        "" if x is None or x is UNDEFINED or x is HOLE else _to_str(x)
+        for x in l)),
     ("list", "indexOf"): _m(lambda it, l, a: _arr_index_of(l, a)),
     ("list", "includes"): _m(lambda it, l, a: a[0] in l),
     ("list", "slice"): _m(lambda it, l, a: _slice(l, a)),
@@ -1996,21 +2176,25 @@ _METHODS = {
                                                  (arg if isinstance(arg, list)
                                                   else [arg])]),
     ("list", "reverse"): _m(lambda it, l, a: (l.reverse(), l)[1]),
-    ("list", "map"): _m(lambda it, l, a: [it._invoke(a[0], [x, float(i)])
-                                          for i, x in enumerate(l)]),
-    ("list", "filter"): _m(lambda it, l, a: [x for i, x in enumerate(l)
-                                             if _truthy(it._invoke(a[0],
-                                                        [x, float(i)]))]),
+    ("list", "map"): _m(lambda it, l, a: [
+        x if x is HOLE
+        else it._invoke(a[0], [x, float(i), l], _this_arg(a))
+        for i, x in enumerate(l)]),
+    ("list", "filter"): _m(lambda it, l, a: [
+        x for i, x in enumerate(l) if x is not HOLE
+        and _truthy(it._invoke(a[0], [x, float(i), l], _this_arg(a)))]),
     ("list", "shift"): _m(lambda it, l, a: l.pop(0) if l else UNDEFINED),
     ("list", "unshift"): _m(lambda it, l, a: (l.__setitem__(slice(0, 0), a),
                                               float(len(l)))[1]),
-    ("list", "forEach"): _m(lambda it, l, a: ([it._invoke(a[0], [x, float(i)])
-                                               for i, x in enumerate(l)],
-                                              UNDEFINED)[1]),
+    ("list", "forEach"): _m(lambda it, l, a: (
+        [it._invoke(a[0], [x, float(i), l], _this_arg(a))
+         for i, x in enumerate(l) if x is not HOLE], UNDEFINED)[1]),
     ("list", "some"): _m(lambda it, l, a: any(
-        _truthy(it._invoke(a[0], [x, float(i)])) for i, x in enumerate(l))),
+        _truthy(it._invoke(a[0], [x, float(i), l], _this_arg(a)))
+        for i, x in enumerate(l) if x is not HOLE)),
     ("list", "every"): _m(lambda it, l, a: all(
-        _truthy(it._invoke(a[0], [x, float(i)])) for i, x in enumerate(l))),
+        _truthy(it._invoke(a[0], [x, float(i), l], _this_arg(a)))
+        for i, x in enumerate(l) if x is not HOLE)),
     ("list", "reduce"): _m(lambda it, l, a: _reduce(it, l, a)),
     ("list", "reduceRight"): _m(lambda it, l, a: _reduce(it, l, a,
                                                          right=True)),
@@ -2019,7 +2203,8 @@ _METHODS = {
     ("list", "lastIndexOf"): _m(
         lambda it, l, a: _arr_index_of(l, a, last=True)),
     # numbers
-    ("float", "toFixed"): _m(lambda it, x, a: f"{x:.{int(_num(a[0]) if a else 0)}f}"),
+    ("float", "toFixed"): _m(lambda it, x, a: _js_to_fixed(
+        x, int(_num(a[0]) if a else 0))),
     ("float", "toString"): _m(lambda it, x, a: _num_to_string(x, a)),
     ("float", "toPrecision"): _m(lambda it, x, a: _js_exp(
         f"{x:.{int(_num(a[0]))}g}") if a else _to_str(x)),
@@ -2031,19 +2216,26 @@ _METHODS = {
 }
 
 
+def _this_arg(a: list):
+    """Second argument of the ES5 array-iteration methods (thisArg)."""
+    return a[1] if len(a) > 1 else UNDEFINED
+
+
 def _reduce(it, lst, a, right=False):
-    items = list(enumerate(lst))
+    items = [(i, x) for i, x in enumerate(lst) if x is not HOLE]
     if right:
         items = items[::-1]
     if len(a) > 1:
         acc = a[1]
     else:
         if not lst:
-            raise MiniJsError("reduce of empty array with no initial value")
+            raise _Thrown({"name": "TypeError",
+                           "message": "Reduce of empty array "
+                                      "with no initial value"})
         acc = items[0][1]
         items = items[1:]
     for i, x in items:
-        acc = it._invoke(a[0], [acc, x, float(i)])
+        acc = it._invoke(a[0], [acc, x, float(i), lst])
     return acc
 
 
@@ -2070,14 +2262,22 @@ def _define_property(it, a):
         obj[key] = acc
     elif "value" in desc:
         obj[key] = desc["value"]
+    if not _truthy(desc.get("enumerable")):
+        # defineProperty defaults [[Enumerable]] to FALSE (ES5 8.12.9)
+        it._mark_nonenum(obj, key)
     return obj
 
 
 def _sort(it, lst, a):
-    """In-place sort, JS semantics: default is string comparison; with a
-    comparator the return sign orders the pair."""
+    """In-place sort, JS semantics (ES5 15.4.4.11): default is string
+    comparison; with a comparator the return sign orders the pair.
+    undefined elements sort after every defined one, holes after
+    undefined."""
     import functools
 
+    body = [x for x in lst if x is not UNDEFINED and x is not HOLE]
+    n_undef = sum(1 for x in lst if x is UNDEFINED)
+    n_hole = len(lst) - len(body) - n_undef
     if a and a[0] is not UNDEFINED:
         fn = a[0]
 
@@ -2085,9 +2285,10 @@ def _sort(it, lst, a):
             r = _num(it._invoke(fn, [x, y]))
             return -1 if r < 0 else (1 if r > 0 else 0)
 
-        lst.sort(key=functools.cmp_to_key(cmp))
+        body.sort(key=functools.cmp_to_key(cmp))
     else:
-        lst.sort(key=_to_str)
+        body.sort(key=_to_str)
+    lst[:] = body + [UNDEFINED] * n_undef + [HOLE] * n_hole
     return lst
 
 
@@ -2158,8 +2359,11 @@ def _str_match(s, a):
     m = rx.regex.search(s)
     if m is None:
         return None
-    return [m.group(0)] + [(g if g is not None else UNDEFINED)
-                           for g in m.groups()]
+    out = _MatchArray([m.group(0)] + [(g if g is not None else UNDEFINED)
+                                      for g in m.groups()])
+    out.index = float(m.start())  # non-global match = exec (15.5.4.10)
+    out.input = s
+    return out
 
 
 def _slice(s, a):
@@ -2333,12 +2537,90 @@ def _num_to_string(x: float, a: list) -> str:
     return sign + "".join(reversed(out))
 
 
-def _object_keys(v) -> list:
+def _own_keys(v: dict, it=None, all_props: bool = False) -> list:
+    """Own keys in every engine's de-facto order: integer-like keys
+    ascending first, then the rest in insertion order; skips
+    non-enumerable keys unless ``all_props``."""
+    ne = it._nonenum_of(v) if (it is not None and not all_props) else ()
+    ints, rest = [], []
+    for k in v.keys():
+        if k in ne:
+            continue
+        if k.isdigit() and (k == "0" or k[0] != "0"):
+            ints.append(k)
+        else:
+            rest.append(k)
+    ints.sort(key=int)
+    return ints + rest
+
+
+def _object_keys(v, it=None, all_props: bool = False) -> list:
     if isinstance(v, dict):
-        return list(v.keys())
+        return _own_keys(v, it, all_props)
     if isinstance(v, list):  # array indices as strings (ES5 15.2.3.14)
-        return [str(i) for i in range(len(v))]
+        out = [str(i) for i in range(len(v)) if v[i] is not HOLE]
+        lp = it._list_props_of(v) if it is not None else None
+        if lp:
+            out.extend(lp.keys())
+        return out
     return []
+
+
+def _js_to_fixed(x: float, digits: int) -> str:
+    """Number.prototype.toFixed (ES5 15.7.4.5): round the EXACT binary
+    value (so (1.45).toFixed(1) is '1.4' — 1.45 stores below the tie),
+    exact ties away from zero ((2.5).toFixed(0) → '3'); |x| ≥ 1e21
+    falls back to ToString."""
+    import decimal
+
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x) or abs(x) >= 1e21:
+        return _to_str(x)
+    q = decimal.Decimal(x).quantize(
+        decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP)
+    return f"{q:.{digits}f}"
+
+
+def _js_round(v: float) -> float:
+    """Math.round (ES5 15.8.2.15): floor(x + 0.5), with NaN/±∞
+    passthrough and −0 for inputs in [−0.5, −0)."""
+    if math.isnan(v) or math.isinf(v):
+        return v
+    r = float(math.floor(v + 0.5))
+    if r == 0.0 and math.copysign(1.0, v) < 0:
+        return -0.0
+    return r
+
+
+def _js_minmax(a: list, empty: float, pick) -> float:
+    """Math.max/min: the identity (−∞ for max, +∞ for min) on no
+    args, NaN if ANY arg is NaN."""
+    vals = [_num(x) for x in a]
+    if not vals:
+        return empty
+    if any(math.isnan(v) for v in vals):
+        return math.nan
+    return float(pick(vals))
+
+
+# Function.prototype as a first-class object: getPrototypeOf on any
+# function returns THIS singleton, and Function.prototype === it
+_FUNCTION_PROTO = _JsObject()
+
+
+def _object_create(it, a):
+    """Object.create(proto[, properties]) (ES5 15.2.3.5): proto may be
+    null (the result then skips the Object.prototype fallback); the
+    optional second argument is a descriptor map routed through
+    defineProperty (enumerable defaults FALSE there)."""
+    proto = a[0] if a and isinstance(a[0], dict) else None
+    o = _JsObject(proto=proto, null_proto=bool(a) and a[0] is None)
+    if len(a) > 1 and isinstance(a[1], dict):
+        for k, desc in a[1].items():
+            if isinstance(desc, dict):
+                _define_property(it, [o, k, desc])
+    return o
 
 
 def _error_ctor(name: str) -> "_Callable":
@@ -2360,26 +2642,31 @@ _GLOBALS = {
     "Math": {
         "floor": lambda it, a: float(math.floor(_num(a[0]))),
         "ceil": lambda it, a: float(math.ceil(_num(a[0]))),
-        "round": lambda it, a: float(math.floor(_num(a[0]) + 0.5)),
+        "round": lambda it, a: _js_round(_num(a[0])),
         "abs": lambda it, a: abs(_num(a[0])),
-        "max": lambda it, a: max(_num(x) for x in a),
-        "min": lambda it, a: min(_num(x) for x in a),
+        "max": lambda it, a: _js_minmax(a, -math.inf, max),
+        "min": lambda it, a: _js_minmax(a, math.inf, min),
         "pow": lambda it, a: _num(a[0]) ** _num(a[1]),
         "sqrt": lambda it, a: math.sqrt(_num(a[0])),
         "PI": math.pi,
     },
     "JSON": {
-        "parse": lambda it, a: _json_parse(_to_str(a[0])),
+        "parse": lambda it, a: _json_parse_full(it, a),
         "stringify": lambda it, a: _json_stringify_full(it, a),
     },
     "Object": _Callable(
         lambda it, a: a[0] if a else {},
         props={
-            "keys": lambda it, a: _object_keys(a[0]),
-            "getOwnPropertyNames": lambda it, a: _object_keys(a[0]),
-            "getPrototypeOf": lambda it, a: getattr(a[0], "proto", None),
-            "create": lambda it, a: _JsObject(
-                proto=a[0] if a and isinstance(a[0], dict) else None),
+            "keys": lambda it, a: _object_keys(a[0], it),
+            "getOwnPropertyNames": lambda it, a: _object_keys(
+                a[0], it, all_props=True),
+            "getPrototypeOf": lambda it, a: (
+                _FUNCTION_PROTO
+                if isinstance(a[0], (_Function, _Callable, _Bound,
+                                     _NativeThis))
+                or (callable(a[0]) and not isinstance(a[0], dict))
+                else getattr(a[0], "proto", None)),
+            "create": lambda it, a: _object_create(it, a),
             "defineProperty": lambda it, a: _define_property(it, a),
             "freeze": lambda it, a: it._set_integrity(a[0], "freeze"),
             "seal": lambda it, a: it._set_integrity(a[0], "seal"),
@@ -2433,6 +2720,7 @@ _GLOBALS = {
     "Function": _Callable(
         lambda it, a: (_ for _ in ()).throw(
             MiniJsError("Function constructor is not supported")),
+        props={"prototype": _FUNCTION_PROTO},
         name="Function",
     ),
     "Boolean": _Callable(
@@ -2494,16 +2782,26 @@ def _date_parse(s: str) -> float:
 
 def _date_utc(a: list) -> float:
     """Date.UTC(year, month[, day, h, m, s, ms]) → epoch ms (ES5
-    15.9.4.3); NaN on out-of-range fields (no overflow normalization)."""
+    15.9.4.3) with full MakeDay/MakeTime overflow normalization
+    (month 12 → January next year, day 0 → last of prior month, …);
+    NaN only when a field is NaN or the result leaves the datetime
+    range."""
     import datetime
 
     if len(a) < 2:
         return math.nan
-    g = [int(_num(x)) for x in a[:7]] + [0] * (7 - min(len(a), 7))
+    vals = [_num(x) for x in a[:7]]
+    if any(math.isnan(v) or math.isinf(v) for v in vals):
+        return math.nan
+    g = [int(v) for v in vals] + [0] * (7 - min(len(a), 7))
+    year, month = g[0] + g[1] // 12, g[1] % 12
+    day = g[2] if len(a) > 2 else 1
     try:
-        dt = datetime.datetime(g[0], g[1] + 1, g[2] or 1, g[3], g[4],
-                               g[5], tzinfo=datetime.timezone.utc)
-    except ValueError:
+        base = datetime.datetime(year, month + 1, 1,
+                                 tzinfo=datetime.timezone.utc)
+        dt = base + datetime.timedelta(days=day - 1, hours=g[3],
+                                       minutes=g[4], seconds=g[5])
+    except (ValueError, OverflowError):
         return math.nan
     return dt.timestamp() * 1000.0 + float(g[6])
 
@@ -2515,42 +2813,82 @@ def _iso_ms(ms: float) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{int(ms) % 1000:03d}Z"
 
 
+_DATE_FIELDS = ("FullYear", "Month", "Date", "Day", "Hours", "Minutes",
+                "Seconds", "Milliseconds")
+
+
 def _date_object(ms: float) -> dict:
+    """A Date instance: a dict of closures over ONE mutable [ms] cell,
+    so setters (ES5 15.9.5.28-40) recompute every getter. Invalid
+    Dates (NaN time value) report NaN fields and 'Invalid Date'
+    strings but keep their setters — setting a valid time revives
+    them, as in JS. The engine's clock is UTC, so local getters and
+    setters alias the UTC ones."""
     import datetime
 
-    if math.isnan(ms):  # Invalid Date (ES5 15.9.1.1): every field NaN
-        nanf = lambda it, a: math.nan  # noqa: E731
-        out = {"getTime": nanf, "valueOf": nanf,
-               "toISOString": lambda it, a: "Invalid Date"}
-        for f in ("FullYear", "Month", "Date", "Day", "Hours", "Minutes",
-                  "Seconds", "Milliseconds"):
-            out[f"get{f}"] = nanf
-            out[f"getUTC{f}"] = nanf
-        out["getTimezoneOffset"] = nanf
-        return out
-    dt = datetime.datetime.fromtimestamp(ms / 1000.0,
-                                         datetime.timezone.utc)
+    cell = [float(ms)]
+
+    def field(name: str) -> float:
+        v = cell[0]
+        if math.isnan(v):
+            return math.nan
+        dt = datetime.datetime.fromtimestamp(v / 1000.0,
+                                             datetime.timezone.utc)
+        return {"FullYear": float(dt.year),
+                "Month": float(dt.month - 1),  # 0-based (15.9.1.4)
+                "Date": float(dt.day),
+                "Day": float(dt.isoweekday() % 7),  # 0 = Sunday
+                "Hours": float(dt.hour),
+                "Minutes": float(dt.minute),
+                "Seconds": float(dt.second),
+                "Milliseconds": float(int(v) % 1000)}[name]
+
+    def set_fields(first: str, args: list) -> float:
+        """set<first>(...) also consumes the trailing finer fields
+        (e.g. setUTCFullYear(y, mo, d) — ES5 15.9.5.40)."""
+        order = ["FullYear", "Month", "Date", "Hours", "Minutes",
+                 "Seconds", "Milliseconds"]
+        vals = {f: field(f) for f in order}
+        if math.isnan(cell[0]):
+            # reviving an Invalid Date: unset fields default per MakeDay
+            vals = {"FullYear": math.nan, "Month": 0.0, "Date": 1.0,
+                    "Hours": 0.0, "Minutes": 0.0, "Seconds": 0.0,
+                    "Milliseconds": 0.0}
+        start = order.index(first)
+        for off, v in enumerate(args):
+            if start + off >= len(order):
+                break  # extra args ignored (JS)
+            vals[order[start + off]] = _num(v)
+        if any(math.isnan(v) or math.isinf(v) for v in vals.values()):
+            cell[0] = math.nan
+            return math.nan
+        cell[0] = _date_utc([vals["FullYear"], vals["Month"],
+                             vals["Date"], vals["Hours"], vals["Minutes"],
+                             vals["Seconds"], vals["Milliseconds"]])
+        return cell[0]
+
+    def to_str() -> str:
+        if math.isnan(cell[0]):
+            return "Invalid Date"
+        return _iso_ms(cell[0])
+
     out = {
-        "toISOString": lambda it, a, _ms=ms: _iso_ms(_ms),
-        "getTime": lambda it, a, _ms=ms: float(_ms),
-        "valueOf": lambda it, a, _ms=ms: float(_ms),
+        "toISOString": lambda it, a: to_str(),
+        "toString": lambda it, a: to_str(),
+        "getTime": lambda it, a: cell[0],
+        "valueOf": lambda it, a: cell[0],
+        "setTime": lambda it, a: cell.__setitem__(
+            0, _num(a[0]) if a else math.nan) or cell[0],
+        "getTimezoneOffset": lambda it, a: (math.nan
+                                            if math.isnan(cell[0])
+                                            else 0.0),
     }
-    # the engine's Date clock IS UTC (deterministic now_ms), so local
-    # getters alias the UTC ones
-    fields = {
-        "FullYear": float(dt.year),
-        "Month": float(dt.month - 1),  # 0-based (ES5 15.9.1.4)
-        "Date": float(dt.day),
-        "Day": float(dt.isoweekday() % 7),  # 0 = Sunday
-        "Hours": float(dt.hour),
-        "Minutes": float(dt.minute),
-        "Seconds": float(dt.second),
-        "Milliseconds": float(int(ms) % 1000),
-    }
-    for f, v in fields.items():
-        out[f"get{f}"] = lambda it, a, _v=v: _v
-        out[f"getUTC{f}"] = lambda it, a, _v=v: _v
-    out["getTimezoneOffset"] = lambda it, a: 0.0
+    for f in _DATE_FIELDS:
+        out[f"get{f}"] = lambda it, a, _f=f: field(_f)
+        out[f"getUTC{f}"] = lambda it, a, _f=f: field(_f)
+        if f != "Day":
+            out[f"set{f}"] = lambda it, a, _f=f: set_fields(_f, a)
+            out[f"setUTC{f}"] = lambda it, a, _f=f: set_fields(_f, a)
     return out
 
 
@@ -2559,15 +2897,16 @@ _INT_DIGITS = "0123456789abcdefghijklmnopqrstuvwxyz"
 
 def _parse_int(a):
     s = _to_str(a[0]).strip()
-    radix = int(_num(a[1])) if len(a) > 1 and _truthy(a[1]) else 10
-    if not 2 <= radix <= 36:
+    radix = int(_num(a[1])) if len(a) > 1 and _truthy(a[1]) else 0
+    if radix and not 2 <= radix <= 36:
         return math.nan
     sign = 1
     if s[:1] in "+-":
         sign = -1 if s[0] == "-" else 1
         s = s[1:]
-    if radix == 16 and s[:2].lower() == "0x":
-        s = s[2:]
+    if radix in (0, 16) and s[:2].lower() == "0x":
+        s, radix = s[2:], 16  # auto-hex (ES5 15.1.2.2 step 10)
+    radix = radix or 10
     digits = ""
     for c in s.lower():
         if c in _INT_DIGITS[:radix]:
@@ -2579,20 +2918,13 @@ def _parse_int(a):
 
 def _parse_float(a):
     s = _to_str(a[0]).strip()
-    out = ""
-    seen_dot = False
-    for i, c in enumerate(s):
-        if c.isdigit() or (c in "+-" and i == 0):
-            out += c
-        elif c == "." and not seen_dot:
-            out += c
-            seen_dot = True
-        else:
-            break
-    try:
-        return float(out)
-    except ValueError:
+    m = _re.match(r"[+-]?(Infinity|(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)", s)
+    if not m:
         return math.nan
+    tok = m.group(0)
+    if tok.endswith("Infinity"):
+        return -math.inf if tok[0] == "-" else math.inf
+    return float(tok)
 
 
 def run_script(src: str, params: dict | None = None, max_ops: int = 500_000,
