@@ -1043,3 +1043,70 @@ def test_sort_undefined_last():
     assert run_script(
         "var a=[3,undefined,1]; a.sort();"
         "[a[0],a[1],String(a[2])].join(',')") == "1,3,undefined"
+
+
+# ---------------------------------------------------------------------------
+# wave 5 (round 5): randomized node-differential fuzzing (28k generated
+# expressions, node-verified) — coercion/Math/ToInteger edges
+# ---------------------------------------------------------------------------
+
+
+def test_truthiness_nan_falsy():
+    # Python bool(nan) is True; JS NaN is falsy — the fuzzer's top hit
+    assert run_script("NaN && 998") != 998
+    assert run_script("isNaN(NaN && 998)") is True
+    assert run_script("NaN || 'right'") == "right"
+    assert run_script("(NaN) ? 'y' : 'n'") == "n"
+
+
+def test_tonumber_arrays_and_strings():
+    # ToNumber(array) goes through its join string (ES5 9.3)
+    assert run_script("Number([0])") == 0
+    assert run_script("[] - 1") == -1
+    assert run_script("isNaN(+[1,2])") is True
+    # StringNumericLiteral: hex, Infinity, strict rejects
+    assert run_script("Number('0x10')") == 16
+    assert run_script("Number('-Infinity') === -Infinity") is True
+    assert run_script("isNaN(Number('inf'))") is True
+    assert run_script("Number(' ')") == 0
+
+
+def test_toprimitive_plain_object_string():
+    # method-less objects ToPrimitive to '[object Object]'
+    assert run_script("({}) + 1") == "[object Object]1"
+    assert run_script("({}) <= 'z'") is True
+    assert run_script("[] < '0'") is True  # '' < '0' string compare
+
+
+def test_mod_pow_edges():
+    assert run_script("isNaN(Infinity % 2)") is True
+    assert run_script("5 % Infinity") == 5
+    assert run_script("Math.pow(0, -1) === Infinity") is True
+    assert run_script("Math.pow(-0, -1) === -Infinity") is True
+    assert run_script("isNaN(Math.pow(1, Infinity))") is True
+    assert run_script("isNaN(Math.pow(2, NaN))") is True
+    assert run_script("Math.pow(NaN, 0)") == 1
+
+
+def test_tointeger_in_method_args():
+    # ToInteger: NaN -> 0 (the old int(_num()) crashed)
+    assert run_script("'abc'.charAt(NaN)") == "a"
+    assert run_script("'abc'.slice('x')") == "abc"
+    assert run_script("'abc'.substr(undefined)") == "abc"
+    assert run_script("Math.floor(NaN) !== Math.floor(NaN)") is True
+    assert run_script("Math.ceil(Infinity) === Infinity") is True
+    assert run_script("parseInt('')" ) != run_script("0")  # NaN, no crash
+    assert run_script("isNaN(parseInt(''))") is True
+
+
+def test_signed_zero_math():
+    assert run_script("1/Math.min(0, -0) < 0") is True
+    assert run_script("1/Math.max(-0, 0) > 0") is True
+    assert run_script("1/Math.ceil(-0.3) < 0") is True
+    assert run_script("1/Math.floor(-0) < 0") is True
+
+
+def test_sqrt_negative_and_split_undefined():
+    assert run_script("isNaN(Math.sqrt(-1))") is True
+    assert run_script("'aundefinedb'.split(undefined).length") == 1
+    assert run_script("'a,b'.split().join('|')") == "a,b"

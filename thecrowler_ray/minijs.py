@@ -908,13 +908,24 @@ def _as_i32(u: int) -> int:
 
 
 def _truthy(v) -> bool:
-    if v is UNDEFINED or v is None or v is False:
+    if v is UNDEFINED or v is None or v is False or v is HOLE:
         return False
     if isinstance(v, float):
-        return v != 0.0
+        return v == v and v != 0.0  # NaN is falsy
     if isinstance(v, str):
         return v != ""
     return True
+
+
+def _js_int(v) -> int:
+    """ToInteger (ES5 9.4): NaN -> 0, ±∞ clamps to ±2^53 (every string/
+    array index saturates there), else truncate toward zero."""
+    f = _num(v)
+    if math.isnan(f):
+        return 0
+    if math.isinf(f):
+        return (1 << 53) if f > 0 else -(1 << 53)
+    return int(f)
 
 
 def _num(v) -> float:
@@ -923,12 +934,24 @@ def _num(v) -> float:
     if isinstance(v, float):
         return v
     if isinstance(v, str):
-        try:
-            return float(v) if v.strip() else 0.0
-        except ValueError:
-            return math.nan
+        t = v.strip()
+        if not t:
+            return 0.0
+        if _re.fullmatch(r"[+-]?Infinity", t):
+            return -math.inf if t[0] == "-" else math.inf
+        if _re.fullmatch(r"0[xX][0-9a-fA-F]+", t):
+            return float(int(t, 16))
+        # strict decimal literal only: Python's float() also accepts
+        # 'inf'/'nan'/'_' forms that JS ToNumber rejects (ES5 9.3.1)
+        if _re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", t):
+            return float(t)
+        return math.nan
     if v is None:
         return 0.0
+    if isinstance(v, list):
+        # ToPrimitive(array, number) -> ToString (arrays have no
+        # valueOf), then ToNumber (ES5 9.3)
+        return _num(_to_str(v))
     if isinstance(v, dict):
         # ToNumber via valueOf for native-backed objects (Date): the
         # stored natives take (it, args) with it unused; user _Function
@@ -1056,7 +1079,7 @@ def _json_stringify_full(it, a) -> str:
     ready = _json_ready(v)
     if space is None or space is UNDEFINED:
         return json.dumps(ready, separators=(",", ":"), sort_keys=False)
-    indent = (" " * min(10, max(0, int(_num(space))))
+    indent = (" " * min(10, max(0, _js_int((space))))
               if isinstance(space, (float, bool)) else _to_str(space)[:10])
     if not indent:
         return json.dumps(ready, separators=(",", ":"), sort_keys=False)
@@ -1554,7 +1577,7 @@ class Interpreter:
             if isinstance(obj, dict):
                 return self._member(obj, _to_str(idx))
             if isinstance(obj, str):
-                i = int(_num(idx))
+                i = _js_int((idx))
                 return obj[i] if 0 <= i < len(obj) else UNDEFINED
             raise MiniJsError("cannot index this value")
         if kind == "call":
@@ -1658,6 +1681,13 @@ class Interpreter:
                 a = self._to_primitive(a, hint)
             if isinstance(b, dict):
                 b = self._to_primitive(b, hint)
+            # arrays have no valueOf: ToPrimitive is their join string,
+            # which relationals then compare AS STRINGS when both sides
+            # end up strings ([] < '0' is '' < '0' — ES5 11.8.5)
+            if isinstance(a, list):
+                a = _to_str(a)
+            if isinstance(b, list):
+                b = _to_str(b)
         if op == "+":
             if isinstance(a, str) or isinstance(b, str):
                 return _to_str(a) + _to_str(b)
@@ -1680,7 +1710,7 @@ class Interpreter:
             return _num(a) / d
         if op == "%":
             d = _num(b)
-            return math.nan if d == 0 else math.fmod(_num(a), d)
+            return _js_mod(_num(a), d)
         if op in ("&", "|", "^", "<<", ">>", ">>>"):
             return self._binop_values(op, a, b)
         if op == "===":
@@ -1793,7 +1823,9 @@ class Interpreter:
                     continue
                 if not isinstance(r, (dict, list)):
                     return r
-        return v
+        # method-less plain object: Object.prototype.toString applies
+        # (ES5 8.12.8 falls through to the default toString)
+        return _to_str(v)
 
     def _loose_eq(self, a, b):
         """ES5 11.9.3 abstract equality over the engine's value model:
@@ -1964,7 +1996,7 @@ class Interpreter:
                 if isinstance(obj, dict):
                     fn = self._member(obj, _to_str(idx))
                 elif isinstance(obj, list):
-                    i = int(_num(idx))
+                    i = _js_int((idx))
                     fn = obj[i] if 0 <= i < len(obj) else UNDEFINED
                 else:
                     fn = self._member(obj, _to_str(idx))
@@ -2022,8 +2054,8 @@ class Interpreter:
                          "-": lambda: _num(old) - _num(value),
                          "*": lambda: _num(old) * _num(value),
                          "/": lambda: _num(old) / _num(value),
-                         "%": lambda: math.fmod(_num(old), _num(value))
-                         if _num(value) != 0 else math.nan}[base]()
+                         "%": lambda: _js_mod(_num(old),
+                                              _num(value))}[base]()
         self._store(target, value, env)
         return value
 
@@ -2069,7 +2101,7 @@ class Interpreter:
                 # with holes (engine holes are UNDEFINED)
                 if self._integrity_of(obj) is not None:
                     return
-                n = int(_num(value))
+                n = _js_int((value))
                 if n < 0 or _num(value) != n:
                     raise _Thrown({"name": "RangeError",
                                    "message": "invalid array length"})
@@ -2141,7 +2173,7 @@ _METHODS = {
     ("str", "trim"): _m(lambda it, s, a: s.strip()),
     ("str", "split"): _m(lambda it, s, a: _str_split(s, a)),
     ("str", "indexOf"): _m(lambda it, s, a: float(s.find(
-        _to_str(a[0]), max(0, int(_num(a[1]))) if len(a) > 1 else 0))),
+        _to_str(a[0]), max(0, _js_int((a[1]))) if len(a) > 1 else 0))),
     ("str", "lastIndexOf"): _m(lambda it, s, a: _str_last_index_of(s, a)),
     ("str", "substr"): _m(lambda it, s, a: _substr_b23(s, a)),
     ("str", "localeCompare"): _m(lambda it, s, a: float(
@@ -2156,12 +2188,12 @@ _METHODS = {
     ("str", "match"): _m(lambda it, s, a: _str_match(s, a)),
     ("str", "startsWith"): _m(lambda it, s, a: s.startswith(_to_str(a[0]))),
     ("str", "endsWith"): _m(lambda it, s, a: s.endswith(_to_str(a[0]))),
-    ("str", "charAt"): _m(lambda it, s, a: s[int(_num(a[0]))]
-                          if 0 <= int(_num(a[0])) < len(s) else ""),
-    ("str", "charCodeAt"): _m(lambda it, s, a: float(ord(s[int(_num(a[0]) if a
-                              else 0.0)])) if 0 <= int(_num(a[0]) if a else
+    ("str", "charAt"): _m(lambda it, s, a: s[_js_int((a[0]))]
+                          if 0 <= _js_int((a[0])) < len(s) else ""),
+    ("str", "charCodeAt"): _m(lambda it, s, a: float(ord(s[_js_int((a[0]) if a
+                              else 0.0)])) if 0 <= _js_int((a[0]) if a else
                               0.0) < len(s) else math.nan),
-    ("str", "repeat"): _m(lambda it, s, a: s * int(_num(a[0]))),
+    ("str", "repeat"): _m(lambda it, s, a: s * _js_int((a[0]))),
     ("str", "concat"): _m(lambda it, s, a: s + "".join(_to_str(x) for x in a)),
     # arrays
     ("list", "push"): _m(lambda it, l, a: (l.extend(a), float(len(l)))[1]),
@@ -2204,12 +2236,12 @@ _METHODS = {
         lambda it, l, a: _arr_index_of(l, a, last=True)),
     # numbers
     ("float", "toFixed"): _m(lambda it, x, a: _js_to_fixed(
-        x, int(_num(a[0]) if a else 0))),
+        x, _js_int((a[0]) if a else 0))),
     ("float", "toString"): _m(lambda it, x, a: _num_to_string(x, a)),
     ("float", "toPrecision"): _m(lambda it, x, a: _js_exp(
-        f"{x:.{int(_num(a[0]))}g}") if a else _to_str(x)),
+        f"{x:.{_js_int((a[0]))}g}") if a else _to_str(x)),
     ("float", "toExponential"): _m(lambda it, x, a: _js_exp(
-        f"{x:.{int(_num(a[0]) if a else 6)}e}")),
+        f"{x:.{_js_int((a[0]) if a else 6)}e}")),
     ("float", "valueOf"): _m(lambda it, x, a: x),
     ("bool", "toString"): _m(lambda it, b, a: "true" if b else "false"),
     ("bool", "valueOf"): _m(lambda it, b, a: b),
@@ -2293,8 +2325,8 @@ def _sort(it, lst, a):
 
 
 def _str_split(s, a):
-    if not a:
-        return [s]
+    if not a or a[0] is UNDEFINED:
+        return [s]  # undefined separator -> [whole string] (15.5.4.14)
     sep = a[0]
     if isinstance(sep, _RegExp):
         out = list(sep.regex.split(s))
@@ -2304,7 +2336,7 @@ def _str_split(s, a):
     if len(a) > 1 and a[1] is not UNDEFINED:
         # ES5 15.5.4.14: limit TRUNCATES the result (it does not change
         # how many splits happen)
-        out = out[:max(0, int(_num(a[1])))]
+        out = out[:max(0, _js_int((a[1])))]
     return out
 
 
@@ -2367,15 +2399,15 @@ def _str_match(s, a):
 
 
 def _slice(s, a):
-    start = int(_num(a[0])) if a else 0
-    end = int(_num(a[1])) if len(a) > 1 else len(s)
+    start = _js_int((a[0])) if a else 0
+    end = _js_int((a[1])) if len(a) > 1 else len(s)
     return s[slice(start if start >= 0 else max(0, len(s) + start),
                    end if end >= 0 else max(0, len(s) + end))]
 
 
 def _substring(s, a):
-    start = max(0, int(_num(a[0]))) if a else 0
-    end = max(0, int(_num(a[1]))) if len(a) > 1 else len(s)
+    start = max(0, _js_int((a[0]))) if a else 0
+    end = max(0, _js_int((a[1]))) if len(a) > 1 else len(s)
     if start > end:
         start, end = end, start
     return s[start:end]
@@ -2438,10 +2470,10 @@ def _substr_b23(s: str, a: list) -> str:
     """String.prototype.substr (ES5 B.2.3): (start, length); negative
     start counts from the end."""
     n = len(s)
-    start = int(_num(a[0])) if a else 0
+    start = _js_int((a[0])) if a else 0
     start = max(n + start, 0) if start < 0 else min(start, n)
     length = n - start if len(a) < 2 or a[1] is UNDEFINED \
-        else max(0, int(_num(a[1])))
+        else max(0, _js_int((a[1])))
     return s[start:start + length]
 
 
@@ -2469,7 +2501,7 @@ def _arr_index_of(l: list, a: list, last: bool = False) -> float:
     if last:
         frm = n - 1
         if len(a) > 1:
-            frm = int(_num(a[1]))
+            frm = _js_int((a[1]))
             if frm < 0:
                 frm += n
             frm = min(frm, n - 1)
@@ -2477,7 +2509,7 @@ def _arr_index_of(l: list, a: list, last: bool = False) -> float:
     else:
         frm = 0
         if len(a) > 1:
-            frm = int(_num(a[1]))
+            frm = _js_int((a[1]))
             if frm < 0:
                 frm = max(0, n + frm)
         rng = range(frm, n)
@@ -2493,7 +2525,7 @@ def _str_last_index_of(s: str, a: list) -> float:
     sub = _to_str(a[0]) if a else "undefined"
     pos = len(s)
     if len(a) > 1 and not (isinstance(a[1], float) and math.isnan(a[1])):
-        pos = max(0, int(_num(a[1])))
+        pos = max(0, _js_int((a[1])))
     return float(s.rfind(sub, 0, pos + len(sub)))
 
 
@@ -2502,10 +2534,10 @@ def _splice(lst: list, a: list) -> list:
     the removed elements; negative start counts from the end, an omitted
     deleteCount deletes through the end."""
     n = len(lst)
-    start = int(_num(a[0])) if a else 0
+    start = _js_int((a[0])) if a else 0
     start = max(n + start, 0) if start < 0 else min(start, n)
     if len(a) > 1:
-        count = max(0, min(int(_num(a[1])), n - start))
+        count = max(0, min(_js_int((a[1])), n - start))
     else:
         count = n - start
     removed = lst[start:start + count]
@@ -2516,7 +2548,7 @@ def _splice(lst: list, a: list) -> list:
 def _num_to_string(x: float, a: list) -> str:
     """Number.prototype.toString with optional radix (integers only for
     radix != 10; fractional radix conversion fails loudly)."""
-    radix = int(_num(a[0])) if a else 10
+    radix = _js_int((a[0])) if a else 10
     if radix == 10:
         return _to_str(x)
     if not 2 <= radix <= 36:
@@ -2582,6 +2614,52 @@ def _js_to_fixed(x: float, digits: int) -> str:
     return f"{q:.{digits}f}"
 
 
+def _js_floorceil(v: float, f) -> float:
+    if math.isnan(v) or math.isinf(v):
+        return v
+    r = float(f(v))
+    if r == 0.0 and math.copysign(1.0, v) < 0:
+        return -0.0  # ceil(-0.3) and floor(-0) are -0 (ES5 15.8.2)
+    return r
+
+
+def _js_sqrt(v: float) -> float:
+    if math.isnan(v) or v < 0:
+        return math.nan
+    return math.sqrt(v)
+
+
+def _js_pow(x: float, y: float) -> float:
+    """Math.pow (ES5 15.8.2.13): y NaN -> NaN (Python returns 1 for
+    1**nan / nan**0), y ±0 -> 1 even for NaN base, 0 ** negative -> ±∞
+    (Python raises)."""
+    if math.isnan(y):
+        return math.nan
+    if y == 0:
+        return 1.0
+    if abs(x) == 1 and math.isinf(y):
+        return math.nan  # (±1) ** ±∞ is NaN (ES5 15.8.2.13)
+    if x == 0 and y < 0:
+        neg = math.copysign(1.0, x) < 0 and (y == int(y)
+                                             and int(y) % 2 != 0)
+        return -math.inf if neg else math.inf
+    try:
+        r = x ** y
+    except OverflowError:
+        return math.inf if (x > 1 or x < -1) == (y > 0) else 0.0
+    return float(r) if not isinstance(r, complex) else math.nan
+
+
+def _js_mod(x: float, y: float) -> float:
+    """JS % (ES5 11.5.3): NaN when the dividend is ±∞ or the divisor
+    is 0/NaN; the dividend when the divisor is ±∞; sign of dividend."""
+    if math.isnan(x) or math.isnan(y) or math.isinf(x) or y == 0:
+        return math.nan
+    if math.isinf(y):
+        return x
+    return math.fmod(x, y)
+
+
 def _js_round(v: float) -> float:
     """Math.round (ES5 15.8.2.15): floor(x + 0.5), with NaN/±∞
     passthrough and −0 for inputs in [−0.5, −0)."""
@@ -2601,7 +2679,15 @@ def _js_minmax(a: list, empty: float, pick) -> float:
         return empty
     if any(math.isnan(v) for v in vals):
         return math.nan
-    return float(pick(vals))
+    r = float(pick(vals))
+    if r == 0.0:
+        # signed-zero ties: min prefers -0, max prefers +0 (15.8.2.11)
+        negs = [math.copysign(1.0, v) < 0 for v in vals if v == 0.0]
+        if pick is min and any(negs):
+            return -0.0
+        if pick is max and not all(negs):
+            return 0.0
+    return r
 
 
 # Function.prototype as a first-class object: getPrototypeOf on any
@@ -2640,14 +2726,14 @@ _URI_SAFE = "!#$&'()*+,-./:;=?@_~"
 
 _GLOBALS = {
     "Math": {
-        "floor": lambda it, a: float(math.floor(_num(a[0]))),
-        "ceil": lambda it, a: float(math.ceil(_num(a[0]))),
+        "floor": lambda it, a: _js_floorceil(_num(a[0]), math.floor),
+        "ceil": lambda it, a: _js_floorceil(_num(a[0]), math.ceil),
         "round": lambda it, a: _js_round(_num(a[0])),
         "abs": lambda it, a: abs(_num(a[0])),
         "max": lambda it, a: _js_minmax(a, -math.inf, max),
         "min": lambda it, a: _js_minmax(a, math.inf, min),
-        "pow": lambda it, a: _num(a[0]) ** _num(a[1]),
-        "sqrt": lambda it, a: math.sqrt(_num(a[0])),
+        "pow": lambda it, a: _js_pow(_num(a[0]), _num(a[1])),
+        "sqrt": lambda it, a: _js_sqrt(_num(a[0])),
         "PI": math.pi,
     },
     "JSON": {
@@ -2694,7 +2780,7 @@ _GLOBALS = {
         if a else "",
         props={
             "fromCharCode": lambda it, a: "".join(
-                chr(int(_num(x)) & 0xFFFF) for x in a),
+                chr(_js_int((x)) & 0xFFFF) for x in a),
         },
         name="String",
     ),
@@ -2897,11 +2983,11 @@ _INT_DIGITS = "0123456789abcdefghijklmnopqrstuvwxyz"
 
 def _parse_int(a):
     s = _to_str(a[0]).strip()
-    radix = int(_num(a[1])) if len(a) > 1 and _truthy(a[1]) else 0
+    radix = _js_int((a[1])) if len(a) > 1 and _truthy(a[1]) else 0
     if radix and not 2 <= radix <= 36:
         return math.nan
     sign = 1
-    if s[:1] in "+-":
+    if s[:1] in ("+", "-"):
         sign = -1 if s[0] == "-" else 1
         s = s[1:]
     if radix in (0, 16) and s[:2].lower() == "0x":
