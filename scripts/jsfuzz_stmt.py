@@ -94,10 +94,34 @@ def gen_stmts(vars_, depth=0, wr=None, budget=None):
                 f"function {fname}(p) {{ {' '.join(fbody)} "
                 f"return {expr(list(vars_) + ['p'])}; }} "
                 f"{v} = {fname}({expr(vars_, wr=wr)});")
-        else:
+        elif r < 0.96 or depth >= 2:
             v = rng.choice(wr)
             out.append(f"{v} = [{', '.join(expr(vars_) for _ in range(3))}]"
                        f".sort().join('|');")
+        elif r < 0.98:
+            # object literal + member writes + delete + `in` + JSON
+            o = f"o{uid()}"
+            v = rng.choice(wr)
+            out.append(
+                f"var {o} = {{a: {expr(vars_, wr=wr)}, "
+                f"b: {expr(vars_, wr=wr)}}}; "
+                f"{o}.{rng.choice(['a', 'b', 'c'])} = "
+                f"{expr(vars_, wr=wr)}; "
+                f"{o}['{rng.choice(['a', 'b', 'd'])}'] = "
+                f"{expr(vars_, wr=wr)}; "
+                f"delete {o}.{rng.choice(['a', 'b', 'd'])}; "
+                f"{v} = ('' + {o}.a) + ('b' in {o}) + "
+                f"JSON.stringify({o});")
+        else:
+            # for-in accumulation over a small object
+            o = f"o{uid()}"
+            k = f"k{uid()}"
+            v = rng.choice(wr)
+            out.append(
+                f"var {o} = {{x: {expr(vars_, wr=wr)}, "
+                f"y: {expr(vars_, wr=wr)}, z: 1}}; "
+                f"{v} = ''; for (var {k} in {o}) "
+                f"{{ {v} += {k} + ':' + {o}[{k}] + ';'; }}")
     return out
 
 

@@ -1110,3 +1110,10 @@ def test_sqrt_negative_and_split_undefined():
     assert run_script("isNaN(Math.sqrt(-1))") is True
     assert run_script("'aundefinedb'.split(undefined).length") == 1
     assert run_script("'a,b'.split().join('|')") == "a,b"
+
+
+def test_json_stringify_nonfinite_null():
+    # fuzzer wave 6 object round: NaN/±Infinity stringify as null
+    assert run_script("JSON.stringify({a: NaN, b: Infinity, c: 1/0, "
+                      "d: -1/0})") == '{"a":null,"b":null,"c":null,"d":null}'
+    assert run_script("JSON.stringify([NaN, 2])") == "[null,2]"

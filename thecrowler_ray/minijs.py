@@ -1006,6 +1006,8 @@ def _is_fnlike(v) -> bool:
 def _json_ready(v):
     if v is UNDEFINED or v is HOLE:
         return None
+    if isinstance(v, float) and not math.isfinite(v):
+        return None  # NaN/±Infinity stringify as null (ES5 15.12.3)
     if hasattr(v, "js_json"):
         return v.js_json()
     if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
