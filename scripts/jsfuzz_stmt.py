@@ -112,7 +112,7 @@ def gen_stmts(vars_, depth=0, wr=None, budget=None):
                 f"delete {o}.{rng.choice(['a', 'b', 'd'])}; "
                 f"{v} = ('' + {o}.a) + ('b' in {o}) + "
                 f"JSON.stringify({o});")
-        else:
+        elif r < 0.985:
             # for-in accumulation over a small object
             o = f"o{uid()}"
             k = f"k{uid()}"
@@ -122,6 +122,26 @@ def gen_stmts(vars_, depth=0, wr=None, budget=None):
                 f"y: {expr(vars_, wr=wr)}, z: 1}}; "
                 f"{v} = ''; for (var {k} in {o}) "
                 f"{{ {v} += {k} + ':' + {o}[{k}] + ';'; }}")
+        elif r < 0.992:
+            # method call: this-bound vs extracted-and-rebound
+            o = f"o{uid()}"
+            g = f"g{uid()}"
+            v = rng.choice(wr)
+            out.append(
+                f"var {o} = {{n: {expr(vars_, wr=wr)}, "
+                f"f: function (q) {{ return '' + this.n + '/' + q; }}}}; "
+                f"var {g} = {o}.f; "
+                f"{v} = {o}.f({expr(vars_, wr=wr)}) + '|' + "
+                f"{g}.call({{n: 'C'}}, {expr(vars_, wr=wr)}) + '|' + "
+                f"(typeof {g}(1));")
+        else:
+            # bounded recursion through a closure over an outer var
+            fn = f"r{uid()}"
+            v = rng.choice(wr)
+            out.append(
+                f"function {fn}(n) {{ if (n <= 0) return '' + {v}; "
+                f"return {fn}(n - 1) + n; }} "
+                f"{v} = {fn}({rng.randint(1, 5)});")
     return out
 
 
@@ -158,11 +178,25 @@ progs = [gen_program()[0] for _ in range(N)]
 mini_res = []
 kept = []
 skipped = 0
+import signal
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _Timeout
+
+
+signal.signal(signal.SIGALRM, _alarm)
 for p in progs:
     try:
+        signal.alarm(3)  # ops stay bounded but strings can double per
+        # op (v = v + v in a loop): wall-clock guard catches those
         mini_res.append(str(run_script(p, max_ops=300_000)))
         kept.append(p)
-    except MiniJsBudgetError:
+    except (MiniJsBudgetError, _Timeout):
         skipped += 1
     except MiniJsError as ex:
         mini_res.append("ERR")
@@ -170,6 +204,8 @@ for p in progs:
     except Exception as ex:
         mini_res.append(f"CRASH {type(ex).__name__}: {ex}")
         kept.append(p)
+    finally:
+        signal.alarm(0)
 node_out = node_batch(kept)
 bad = 0
 shown = 0
