@@ -286,7 +286,20 @@ class TestBasket:
         with _pytest.raises(Exception, match="packed=False"):
             pair_support(rd.from_pandas(rows), basket="b",
                          item="i").to_pandas()
-        # and the escape hatch works on the same input
+        # the [2^31, 2^32) window: fits 32 bits but would shift into
+        # the int64 sign bit as the HIGH member — must also raise
+        rows31 = pd.DataFrame({"b": [1, 1], "i": [3_000_000_000,
+                                                  3_000_000_001]})
+        with _pytest.raises(Exception, match="packed=False"):
+            pair_support(rd.from_pandas(rows31), basket="b",
+                         item="i").to_pandas()
+        # but the same window is FINE as the low (y) member
+        rows_ok = pd.DataFrame({"b": [1, 1], "i": [7, 3_000_000_000]})
+        ok = pair_support(rd.from_pandas(rows_ok), basket="b",
+                          item="i").to_pandas()
+        assert (int(ok["x"].iloc[0]), int(ok["y"].iloc[0])) == \
+            (7, 3_000_000_000)
+        # and the escape hatch works on the out-of-range input
         got = pair_support(rd.from_pandas(rows), basket="b", item="i",
                            packed=False).to_pandas()
         assert int(got["support"].iloc[0]) == 1

@@ -1117,3 +1117,86 @@ def test_json_stringify_nonfinite_null():
     assert run_script("JSON.stringify({a: NaN, b: Infinity, c: 1/0, "
                       "d: -1/0})") == '{"a":null,"b":null,"c":null,"d":null}'
     assert run_script("JSON.stringify([NaN, 2])") == "[null,2]"
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review findings (each verified-by-execution before fixing)
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_digit_keys_no_crash():
+    # str.isdigit() is true for '²' but int() rejects it
+    assert run_script(
+        "var o={}; o['²']=1; o['1']=2; Object.keys(o).join(',')"
+    ) == "1,²"
+    assert run_script(
+        "var o={}; o['²']=1; JSON.stringify(o)") == '{"²":1}'
+
+
+def test_invalid_hex_escape_is_syntax_error():
+    import pytest as _pytest
+
+    from thecrowler_ray.minijs import MiniJsError
+    with _pytest.raises(MiniJsError):
+        run_script("result = '\\xzz';")
+    with _pytest.raises(MiniJsError):
+        run_script("result = '\\uqqqq';")
+    with _pytest.raises(MiniJsError):
+        run_script("result = '\\x4';")  # short escape must not eat the quote
+
+
+def test_number_format_range_errors_catchable():
+    assert run_script(
+        "var r; try { (5).toFixed(-1); r='no'; } "
+        "catch (e) { r = e instanceof RangeError; } r") is True
+    assert run_script(
+        "var r; try { (5).toPrecision(0); r='no'; } "
+        "catch (e) { r = e instanceof RangeError; } r") is True
+    assert run_script(
+        "var r; try { (5).toExponential(99); r='no'; } "
+        "catch (e) { r = e instanceof RangeError; } r") is True
+
+
+def test_negative_index_expando_roundtrip():
+    assert run_script("var a=[]; a[-1]=5; a[-1]") == 5
+    assert run_script("var a=[1]; a[-1]='m'; [a.length, a[-1]].join(',')") \
+        == "1,m"
+
+
+def test_pop_shift_unhole():
+    assert run_script("var a=[1,,]; typeof a.pop()") == "undefined"
+    assert run_script("var a=[1,,]; var p=a.pop(); p === undefined") is True
+    assert run_script("var a=[,1]; a.shift() === undefined") is True
+
+
+def test_in_operator_sees_array_expandos():
+    assert run_script("var a=[]; a.foo=1; 'foo' in a") is True
+    assert run_script("var a=[1]; 'bar' in a") is False
+
+
+def test_defineproperty_reexpose_enumerable():
+    assert run_script(
+        "var o={}; Object.defineProperty(o,'x',{value:1});"
+        "Object.defineProperty(o,'x',{value:2,enumerable:true});"
+        "Object.keys(o).join(',')") == "x"
+
+
+def test_function_prototype_not_shared_across_scripts():
+    run_script("Function.prototype.zz = 99; result = 1;")
+    assert run_script(
+        "function g(){} result = typeof Object.getPrototypeOf(g).zz;"
+    ) == "undefined"
+
+
+def test_stringify_cycle_throws_catchable_typeerror():
+    assert run_script(
+        "var o={}; o.self=o; var r;"
+        "try { JSON.stringify(o); r='no'; }"
+        "catch (e) { r = e instanceof TypeError; } r") is True
+    assert run_script(
+        "var r; try { JSON.stringify(this); r='no'; }"
+        "catch (e) { r = e instanceof TypeError; } r") is True
+    # sibling references are NOT cycles
+    assert run_script(
+        "var shared={v:1}; JSON.stringify({a:shared,b:shared})") == \
+        '{"a":{"v":1},"b":{"v":1}}'

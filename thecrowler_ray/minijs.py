@@ -208,13 +208,16 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
             while j < n and src[j] != c:
                 if src[j] == "\\" and j + 1 < n:
                     esc = src[j + 1]
-                    if esc == "x" and j + 3 < n:  # \xHH
-                        out.append(chr(int(src[j + 2:j + 4], 16)))
-                        j += 4
-                        continue
-                    if esc == "u" and j + 5 < n:  # \uHHHH
-                        out.append(chr(int(src[j + 2:j + 6], 16)))
-                        j += 6
+                    if esc in "xu":  # \xHH / \uHHHH — hex REQUIRED
+                        w = 2 if esc == "x" else 4
+                        hexs = src[j + 2:j + 2 + w]
+                        if len(hexs) != w or any(
+                                c not in "0123456789abcdefABCDEF"
+                                for c in hexs):
+                            raise MiniJsError(
+                                f"invalid \\{esc} escape in string")
+                        out.append(chr(int(hexs, 16)))
+                        j += 2 + w
                         continue
                     out.append({"n": "\n", "t": "\t", "r": "\r", "b": "\b",
                                 "f": "\f", "v": "\v", "0": "\0"}.get(esc, esc))
@@ -1003,7 +1006,7 @@ def _is_fnlike(v) -> bool:
         callable(v) and not isinstance(v, (dict, list)))
 
 
-def _json_ready(v):
+def _json_ready(v, _path=None):
     if v is UNDEFINED or v is HOLE:
         return None
     if isinstance(v, float) and not math.isfinite(v):
@@ -1012,18 +1015,30 @@ def _json_ready(v):
         return v.js_json()
     if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
         return int(v)
+    if isinstance(v, (list, dict)):
+        # cycle detection along the CURRENT path (ES5 15.12.3 step 4:
+        # a catchable TypeError, mirroring JS engines)
+        if _path is None:
+            _path = set()
+        if id(v) in _path:
+            raise _Thrown({"name": "TypeError",
+                           "message": "Converting circular structure "
+                                      "to JSON"})
+        _path = _path | {id(v)}
     if isinstance(v, list):
         # unserializable array elements render null (ES5 15.12.3)
-        return [None if _is_fnlike(x) else _json_ready(x) for x in v]
+        return [None if _is_fnlike(x) else _json_ready(x, _path)
+                for x in v]
     if isinstance(v, dict):
         # function-valued / undefined properties are skipped (15.12.3)
-        return {k: _json_ready(x) for k, x in v.items()
+        return {k: _json_ready(x, _path) for k, x in v.items()
                 if x is not UNDEFINED and not _is_fnlike(x)}
     return v
 
 
 def _json_stringify(v) -> str:
-    return json.dumps(_json_ready(v), separators=(",", ":"), sort_keys=False)
+    return json.dumps(_json_ready(v), separators=(",", ":"),
+                      sort_keys=False, ensure_ascii=False)
 
 
 def _json_stringify_full(it, a) -> str:
@@ -1080,13 +1095,15 @@ def _json_stringify_full(it, a) -> str:
         return UNDEFINED  # JSON.stringify(undefined|function) (15.12.3)
     ready = _json_ready(v)
     if space is None or space is UNDEFINED:
-        return json.dumps(ready, separators=(",", ":"), sort_keys=False)
+        return json.dumps(ready, separators=(",", ":"),
+                          sort_keys=False, ensure_ascii=False)
     indent = (" " * min(10, max(0, _js_int((space))))
               if isinstance(space, (float, bool)) else _to_str(space)[:10])
     if not indent:
-        return json.dumps(ready, separators=(",", ":"), sort_keys=False)
+        return json.dumps(ready, separators=(",", ":"),
+                          sort_keys=False, ensure_ascii=False)
     return json.dumps(ready, indent=indent, separators=(",", ": "),
-                      sort_keys=False)
+                      sort_keys=False, ensure_ascii=False)
 
 
 def _json_parse(s):
@@ -1148,6 +1165,9 @@ class Interpreter:
         # id -> (obj, set of keys), same holding discipline as above
         self._nonenum: dict[int, tuple] = {}
 
+        # per-interpreter Function.prototype object (shared across
+        # Interpreters it would be a cross-script leak channel)
+        self._function_proto = _JsObject()
         # expando properties on arrays (id -> (list, props dict)):
         # arrays are objects (ES5 15.4), Python lists can't carry
         # attributes, so non-index keys live in this side table
@@ -1216,9 +1236,12 @@ class Interpreter:
                 if isinstance(value, dict) else _to_str(value)
             raise MiniJsError(f"script threw: {msg}")
         result = env.get("result", UNDEFINED)
-        if result is not UNDEFINED and result is not None:
-            return _json_ready(result)
-        return _json_ready(last)
+        try:
+            if result is not UNDEFINED and result is not None:
+                return _json_ready(result)
+            return _json_ready(last)
+        except _Thrown:
+            raise MiniJsError("script returned a circular structure")
 
     def _tick(self):
         self.ops += 1
@@ -1570,7 +1593,8 @@ class Interpreter:
             idx = self.eval(node[2], env)
             if isinstance(obj, list):
                 f = _num(idx)
-                if math.isnan(f) or f != int(f):
+                if math.isnan(f) or f != int(f) or f < 0:
+                    # non-index key (incl. negative ints): expando read
                     lp = self._list_props_of(obj)
                     key = _to_str(idx)
                     return lp[key] if lp and key in lp else UNDEFINED
@@ -1737,6 +1761,9 @@ class Interpreter:
             if isinstance(b, list):
                 if key == "length":
                     return True
+                lp = self._list_props_of(b)
+                if lp is not None and key in lp:
+                    return True
                 try:
                     i = int(float(key))
                 except ValueError:
@@ -1869,6 +1896,8 @@ class Interpreter:
             if isinstance(obj, (str, list)):
                 return float(len(obj))
         if isinstance(obj, _Callable):
+            if obj.name == "Function" and name == "prototype":
+                return self._function_proto
             if name in obj.props:
                 return obj.props[name]
             if name in ("call", "apply", "bind"):
@@ -2199,7 +2228,8 @@ _METHODS = {
     ("str", "concat"): _m(lambda it, s, a: s + "".join(_to_str(x) for x in a)),
     # arrays
     ("list", "push"): _m(lambda it, l, a: (l.extend(a), float(len(l)))[1]),
-    ("list", "pop"): _m(lambda it, l, a: l.pop() if l else UNDEFINED),
+    ("list", "pop"): _m(lambda it, l, a: _unhole(l.pop())
+                        if l else UNDEFINED),
     ("list", "join"): _m(lambda it, l, a: (_to_str(a[0]) if a else ",").join(
         "" if x is None or x is UNDEFINED or x is HOLE else _to_str(x)
         for x in l)),
@@ -2217,7 +2247,8 @@ _METHODS = {
     ("list", "filter"): _m(lambda it, l, a: [
         x for i, x in enumerate(l) if x is not HOLE
         and _truthy(it._invoke(a[0], [x, float(i), l], _this_arg(a)))]),
-    ("list", "shift"): _m(lambda it, l, a: l.pop(0) if l else UNDEFINED),
+    ("list", "shift"): _m(lambda it, l, a: _unhole(l.pop(0))
+                          if l else UNDEFINED),
     ("list", "unshift"): _m(lambda it, l, a: (l.__setitem__(slice(0, 0), a),
                                               float(len(l)))[1]),
     ("list", "forEach"): _m(lambda it, l, a: (
@@ -2238,12 +2269,13 @@ _METHODS = {
         lambda it, l, a: _arr_index_of(l, a, last=True)),
     # numbers
     ("float", "toFixed"): _m(lambda it, x, a: _js_to_fixed(
-        x, _js_int((a[0]) if a else 0))),
+        x, _fmt_digits(a[0] if a else 0.0, 0, 20, "toFixed"))),
     ("float", "toString"): _m(lambda it, x, a: _num_to_string(x, a)),
     ("float", "toPrecision"): _m(lambda it, x, a: _js_exp(
-        f"{x:.{_js_int((a[0]))}g}") if a else _to_str(x)),
+        f"{x:.{_fmt_digits(a[0], 1, 21, 'toPrecision')}g}")
+        if a and a[0] is not UNDEFINED else _to_str(x)),
     ("float", "toExponential"): _m(lambda it, x, a: _js_exp(
-        f"{x:.{_js_int((a[0]) if a else 6)}e}")),
+        f"{x:.{_fmt_digits(a[0] if a else 6.0, 0, 20, 'toExponential')}e}")),
     ("float", "valueOf"): _m(lambda it, x, a: x),
     ("bool", "toString"): _m(lambda it, b, a: "true" if b else "false"),
     ("bool", "valueOf"): _m(lambda it, b, a: b),
@@ -2299,6 +2331,10 @@ def _define_property(it, a):
     if not _truthy(desc.get("enumerable")):
         # defineProperty defaults [[Enumerable]] to FALSE (ES5 8.12.9)
         it._mark_nonenum(obj, key)
+    else:
+        ent = it._nonenum.get(id(obj))
+        if ent is not None and ent[0] is obj:
+            ent[1].discard(key)  # redefinition can re-expose the key
     return obj
 
 
@@ -2580,7 +2616,7 @@ def _own_keys(v: dict, it=None, all_props: bool = False) -> list:
     for k in v.keys():
         if k in ne:
             continue
-        if k.isdigit() and (k == "0" or k[0] != "0"):
+        if k.isascii() and k.isdigit() and (k == "0" or k[0] != "0"):
             ints.append(k)
         else:
             rest.append(k)
@@ -2598,6 +2634,18 @@ def _object_keys(v, it=None, all_props: bool = False) -> list:
             out.extend(lp.keys())
         return out
     return []
+
+
+def _fmt_digits(v, lo: int, hi: int, name: str) -> int:
+    """Digit-count argument of toFixed/toPrecision/toExponential:
+    out-of-range throws a CATCHABLE RangeError (ES5 15.7.4.5-7), not a
+    Python formatting error."""
+    d = _js_int(v)
+    if not lo <= d <= hi:
+        raise _Thrown({"name": "RangeError",
+                       "message": f"{name}() argument must be between "
+                                  f"{lo} and {hi}"})
+    return d
 
 
 def _js_to_fixed(x: float, digits: int) -> str:
@@ -2692,11 +2740,6 @@ def _js_minmax(a: list, empty: float, pick) -> float:
     return r
 
 
-# Function.prototype as a first-class object: getPrototypeOf on any
-# function returns THIS singleton, and Function.prototype === it
-_FUNCTION_PROTO = _JsObject()
-
-
 def _object_create(it, a):
     """Object.create(proto[, properties]) (ES5 15.2.3.5): proto may be
     null (the result then skips the Object.prototype fallback); the
@@ -2749,7 +2792,7 @@ _GLOBALS = {
             "getOwnPropertyNames": lambda it, a: _object_keys(
                 a[0], it, all_props=True),
             "getPrototypeOf": lambda it, a: (
-                _FUNCTION_PROTO
+                it._function_proto
                 if isinstance(a[0], (_Function, _Callable, _Bound,
                                      _NativeThis))
                 or (callable(a[0]) and not isinstance(a[0], dict))
@@ -2808,8 +2851,9 @@ _GLOBALS = {
     "Function": _Callable(
         lambda it, a: (_ for _ in ()).throw(
             MiniJsError("Function constructor is not supported")),
-        props={"prototype": _FUNCTION_PROTO},
-        name="Function",
+        name="Function",  # .prototype resolves per-interpreter in
+        # _member (a module-level singleton would let one script's
+        # Function.prototype writes leak into every later script)
     ),
     "Boolean": _Callable(
         lambda it, a: _truthy(a[0]) if a else False,

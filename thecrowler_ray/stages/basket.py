@@ -155,9 +155,10 @@ def pair_support(
     int64 key (x << 32 | y) instead of the (x, y) pair — Ray's
     sort-based aggregate on a single int column is markedly faster
     than the two-column key and the exchange ships one column, not
-    two. Packing requires item ids in [0, 2^32); out-of-range ids
-    RAISE with instructions (no silent wraparound) — pass
-    ``packed=False`` for the two-column groupby then. The plan is
+    two. Packing requires the smaller pair member in [0, 2^31) (it
+    rides the signed high 32 bits) and the larger in [0, 2^32);
+    out-of-range ids RAISE with instructions (no silent wraparound) —
+    pass ``packed=False`` for the two-column groupby then. The plan is
     lazy, so the range check must live in-task; auto-fallback would
     need an extra eager max() scan over the input."""
     import pyarrow as pa
@@ -176,11 +177,15 @@ def pair_support(
     def pack(t: pa.Table) -> pa.Table:
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
-        if len(x) and (int(x.max()) >= 1 << 32 or int(y.max()) >= 1 << 32
+        # x rides the HIGH 32 bits of a SIGNED int64, so x must stay
+        # below 2^31 (x in [2^31, 2^32) would shift into the sign bit
+        # and wrap negative); y only needs to fit the low 32 bits
+        if len(x) and (int(x.max()) >= 1 << 31 or int(y.max()) >= 1 << 32
                        or int(x.min()) < 0 or int(y.min()) < 0):
             raise ValueError(
-                "pair_support(packed=True) needs item ids in [0, 2^32); "
-                "got out-of-range ids - call with packed=False")
+                "pair_support(packed=True) needs x ids in [0, 2^31) and "
+                "y ids in [0, 2^32); got out-of-range ids - call with "
+                "packed=False")
         return pa.table({"xy": pa.array((x << np.int64(32)) | y),
                          "c": t["c"]})
 
