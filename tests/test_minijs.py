@@ -1200,3 +1200,48 @@ def test_stringify_cycle_throws_catchable_typeerror():
     assert run_script(
         "var shared={v:1}; JSON.stringify({a:shared,b:shared})") == \
         '{"a":{"v":1},"b":{"v":1}}'
+
+
+# ---------------------------------------------------------------------------
+# wave 7 (round 5): curated probe — replace $-patterns, number ToString,
+# delete-on-name, array property protocol (all node-verified)
+# ---------------------------------------------------------------------------
+
+
+def test_replace_dollar_patterns():
+    assert run_script(
+        "'abc'.replace(/(b)/, \"[$`|$'|$&|$$]\")") == "a[a|c|b|$]c"
+    assert run_script(
+        "'ab'.replace(/(a)(z)?/, '<$1|$2>')") == "<a|>b"
+    assert run_script(
+        "'abcdefghijkl'.replace("
+        "/(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)(k)/, '$11$1')") == "kal"
+    assert run_script("'x'.replace('x', '$&$&')") == "xx"
+
+
+def test_number_tostring_es5():
+    assert run_script("(0.000001).toString()") == "0.000001"
+    assert run_script("(1e-7).toString()") == "1e-7"
+    assert run_script("String(123456789012345678901)") == \
+        "123456789012345680000"
+    assert run_script("String(-0)") == "0"
+    assert run_script("String(1e21)") == "1e+21"
+    assert run_script("String(0.1)") == "0.1"
+
+
+def test_delete_on_variable():
+    assert run_script("var x=1; [delete x, x].join(',')") == "false,1"
+    assert run_script("delete notDeclaredAnywhere") is True
+
+
+def test_array_property_protocol():
+    assert run_script("var a=[1,,3]; [a.hasOwnProperty(0), "
+                      "a.hasOwnProperty(1), a.hasOwnProperty('2'), "
+                      "a.hasOwnProperty('length')].join(',')") == \
+        "true,false,true,true"
+    assert run_script("var a=[1,2,3]; delete a[1]; "
+                      "[a.length, 1 in a, String(a)].join('|')") == \
+        "3|false|1,,3"
+    assert run_script("var a=[]; a.foo=1; delete a.foo; 'foo' in a") \
+        is False
+    assert run_script("''+[1,,3]") == "1,,3"

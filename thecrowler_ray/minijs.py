@@ -575,7 +575,7 @@ class _Parser:
         if self.at("kw", "delete"):
             self.next()
             target = self.unary()
-            if target[0] not in ("member", "index"):
+            if target[0] not in ("member", "index", "name"):
                 raise MiniJsError("delete requires a property reference")
             return ("delete", target)
         if self.at("kw", "new"):
@@ -969,6 +969,38 @@ def _num(v) -> float:
     return math.nan
 
 
+def _js_num_str(v: float) -> str:
+    """ToString(Number) per ES5 9.8.1 from Python's shortest
+    round-trip repr: plain digits up to 1e21, decimal forms down to
+    1e-6, exponent notation beyond — matching JS output digit for
+    digit (String(1.2345e20) pads zeros rather than expanding the
+    exact binary value)."""
+    if v == 0:
+        return "0"  # String(-0) is '0'
+    import decimal
+
+    t = decimal.Decimal(repr(abs(v))).as_tuple()
+    digits = list(t.digits)
+    exp = t.exponent
+    while digits and digits[-1] == 0:
+        digits.pop()
+        exp += 1
+    sd = "".join(map(str, digits))
+    k = len(sd)
+    n = exp + k
+    if k <= n <= 21:
+        out = sd + "0" * (n - k)
+    elif 0 < n <= 21:
+        out = sd[:n] + "." + sd[n:]
+    elif -6 < n <= 0:
+        out = "0." + "0" * (-n) + sd
+    else:
+        e = n - 1
+        mant = sd if k == 1 else sd[0] + "." + sd[1:]
+        out = mant + ("e+%d" % e if e >= 0 else "e-%d" % -e)
+    return ("-" if v < 0 else "") + out
+
+
 def _to_str(v) -> str:
     if v is UNDEFINED or v is HOLE:
         return "undefined"
@@ -981,19 +1013,14 @@ def _to_str(v) -> str:
             return "NaN"
         if math.isinf(v):
             return "Infinity" if v > 0 else "-Infinity"
-        if v.is_integer() and abs(v) < 1e21:
-            # JS prints integral numbers without a decimal point up to
-            # 1e21, where exponent notation starts (ES5 9.8.1)
-            return str(int(v))
-        # JS exponents carry no leading zero: 1e-7, not Python's 1e-07
-        return _re.sub(r"e([+-])0(\d)$", r"e\1\2", repr(v))
+        return _js_num_str(v)
     if isinstance(v, str):
         return v
     if isinstance(v, list):
         # Array.prototype.toString === join(',') (ES5 15.4.4.2);
         # null/undefined elements render empty
-        return ",".join("" if x is None or x is UNDEFINED else _to_str(x)
-                        for x in v)
+        return ",".join("" if x is None or x is UNDEFINED or x is HOLE
+                        else _to_str(x) for x in v)
     if isinstance(v, _RegExp):
         return "/" + v.source + "/" + v.flags
     if isinstance(v, dict):
@@ -1657,6 +1684,10 @@ class Interpreter:
             raise MiniJsError("value is not a constructor")
         if kind == "delete":
             target = node[1]
+            if target[0] == "name":
+                # var bindings are non-configurable: delete x is false;
+                # an unresolvable name deletes vacuously true (11.4.1)
+                return not self._resolvable(target[1], env)
             obj = self.eval(target[1], env)
             key = target[2] if target[0] == "member" else _to_str(
                 self.eval(target[2], env))
@@ -1670,9 +1701,12 @@ class Interpreter:
                 try:
                     i = int(float(key))
                 except ValueError:
+                    lp = self._list_props_of(obj)
+                    if lp is not None:
+                        lp.pop(key, None)  # expando property
                     return True
                 if 0 <= i < len(obj):
-                    obj[i] = UNDEFINED  # JS delete leaves a hole
+                    obj[i] = HOLE  # JS delete leaves a real hole
                 return True
             return True
         if kind == "assign":
@@ -2267,6 +2301,11 @@ _METHODS = {
     ("list", "splice"): _m(lambda it, l, a: _splice(l, a)),
     ("list", "lastIndexOf"): _m(
         lambda it, l, a: _arr_index_of(l, a, last=True)),
+    ("list", "hasOwnProperty"): _m(
+        lambda it, l, a: _has_own(l, a[0] if a else UNDEFINED, it)),
+    ("list", "propertyIsEnumerable"): _m(
+        lambda it, l, a: _to_str(a[0] if a else UNDEFINED) != "length"
+        and _has_own(l, a[0] if a else UNDEFINED, it)),
     # numbers
     ("float", "toFixed"): _m(lambda it, x, a: _js_to_fixed(
         x, _fmt_digits(a[0] if a else 0.0, 0, 20, "toFixed"))),
@@ -2401,11 +2440,29 @@ def _str_replace(it, s, a):
                     out.append("$")
                     i += 2
                     continue
-                if c.isdigit():
-                    gi = int(c) - 1
-                    out.append(groups[gi] or "" if 0 <= gi < len(groups)
-                               else "")
+                if c == "`":
+                    out.append(s[:offset])
                     i += 2
+                    continue
+                if c == "'":
+                    out.append(s[offset + len(match_text):])
+                    i += 2
+                    continue
+                if c.isdigit():
+                    # $nn: the LONGEST valid group number wins (ES5
+                    # 15.5.4.11 table 22); $0 / out-of-range stay literal
+                    two = r[i + 1:i + 3]
+                    if (len(two) == 2 and two.isdigit()
+                            and 1 <= int(two) <= len(groups)):
+                        gi, adv = int(two) - 1, 3
+                    elif 1 <= int(c) <= len(groups):
+                        gi, adv = int(c) - 1, 2
+                    else:
+                        out.append(r[i])
+                        i += 1
+                        continue
+                    out.append(groups[gi] or "")
+                    i += adv
                     continue
             out.append(r[i])
             i += 1
@@ -2472,24 +2529,29 @@ def _js_class(v) -> str:
     return "[object Object]"
 
 
-def _has_own(this, key) -> bool:
+def _has_own(this, key, it=None) -> bool:
     k = _to_str(key)
     if isinstance(this, dict):
         return k in this
     if isinstance(this, list):
         if k == "length":
-            return False
+            return True  # own non-enumerable property (ES5 15.4.5.2)
+        if it is not None:
+            lp = it._list_props_of(this)
+            if lp and k in lp:
+                return True
         try:
             i = int(k)
         except ValueError:
             return False
-        return 0 <= i < len(this)
+        return 0 <= i < len(this) and this[i] is not HOLE
     return False
 
 
 _OBJECT_PROTO = {
     "hasOwnProperty": _NativeThis(
-        lambda it, this, a: _has_own(this, a[0] if a else UNDEFINED)),
+        lambda it, this, a: _has_own(this, a[0] if a else UNDEFINED,
+                                     it)),
     # every own data property in this engine is enumerable (ES5 15.2.4.7
     # restricted to the model: accessor/defineProperty flags not tracked)
     "propertyIsEnumerable": _NativeThis(
