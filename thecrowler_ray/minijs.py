@@ -1195,6 +1195,10 @@ class Interpreter:
         # per-interpreter Function.prototype object (shared across
         # Interpreters it would be a cross-script leak channel)
         self._function_proto = _JsObject()
+        # Math.random state: deterministic xorshift64* seeded from the
+        # injected clock so identical runs replay identically
+        self._rng_state = (int(now_ms) * 2654435761 + 0x9E3779B9) \
+            & 0xFFFFFFFFFFFFFFFF or 0x2545F4914F6CDD1D
         # expando properties on arrays (id -> (list, props dict)):
         # arrays are objects (ES5 15.4), Python lists can't carry
         # attributes, so non-index keys live in this side table
@@ -1208,6 +1212,14 @@ class Interpreter:
             ent = (obj, {})
             self._list_props[id(obj)] = ent
         return ent[1]
+
+    def _next_random(self) -> float:
+        x = self._rng_state
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        self._rng_state = x
+        return ((x * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF) / 2.0**64
 
     def _mark_nonenum(self, obj, key: str):
         ent = self._nonenum.get(id(obj))
@@ -1619,20 +1631,24 @@ class Interpreter:
             obj = self.eval(node[1], env)
             idx = self.eval(node[2], env)
             if isinstance(obj, list):
-                f = _num(idx)
+                f = _num(idx) if not isinstance(idx, bool) else math.nan
                 if math.isnan(f) or f != int(f) or f < 0:
-                    # non-index key (incl. negative ints): expando read
-                    lp = self._list_props_of(obj)
-                    key = _to_str(idx)
-                    return lp[key] if lp and key in lp else UNDEFINED
+                    # non-index key: the full property protocol —
+                    # a['length'], a['join'], expandos, negative ints
+                    # (JS array indexing IS property access)
+                    return self._member(obj, _to_str(idx))
                 i = int(f)
                 return _unhole(obj[i]) if 0 <= i < len(obj) else UNDEFINED
             if isinstance(obj, dict):
                 return self._member(obj, _to_str(idx))
             if isinstance(obj, str):
-                i = _js_int((idx))
+                f = _num(idx) if not isinstance(idx, bool) else math.nan
+                if math.isnan(f) or f != int(f) or f < 0:
+                    return self._member(obj, _to_str(idx))
+                i = int(f)
                 return obj[i] if 0 <= i < len(obj) else UNDEFINED
-            raise MiniJsError("cannot index this value")
+            # everything else (functions, regexes, …): property read
+            return self._member(obj, _to_str(idx))
         if kind == "call":
             return self._call(node, env)
         if kind == "new":
@@ -1674,6 +1690,8 @@ class Interpreter:
                                    else args[0].flags)
                 return _RegExp(_to_str(args[0]) if args else "",
                                _to_str(args[1]) if len(args) > 1 else "")
+            if isinstance(fn, _Callable) and fn.name == "Function":
+                return _function_ctor(self, args)  # new Function(...)
             if isinstance(fn, _Function):
                 # general ES5 construction: fresh object linked to
                 # fn.prototype, constructor body with this=obj; an
@@ -2058,11 +2076,16 @@ class Interpreter:
                 fn = self._member(obj, name)
             else:
                 idx = self.eval(callee_node[2], env)
-                if isinstance(obj, dict):
-                    fn = self._member(obj, _to_str(idx))
-                elif isinstance(obj, list):
-                    i = _js_int((idx))
-                    fn = obj[i] if 0 <= i < len(obj) else UNDEFINED
+                if isinstance(obj, list):
+                    f = (_num(idx) if not isinstance(idx, bool)
+                         else math.nan)
+                    if math.isnan(f) or f != int(f) or f < 0:
+                        # a['join'](...) — property-protocol callee
+                        fn = self._member(obj, _to_str(idx))
+                    else:
+                        i = int(f)
+                        fn = (_unhole(obj[i]) if 0 <= i < len(obj)
+                              else UNDEFINED)
                 else:
                     fn = self._member(obj, _to_str(idx))
             if isinstance(fn, _Function):
@@ -2203,6 +2226,13 @@ class Interpreter:
                 return
             if isinstance(obj, dict):
                 self._dict_store(obj, _to_str(idx), value)
+                return
+            if isinstance(obj, _Function):
+                obj.props[_to_str(idx)] = value  # fn[name] = … (the
+                # UMD export idiom: _.each(names, n => _[n] = fns[n]))
+                return
+            if isinstance(obj, _Callable):
+                obj.props[_to_str(idx)] = value
                 return
             raise MiniJsError("cannot index-assign this value")
         raise MiniJsError("bad assignment target")
@@ -2735,6 +2765,25 @@ def _js_floorceil(v: float, f) -> float:
     return r
 
 
+def _js_safe(f, *args) -> float:
+    """Math.* transcendental wrapper: domain errors and NaN inputs
+    return NaN (Python raises ValueError where JS returns NaN)."""
+    try:
+        if any(math.isnan(x) for x in args):
+            return math.nan
+        return float(f(*args))
+    except (ValueError, OverflowError):
+        return math.nan
+
+
+def _js_log(v: float, f) -> float:
+    if math.isnan(v) or v < 0:
+        return math.nan
+    if v == 0:
+        return -math.inf
+    return f(v)
+
+
 def _js_sqrt(v: float) -> float:
     if math.isnan(v) or v < 0:
         return math.nan
@@ -2816,6 +2865,27 @@ def _object_create(it, a):
     return o
 
 
+def _function_ctor(it, a):
+    """The Function constructor (ES5 15.3.2.1): Function(p1, …, body)
+    parses the body with the engine's own parser and closes over the
+    GLOBAL scope only (never the caller's). This is the eval-shaped
+    entry real ES5 libraries use for global detection
+    (Function('return this')()) and template compilation."""
+    if not a:
+        params, body_src = [], ""
+    else:
+        params = []
+        for p in a[:-1]:
+            params.extend(x.strip() for x in _to_str(p).split(",")
+                          if x.strip())
+        body_src = _to_str(a[-1])
+    body = _Parser(_tokenize(body_src)).program()
+    genv = getattr(it, "global_env", None)
+    if genv is None:
+        genv = {}
+    return _Function(params, body, genv)
+
+
 def _error_ctor(name: str) -> "_Callable":
     return _Callable(
         lambda it, a, _n=name: {"name": _n,
@@ -2841,7 +2911,28 @@ _GLOBALS = {
         "min": lambda it, a: _js_minmax(a, math.inf, min),
         "pow": lambda it, a: _js_pow(_num(a[0]), _num(a[1])),
         "sqrt": lambda it, a: _js_sqrt(_num(a[0])),
+        # deterministic PRNG (same replayability doctrine as the Date
+        # clock: a data-plane plugin must be replayable, so randomness
+        # is a per-Interpreter xorshift stream, never an ambient read)
+        "random": lambda it, a: it._next_random(),
+        "log": lambda it, a: _js_log(_num(a[0]), math.log),
+        "exp": lambda it, a: _js_safe(math.exp, _num(a[0])),
+        "sin": lambda it, a: _js_safe(math.sin, _num(a[0])),
+        "cos": lambda it, a: _js_safe(math.cos, _num(a[0])),
+        "tan": lambda it, a: _js_safe(math.tan, _num(a[0])),
+        "asin": lambda it, a: _js_safe(math.asin, _num(a[0])),
+        "acos": lambda it, a: _js_safe(math.acos, _num(a[0])),
+        "atan": lambda it, a: _js_safe(math.atan, _num(a[0])),
+        "atan2": lambda it, a: _js_safe(math.atan2, _num(a[0]),
+                                        _num(a[1])),
         "PI": math.pi,
+        "E": math.e,
+        "LN2": math.log(2),
+        "LN10": math.log(10),
+        "LOG2E": 1 / math.log(2),
+        "LOG10E": 1 / math.log(10),
+        "SQRT2": math.sqrt(2),
+        "SQRT1_2": math.sqrt(0.5),
     },
     "JSON": {
         "parse": lambda it, a: _json_parse_full(it, a),
@@ -2911,8 +3002,7 @@ _GLOBALS = {
         name="RegExp",
     ),
     "Function": _Callable(
-        lambda it, a: (_ for _ in ()).throw(
-            MiniJsError("Function constructor is not supported")),
+        lambda it, a: _function_ctor(it, a),
         name="Function",  # .prototype resolves per-interpreter in
         # _member (a module-level singleton would let one script's
         # Function.prototype writes leak into every later script)
