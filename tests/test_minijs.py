@@ -1245,3 +1245,26 @@ def test_array_property_protocol():
     assert run_script("var a=[]; a.foo=1; delete a.foo; 'foo' in a") \
         is False
     assert run_script("''+[1,,3]") == "1,,3"
+
+
+# ---------------------------------------------------------------------------
+# wave 8 (round 5): JS-regex-to-Python translation layer (node-verified;
+# the one deliberate divergence is the ES6 sticky flag, which the ES5
+# reference engine also rejects)
+# ---------------------------------------------------------------------------
+
+
+def test_regex_js_only_syntax():
+    assert run_script("/[^]/.test('\\n')") is True
+    assert run_script("/a[^]b/.test('a\\nb')") is True
+    assert run_script("/\\cJ/.test('\\n')") is True
+    assert run_script("/\\52/.test('*')") is True  # octal, no group 52
+    assert run_script("/(ab)\\1/.test('abab')") is True  # real backref
+    assert run_script("'89'.match(/\\8\\9/) !== null") is True
+
+
+def test_regex_dot_excludes_line_separators():
+    assert run_script("/a.b/.test('a\\u2028b')") is False
+    assert run_script("/a.b/.test('a\\u2029b')") is False
+    assert run_script("/a.b/.test('a b')") is True
+    assert run_script("/a[.]b/.test('a.b')") is True  # class dot literal

@@ -818,6 +818,85 @@ class _Callable:
 _RE_CACHE: dict[tuple[str, str], "_re.Pattern"] = {}
 
 
+def _js_rx_to_py(p: str) -> str:
+    """Translate JS regex syntax Python's re lacks (the rest is
+    shared): ``[^]``/``[]`` classes, ``\cX`` control escapes, Annex B
+    octal escapes (``\52`` is ``*`` when no group 52 exists), and JS
+    ``.`` (which also excludes \r/\u2028/\u2029)."""
+    n = len(p)
+    # pass 1: count capturing groups (octal-vs-backref disambiguation)
+    groups = 0
+    i, in_class = 0, False
+    while i < n:
+        c = p[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and not (i + 1 < n and p[i + 1] == "?"):
+            groups += 1
+        i += 1
+    out = []
+    i, in_class = 0, False
+    while i < n:
+        c = p[i]
+        if c == "\\" and i + 1 < n:
+            d = p[i + 1]
+            if d == "c" and i + 2 < n and p[i + 2].isalpha():
+                out.append("\\x%02x" % (ord(p[i + 2]) % 32))
+                i += 3
+                continue
+            if d.isdigit() and d != "0":
+                j = i + 1
+                while j < n and p[j].isdigit():
+                    j += 1
+                digits = p[i + 1:j]
+                if in_class or int(digits) > groups:
+                    if all(ch in "01234567" for ch in digits) \
+                            and int(digits, 8) <= 0xFF:
+                        out.append("\\x%02x" % int(digits, 8))
+                    else:  # \8 \9: identity escape (Annex B)
+                        out.append(_re.escape(digits))
+                else:
+                    out.append("\\" + digits)
+                i = j
+                continue
+            out.append(p[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            if p.startswith("[^]", i):
+                out.append("[\\s\\S]")  # JS 'match anything'
+                i += 3
+                continue
+            if p.startswith("[]", i):
+                out.append("(?!)")  # JS empty class never matches
+                i += 2
+                continue
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == ".":
+            # JS . excludes ALL LineTerminators (ES5 15.10.2.8)
+            out.append("[^\\n\\r\\u2028\\u2029]")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 class _RegExp:
     def __init__(self, pattern: str, flags: str):
         self.source = pattern
@@ -835,7 +914,7 @@ class _RegExp:
             if "m" in self.flags:
                 pyflags |= _re.MULTILINE
             try:
-                rx = _re.compile(pattern, pyflags)
+                rx = _re.compile(_js_rx_to_py(pattern), pyflags)
             except _re.error as exc:
                 raise _Thrown({"name": "SyntaxError",
                                "message": f"Invalid regular expression: {exc}"})
